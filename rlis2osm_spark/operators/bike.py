@@ -86,13 +86,14 @@ def apply_bike_overlay(streets_osm: DataFrame, bike: DataFrame) -> DataFrame:
     n_matches = F.coalesce(F.size("bike_list"), F.lit(0))
     exploded = joined.select(
         "*",
-        F.explode_outer("bike_list").alias("bf"),
+        F.posexplode_outer("bike_list").alias("overlay_idx", "bf"),
         n_matches.alias("_n_bike"),
     ).drop("bike_list")
 
     return (
         exploded.withColumns(
             {
+                "overlay_idx": F.coalesce(F.col("overlay_idx"), F.lit(0)),
                 "bicycle": F.col("bf.bicycle"),
                 "cycleway": F.col("bf.cycleway"),
                 "RLIS:bicycle": F.col("bf.rlis_bicycle"),

@@ -57,7 +57,9 @@ def streets_branch(streets: DataFrame, bike: DataFrame) -> DataFrame:
     """expand -> translate -> titlecase -> bike overlay (main.py:77-113)."""
     osm = translate_streets(expand_street_names(streets))
     osm = apply_bike_overlay(osm, bike)
-    return osm.withColumn("part_idx", F.lit(0))
+    # the bike fan-out index is the street's sub-feature index, keeping
+    # (src_table, fid, part_idx) a unique lineage key across the union
+    return osm.withColumnRenamed("overlay_idx", "part_idx")
 
 
 def trails_branch(trails: DataFrame) -> DataFrame:

