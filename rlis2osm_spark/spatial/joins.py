@@ -1,0 +1,171 @@
+"""Spatial joins over the tile index: cell equi-join, point-in-polygon,
+kNN matching, raster<->vector join (north-rule operators; SURVEY §2.4 "joins
+absent from the reference but mandated").
+
+Design rules:
+- candidate generation is always a **cell equi-join** (shuffle on the Morton
+  cell — or broadcast when one side is a dimension), so the expensive exact
+  predicate runs on a tiny candidate set;
+- exact geometry math (point-to-segment distance) is **native column
+  arithmetic**, not Python;
+- the only Arrow step is polygon ray-casting (vectorized numpy over the
+  broadcast polygon set) — and it only sees bbox-prefiltered candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from rlis2osm_spark.spatial.tiles import TileGrid, grid_coords, k_ring, morton_cell
+
+
+# ---------------------------------------------------------------------------
+# cell equi-join (tile join) + raster<->vector
+# ---------------------------------------------------------------------------
+
+def tile_join(left: DataFrame, right: DataFrame, how: str = "inner",
+              broadcast_right: bool = False) -> DataFrame:
+    """Equi-join two tiled DataFrames on ``cell``. At scale both sides are
+    bucketed/partitioned by cell, making this a co-located shuffle-free join;
+    broadcast the right side when it's a dimension."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, "cell", how)
+
+
+def raster_vector_join(vector_df: DataFrame, raster_df: DataFrame,
+                       how: str = "left") -> DataFrame:
+    """Raster tiles keyed by the same Morton cell join vector features as a
+    plain equi-join — rasters become just another cell-keyed table."""
+    return vector_df.join(raster_df, "cell", how)
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+# ---------------------------------------------------------------------------
+
+def _ray_cast(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: points (n,) vs one ring (m, 2)."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    inside = np.zeros(len(px), dtype=bool)
+    for ex1, ey1, ex2, ey2 in zip(x1, y1, x2, y2):
+        crosses = (ey1 > py) != (ey2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ex1 + (py - ey1) * (ex2 - ex1) / (ey2 - ey1)
+        inside ^= crosses & (px < xint)
+    return inside
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygons: list[tuple[str, list[tuple[float, float]]]],
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "polygon_id",
+) -> DataFrame:
+    """Tag each point with the first containing polygon's id (null if none).
+
+    ``polygons`` is a small driver-side set (e.g. metro boundary districts) —
+    it ships in the UDF closure (auto-broadcast). A native bbox prefilter
+    keeps the Arrow ray-cast off points that can't match any polygon.
+    """
+    rings = [(pid, np.asarray(ring, dtype=float)) for pid, ring in polygons]
+    # close rings
+    rings = [
+        (pid, r if (r[0] == r[-1]).all() else np.vstack([r, r[:1]]))
+        for pid, r in rings
+    ]
+
+    @F.pandas_udf(StringType())
+    def pip_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        px = xs.to_numpy(dtype=float)
+        py = ys.to_numpy(dtype=float)
+        out = np.full(len(px), None, dtype=object)
+        unassigned = np.ones(len(px), dtype=bool)
+        for pid, ring in rings:
+            if not unassigned.any():
+                break
+            hit = unassigned & _ray_cast(px, py, ring)
+            out[hit] = pid
+            unassigned &= ~hit
+        return pd.Series(out)
+
+    # native bbox prefilter over the union of polygon bboxes
+    xs_min = min(r[:, 0].min() for _, r in rings)
+    xs_max = max(r[:, 0].max() for _, r in rings)
+    ys_min = min(r[:, 1].min() for _, r in rings)
+    ys_max = max(r[:, 1].max() for _, r in rings)
+    in_bbox = (
+        (F.col(x_col) >= xs_min) & (F.col(x_col) <= xs_max)
+        & (F.col(y_col) >= ys_min) & (F.col(y_col) <= ys_max)
+    )
+    return points.withColumn(
+        out_col,
+        F.when(in_bbox, pip_udf(F.col(x_col), F.col(y_col))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN (e.g. trail -> nearest streets snapping)
+# ---------------------------------------------------------------------------
+
+def point_segment_dist2(px: Column, py: Column, x1: Column, y1: Column,
+                        x2: Column, y2: Column) -> Column:
+    """Squared point-to-segment distance — pure native arithmetic."""
+    dx, dy = x2 - x1, y2 - y1
+    len2 = dx * dx + dy * dy
+    t_raw = ((px - x1) * dx + (py - y1) * dy) / F.when(len2 == 0, 1.0).otherwise(len2)
+    t = F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+    cx = x1 + t * dx
+    cy = y1 + t * dy
+    return (px - cx) * (px - cx) + (py - cy) * (py - cy)
+
+
+def knn_join(
+    probe: DataFrame,
+    base: DataFrame,
+    k: int,
+    res: int,
+    probe_id: str,
+    base_id: str,
+    grid: TileGrid = TileGrid(),
+) -> DataFrame:
+    """k nearest base segments for each probe point, within the probe cell's
+    3x3 ring (bounded kNN — choose ``res`` so a cell comfortably exceeds the
+    expected nearest-neighbor distance).
+
+    probe: (probe_id, x, y); base: (base_id, x1, y1, x2, y2).
+    Plan: base keyed by its midpoint cell; probe explodes its k_ring ->
+    cell equi-join -> native exact distance -> per-probe window top-k.
+    The window partitions by probe_id (uniform), so the skewed side is the
+    candidate join — AQE skew-split applies; for pathological hot cells,
+    pre-salt with ``salted_cell``.
+    """
+    bix, biy = grid_coords((F.col("x1") + F.col("x2")) / 2,
+                           (F.col("y1") + F.col("y2")) / 2, res, grid)
+    based = base.withColumn("cell", morton_cell(bix, biy))
+
+    pix, piy = grid_coords(F.col("x"), F.col("y"), res, grid)
+    probed = probe.withColumn("ring", k_ring(pix, piy, res))
+    cands = probed.select(
+        probe_id, "x", "y", F.explode("ring").alias("cell")
+    ).join(based, "cell")
+
+    d2 = point_segment_dist2(
+        F.col("x"), F.col("y"),
+        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.asc("dist2"), F.asc(base_id)  # deterministic tie-break
+    )
+    return (
+        cands.withColumn("dist2", d2)
+        # a candidate reachable via 2+ ring cells must count once
+        .dropDuplicates([probe_id, base_id])
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )

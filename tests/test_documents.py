@@ -1,0 +1,93 @@
+"""Interleaved-document operations + span-sequence invariant (BASELINE.json
+input_hint) + checkpoint resume."""
+
+from pyspark.sql import functions as F
+
+from rlis2osm_spark.pipeline import tile_assignment, tile_rollup
+from rlis2osm_spark.plans.checkpoint import Checkpointer
+from rlis2osm_spark.sources.documents import (
+    explode_spans,
+    first_media_ref,
+    reassemble_spans,
+    span_signature,
+    text_attrs,
+)
+
+
+def _docs(spark, synth_dir):
+    return spark.read.parquet(f"{synth_dir}/documents_rlis.parquet")
+
+
+def _media(spark, synth_dir):
+    return spark.read.parquet(f"{synth_dir}/media.parquet")
+
+
+def test_text_attrs_and_media_ref(spark, synth_dir):
+    docs = _docs(spark, synth_dir)
+    row = (
+        docs.filter(F.col("doc_id") == "streets:0")
+        .select(
+            text_attrs(F.col("spans")).alias("attrs"),
+            first_media_ref(F.col("spans")).alias("ref"),
+        )
+        .collect()[0]
+    )
+    assert row.ref == "geom:streets:0"
+    assert "TYPE" in row.attrs
+    assert int(row.attrs["LOCALID"]) == 100000
+
+
+def test_span_invariant_roundtrip(spark, synth_dir):
+    """explode -> shuffle -> reassemble preserves (kind, text, media_ref,
+    order) per document exactly."""
+    docs = _docs(spark, synth_dir)
+    rebuilt = reassemble_spans(explode_spans(docs).repartition(7, "kind"))
+    joined = docs.select(
+        "doc_id", span_signature(F.col("spans")).alias("sig_in")
+    ).join(
+        rebuilt.select("doc_id", span_signature(F.col("spans")).alias("sig_out")),
+        "doc_id",
+    )
+    bad = joined.filter(F.col("sig_in") != F.col("sig_out")).count()
+    assert bad == 0
+    assert joined.count() == docs.count()
+
+
+def test_tile_assignment_flagship(spark, synth_dir):
+    docs, media = _docs(spark, synth_dir), _media(spark, synth_dir)
+    tiled = tile_assignment(docs, media, res=10)
+    n = tiled.count()
+    assert n == docs.count()
+    got = tiled.filter(F.col("cell").isNull()).count()
+    assert got == 0
+    # invariant column matches source spans
+    chk = tiled.select(
+        "doc_id",
+        (span_signature(F.col("spans")) == F.col("span_sig")).alias("ok"),
+    )
+    assert chk.filter(~F.col("ok")).count() == 0
+    roll = tile_rollup(tiled)
+    assert roll.agg(F.sum("n_docs")).collect()[0][0] == n
+
+
+def test_checkpoint_resume(spark, synth_dir, tmp_path):
+    docs = _docs(spark, synth_dir)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return docs.select("doc_id")
+
+    ck = Checkpointer(spark, str(tmp_path), "t")
+    out1 = ck.stage("ids", build)
+    n1 = out1.count()
+    ck2 = Checkpointer(spark, str(tmp_path), "t")
+    out2 = ck2.stage("ids", build)  # resumed: build not called again
+    assert len(calls) == 1
+    assert out2.count() == n1
+    assert ck2.report()[0]["resumed"] is True
+    assert ck2.report()[0]["row_count"] == n1
+    assert ck2.report()[0]["partition_rows"]
+    ck2.invalidate("ids")
+    ck2.stage("ids", build)
+    assert len(calls) == 2

@@ -1,0 +1,88 @@
+"""Spatial join tests: PIP ray casting, kNN with exact distances,
+raster<->vector tile join."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from rlis2osm_spark.spatial.joins import (
+    knn_join,
+    point_in_polygon,
+    point_segment_dist2,
+    raster_vector_join,
+)
+from rlis2osm_spark.spatial.tiles import TileGrid, tile_cell
+
+
+def test_point_in_polygon_triangle(spark):
+    tri = [("tri", [(0.0, 0.0), (10.0, 0.0), (5.0, 10.0)])]
+    pts = spark.createDataFrame(
+        [("in", 5.0, 3.0), ("out", 0.5, 9.0), ("far", 100.0, 100.0)],
+        "id string, x double, y double")
+    out = {r.id: r.polygon_id for r in point_in_polygon(pts, tri).collect()}
+    assert out == {"in": "tri", "out": None, "far": None}
+
+
+def test_point_in_polygon_first_match_and_hole_free(spark):
+    polys = [
+        ("a", [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]),
+        ("b", [(5.0, 5.0), (15.0, 5.0), (15.0, 15.0), (5.0, 15.0)]),
+    ]
+    pts = spark.createDataFrame(
+        [("overlap", 7.0, 7.0), ("only_b", 12.0, 12.0)],
+        "id string, x double, y double")
+    out = {r.id: r.polygon_id for r in point_in_polygon(pts, polys).collect()}
+    assert out == {"overlap": "a", "only_b": "b"}  # first containing wins
+
+
+def test_point_segment_dist2(spark):
+    df = spark.createDataFrame([(0.0, 5.0, -10.0, 0.0, 10.0, 0.0),
+                                (20.0, 0.0, -10.0, 0.0, 10.0, 0.0)],
+                               "px double, py double, x1 double, y1 double, "
+                               "x2 double, y2 double")
+    out = df.select(point_segment_dist2(
+        F.col("px"), F.col("py"), F.col("x1"), F.col("y1"),
+        F.col("x2"), F.col("y2")).alias("d2")).collect()
+    assert out[0].d2 == 25.0  # perpendicular to interior
+    assert out[1].d2 == 100.0  # clamped to endpoint
+
+
+def test_knn_join_exact(spark):
+    grid = TileGrid(0.0, 0.0, 1024.0)
+    # probe at center; 5 horizontal street segments at increasing distance
+    probe = spark.createDataFrame([("t1", 512.0, 512.0)],
+                                  "trail_id string, x double, y double")
+    base_rows = [(f"s{i}", 500.0, 512.0 + 3.0 * (i + 1), 524.0, 512.0 + 3.0 * (i + 1))
+                 for i in range(5)]
+    base = spark.createDataFrame(
+        base_rows, "street_id string, x1 double, y1 double, x2 double, y2 double")
+    out = knn_join(probe, base, k=3, res=6, probe_id="trail_id",
+                   base_id="street_id", grid=grid).orderBy("knn_rank").collect()
+    assert [r.street_id for r in out] == ["s0", "s1", "s2"]
+    assert [math.sqrt(r.dist2) for r in out] == [3.0, 6.0, 9.0]
+
+
+def test_knn_ring_candidates_cross_cells(spark):
+    grid = TileGrid(0.0, 0.0, 64.0)  # res 3 -> 8x8 grid of 8-unit cells
+    probe = spark.createDataFrame([("p", 8.1, 8.1)],
+                                  "pid string, x double, y double")
+    # nearest segment lives in the neighboring cell to the west
+    base = spark.createDataFrame([("w", 6.0, 8.0, 7.0, 8.0),
+                                  ("far", 40.0, 40.0, 41.0, 40.0)],
+                                 "bid string, x1 double, y1 double, "
+                                 "x2 double, y2 double")
+    out = knn_join(probe, base, k=1, res=3, probe_id="pid", base_id="bid",
+                   grid=grid).collect()
+    assert [r.bid for r in out] == ["w"]
+
+
+def test_raster_vector_join(spark):
+    grid = TileGrid(0.0, 0.0, 1024.0)
+    vec = spark.createDataFrame([("v1", 100.0, 100.0), ("v2", 900.0, 900.0)],
+                                "id string, x double, y double")
+    vec = vec.withColumn("cell", tile_cell(F.col("x"), F.col("y"), 4, grid))
+    raster = vec.select("cell").distinct().withColumn(
+        "elevation", F.col("cell") % 100)
+    out = raster_vector_join(vec, raster).collect()
+    assert len(out) == 2
+    assert all(r.elevation == r.cell % 100 for r in out)
