@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship H3-style tile-assignment + spatial-join pipeline
+over sf0.001; ``queries``/``oracle_sql`` expose every implemented operator
+from SURVEY.md §2 with DuckDB oracles where SQL-expressible (see
+rlis2osm_spark/queries/*).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tile assignment + raster<->vector cell join + hierarchical
+    rollup over documents at sf0.001 (cells via native Morton interleave,
+    the WKB path exercised through the pandas-UDF coordinate extraction)."""
+    from rlis2osm_spark.driver_support import ensure_package_on_workers
+    from rlis2osm_spark.queries import rlis_python, spatial_sql
+
+    ensure_package_on_workers(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    tiled = rlis_python.s2_tile_assignment_wkb(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    roll = (
+        tiled.groupBy("parent_cell")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+    return tiled.join(roll, "parent_cell").select(
+        "doc_id", "ix", "iy", "cell", "parent_cell", "n_docs", "min_doc"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from rlis2osm_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {}
+    for name, fn in all_queries().items():
+        def wrapped(spark, sf_dir, _fn=fn):
+            from rlis2osm_spark.driver_support import ensure_package_on_workers
+
+            ensure_package_on_workers(spark)
+            return _fn(spark, sf_dir)
+
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rlis2osm_spark.queries import all_oracles
+
+    return all_oracles()

@@ -42,6 +42,11 @@ from rlis2osm_spark.schemas import COMBINED_FIELDS
 _NULL_SENTINEL = "\x00<null>"
 
 
+def spark_partitions(df: DataFrame) -> int:
+    """Session shuffle parallelism (the CC bucket count)."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
 def _define_filter_fields(all_fields: list[str], fields=None, exclude=False):
     """A4 parity (dissolve.py:104-122): validate + resolve dissolve columns."""
     if fields:
@@ -74,9 +79,14 @@ _CC_SCHEMA = StructType(
 
 
 def _union_find_components(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-tag-group connected components: union ways sharing an endpoint.
+    """Connected components over (group_key, node, way_id) edge rows: ways
+    sharing an endpoint *within the same tag-group* are unioned. Node keys
+    are namespaced by group_key, so one call can process many groups — the
+    caller hash-partitions whole groups to workers and runs one union-find
+    per partition (cheap: O(rows * alpha)).
 
-    Deterministic: component_id = min way_id of the component.
+    Deterministic: component_id = min way_id of the component, independent
+    of partitioning/arrival order.
     """
     parent: dict[int, int] = {}
 
@@ -97,12 +107,14 @@ def _union_find_components(pdf: pd.DataFrame) -> pd.DataFrame:
             else:
                 parent[ra] = rb
 
-    node_first: dict[bytes, int] = {}
-    for way_id, node in zip(pdf["way_id"].to_numpy(), pdf["node"]):
+    node_first: dict[tuple, int] = {}
+    for way_id, gk, node in zip(
+        pdf["way_id"].to_numpy(), pdf["group_key"].to_numpy(), pdf["node"]
+    ):
         w = int(way_id)
         if w not in parent:
             parent[w] = w
-        key = bytes(node)
+        key = (int(gk), bytes(node))
         other = node_first.get(key)
         if other is None:
             node_first[key] = w
@@ -113,6 +125,14 @@ def _union_find_components(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {"way_id": ways, "component_id": [find(int(w)) for w in ways]}
     )
+
+
+def _cc_map_partitions(frames) -> "pd.DataFrame":
+    """mapInPandas driver: a partition's Arrow batches may split a group, so
+    concatenate before the union-find."""
+    pdfs = [pdf for pdf in frames]
+    if pdfs:
+        yield _union_find_components(pd.concat(pdfs, ignore_index=True))
 
 
 def endpoint_nodes(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
@@ -172,10 +192,17 @@ def dissolve_ways(
         df.select("way_id", "group_key"), "way_id"
     )
 
+    # hash-partition whole tag-groups to workers, one union-find per
+    # partition (nodes namespaced by group_key). Far cheaper than a
+    # per-group applyInPandas when groups are numerous and small; at scale
+    # the partition count bounds per-worker memory, and a degenerate hot
+    # group (SURVEY §7.3 skew hazard) is the documented case for switching
+    # to the iterative large-star/small-star CC.
+    n_parts = max(spark_partitions(combined), 8)
     comps = (
         nodes.select("group_key", "node", "way_id")
-        .groupBy("group_key")
-        .applyInPandas(lambda pdf: _union_find_components(pdf), _CC_SCHEMA)
+        .repartition(n_parts, "group_key")
+        .mapInPandas(_cc_map_partitions, _CC_SCHEMA)
     )
 
     with_comp = df.join(comps, "way_id")

@@ -1,0 +1,40 @@
+"""Driver-contract query registry.
+
+Each submodule exposes ``QUERIES: dict[name -> callable(spark, sf_dir)]``
+and ``ORACLES: dict[name -> ANSI SQL]`` (DuckDB-runnable over the
+pre-registered views). SQL strings are generated from the same Python
+constants the Spark implementations use, so the two sides cannot drift.
+
+Names without an oracle entry are non-SQL-expressible operators (iterative
+CC, pandas-UDF expansions, WKB paths) and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from rlis2osm_spark.queries import (
+    content,
+    events,
+    relational,
+    rlis_cols,
+    rlis_python,
+    spatial_sql,
+)
+
+_MODULES = [relational, rlis_cols, rlis_python, spatial_sql, content, events]
+
+
+def all_queries():
+    out = {}
+    for m in _MODULES:
+        overlap = set(out) & set(m.QUERIES)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in _MODULES:
+        out.update(getattr(m, "ORACLES", {}))
+    return out

@@ -1,0 +1,363 @@
+"""Training-data pipeline operators over documents/embeddings: dedup family
+(exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search, text
+analysis, fingerprinting — each with an exact DuckDB oracle.
+
+Hash-dependent operators derive word ids from a deterministic dense-rank
+over the sorted vocabulary (both engines), then use integer modular hashes —
+no engine-specific hash function, so results are bit-identical. The
+production-scale variants (xxhash64-based, no global rank) live in
+operators/dedup.py and are covered by rows-only checks + pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from rlis2osm_spark.queries.util import load
+
+P31 = 2147483647  # Mersenne prime 2^31-1
+N_HASH = 8
+N_BANDS = 4  # 2 rows per band
+
+
+def _words(spark, sf_dir, limit: int | None = None):
+    docs = load(spark, sf_dir, "documents")
+    if limit:
+        docs = docs.filter(F.col("doc_id") < limit)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.col("word") != "")
+
+
+_WORDS_SQL = """
+  SELECT doc_id, i - 1 AS pos, words[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents {where}),
+       LATERAL (SELECT unnest(generate_series(1, len(words))) AS i)
+  WHERE words[i] <> ''
+"""
+
+
+def _word_ids(words_df):
+    """Deterministic vocabulary ids: dense_rank over sorted distinct words.
+    (Oracle-parity path: the global sort is fine at sf0.01; the production
+    path uses xxhash64 — operators/dedup.py.)"""
+    vocab = (
+        words_df.select("word").distinct()
+        .withColumn("wid", F.dense_rank().over(Window.orderBy("word")))
+    )
+    return words_df.join(vocab, "word")
+
+
+_WORD_IDS_SQL = """
+  SELECT w.doc_id, w.pos, w.word, v.wid
+  FROM ({words}) w
+  JOIN (SELECT word, DENSE_RANK() OVER (ORDER BY word) AS wid
+        FROM (SELECT DISTINCT word FROM ({words}))) v
+    ON w.word = v.word
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def d1_exact_dedup(spark, sf_dir):
+    """Exact dedup: content hash groups, deterministic survivor = min doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("survivor"),
+             F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+_D1_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS survivor, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def d2_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by 3-word-shingle Jaccard >= 0.4 (explode -> self-join
+    on shingle -> intersection counts vs union)."""
+    w = _words(spark, sf_dir, limit=120)
+    sh = (
+        w.withColumn(
+            "shingle",
+            F.concat_ws(" ", F.col("word"),
+                        F.lead("word", 1).over(
+                            Window.partitionBy("doc_id").orderBy("pos")),
+                        F.lead("word", 2).over(
+                            Window.partitionBy("doc_id").orderBy("pos"))),
+        )
+        .filter(F.size(F.split("shingle", " ")) == 3)
+        .select("doc_id", "shingle").distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard",
+                    F.round(F.col("n_inter")
+                            / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+_D2_SQL = f"""
+WITH w AS ({_WORDS_SQL.format(where="WHERE doc_id < 120")}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           word || ' ' || LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                || ' ' || LEAD(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+    FROM w
+  ) WHERE shingle IS NOT NULL AND len(string_split(shingle, ' ')) = 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_inter,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4
+"""
+
+
+def d3_minhash_lsh(spark, sf_dir):
+    """MinHash/LSH candidate pairs: 8 modular hashes over vocabulary ids,
+    4 bands x 2 rows; pairs sharing any band bucket."""
+    wid = _word_ids(_words(spark, sf_dir, limit=150)).select("doc_id", "wid").distinct()
+    h = wid.select(
+        "doc_id", "wid", F.explode(F.sequence(F.lit(0), F.lit(N_HASH - 1))).alias("i")
+    ).withColumn(
+        "hv", ((F.lit(2) * F.col("i") + 1) * F.col("wid")
+               + F.col("i") * F.lit(40503) + 17) % P31
+    )
+    sig = h.groupBy("doc_id", "i").agg(F.min("hv").alias("mh"))
+    band = sig.withColumn("band", F.expr(f"i div {N_HASH // N_BANDS}"))
+    bkey = (
+        band.groupBy("doc_id", "band")
+        .agg(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mh"))),
+            lambda s: s["mh"].cast("string")), ",").alias("bucket"))
+    )
+    a, b = bkey.alias("a"), bkey.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_D3_SQL = f"""
+WITH w AS ({_WORDS_SQL.format(where="WHERE doc_id < 150")}),
+wid AS (SELECT DISTINCT doc_id, wid FROM ({_WORD_IDS_SQL.format(words=_WORDS_SQL.format(where="WHERE doc_id < 150"))})),
+h AS (
+  SELECT doc_id, wid, i,
+         ((2 * i + 1) * wid + i * 40503 + 17) % {P31} AS hv
+  FROM wid, LATERAL (SELECT unnest(generate_series(0, {N_HASH - 1})) AS i)
+),
+sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM h GROUP BY doc_id, i),
+band AS (
+  SELECT doc_id, i // {N_HASH // N_BANDS} AS band,
+         STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+  FROM sig GROUP BY doc_id, i // {N_HASH // N_BANDS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band a JOIN band b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def d4_simhash(spark, sf_dir):
+    """16-bit SimHash from vocabulary ids (bit votes via modular parity)."""
+    wid = _word_ids(_words(spark, sf_dir, limit=150)).select("doc_id", "wid")
+    bits = wid.select(
+        "doc_id", "wid",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("k"),
+    ).withColumn(
+        "vote",
+        F.when(((F.col("wid") * 2654435761 + F.col("k") * 40503) % 2) == 1,
+               F.lit(1)).otherwise(F.lit(-1)),
+    )
+    votes = bits.groupBy("doc_id", "k").agg(F.sum("vote").alias("s"))
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0,
+                   F.expr("shiftleft(1, cast(k as int))")).otherwise(0))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+_D4_SQL = f"""
+WITH wid AS (SELECT doc_id, wid FROM ({_WORD_IDS_SQL.format(words=_WORDS_SQL.format(where="WHERE doc_id < 150"))})),
+bits AS (
+  SELECT doc_id, k,
+         CASE WHEN (wid * 2654435761 + k * 40503) % 2 = 1 THEN 1 ELSE -1 END AS vote
+  FROM wid, LATERAL (SELECT unnest(generate_series(0, 15)) AS k)
+),
+votes AS (SELECT doc_id, k, SUM(vote) AS s FROM bits GROUP BY doc_id, k)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN baseline: brute-force cosine top-k)
+# ---------------------------------------------------------------------------
+
+def n1_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for 15 probe vectors. Rank-only output:
+    scores are IEEE-identical per pair in both engines (same fold order),
+    and random float vectors make cross-pair ties impossible."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v"))
+    probes = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("p"))
+    pairs = probes.crossJoin(emb.filter(F.col("vec_id") >= 15))
+    dot = F.aggregate(
+        F.zip_with("p", "v", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (norm(F.col("p")) * norm(F.col("v")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+_N1_SQL = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
+         (SELECT SUM(pe * ve) FROM (
+            SELECT CAST(pu.u AS DOUBLE) AS pe, CAST(vu.u AS DOUBLE) AS ve
+            FROM (SELECT unnest(p.embedding) AS u, generate_subscripts(p.embedding, 1) AS i) pu
+            JOIN (SELECT unnest(v.embedding) AS u, generate_subscripts(v.embedding, 1) AS i) vu
+              USING (i))) /
+         (sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)) FROM unnest(p.embedding) AS t(u)))
+          * sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)) FROM unnest(v.embedding) AS t(u)))) AS cos
+  FROM e p JOIN e v ON p.vec_id < 15 AND v.vec_id >= 15
+)
+SELECT probe_id, neighbor_id, rank FROM (
+  SELECT probe_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def x1_text_quality(spark, sf_dir):
+    """Token count, stopword ratio, mean word length, quality score —
+    all native string/array expressions."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    mean_len = (F.length(F.regexp_replace("text", " ", ""))
+                / F.when(n_tok == 0, 1).otherwise(n_tok))
+    quality = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
+        + (1.0 - n_stop / F.when(n_tok == 0, 1).otherwise(n_tok)) * 0.5, 6)
+    return docs.select(
+        "doc_id", "lang",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        quality.alias("quality"),
+    )
+
+
+_X1_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains({str(_STOPWORDS).replace('"', "'")}, w))) AS n_stopwords,
+         length(replace(text, ' ', '')) AS n_chars_nospace
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_stopwords,
+       ROUND(n_chars_nospace / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 6) AS mean_word_len,
+       ROUND(LEAST(1.0, n_tokens / 100.0) * 0.5
+             + (1.0 - n_stopwords / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END)) * 0.5, 6) AS quality
+FROM t
+"""
+
+
+def x2_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint over vocabulary ids:
+    positional weighted sum mod P + xor-fold (ints, both engines)."""
+    wid = _word_ids(_words(spark, sf_dir))
+    return (
+        wid.groupBy("doc_id")
+        .agg(
+            (F.sum((F.col("pos") + 1) * F.col("wid")) % P31).alias("fp_sum"),
+            F.bit_xor((F.col("pos") + 13) * F.col("wid")).alias("fp_xor"),
+        )
+    )
+
+
+_X2_SQL = f"""
+WITH wid AS ({_WORD_IDS_SQL.format(words=_WORDS_SQL.format(where=""))})
+SELECT doc_id,
+       SUM((pos + 1) * wid) % {P31} AS fp_sum,
+       BIT_XOR((pos + 13) * wid) AS fp_xor
+FROM wid GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_ngram_jaccard": d2_ngram_jaccard,
+    "d3_minhash_lsh": d3_minhash_lsh,
+    "d4_simhash": d4_simhash,
+    "n1_cosine_topk": n1_cosine_topk,
+    "x1_text_quality": x1_text_quality,
+    "x2_fingerprint": x2_fingerprint,
+}
+
+ORACLES = {
+    "d1_exact_dedup": _D1_SQL,
+    "d2_ngram_jaccard": _D2_SQL,
+    "d3_minhash_lsh": _D3_SQL,
+    "d4_simhash": _D4_SQL,
+    "n1_cosine_topk": _N1_SQL,
+    "x1_text_quality": _X1_SQL,
+    "x2_fingerprint": _X2_SQL,
+}

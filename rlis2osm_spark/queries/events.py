@@ -1,0 +1,89 @@
+"""Event-stream operators in batch form (tumbling window agg,
+sessionization). The same logic runs under Structured Streaming in
+streaming/stream_ops.py; here the batch equivalents carry exact oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from rlis2osm_spark.queries.util import load
+
+D = "decimal(18,2)"
+
+
+def w1_hourly_windows(spark, sf_dir):
+    """Tumbling 1-hour window counts + decimal sums per event_type."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(D)).cast("decimal(38,2)").alias("total"),
+        )
+        .select(F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n", "total")
+    )
+
+
+_W1_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS {D})) AS DECIMAL(38,2)) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def w2_sessionization(spark, sf_dir):
+    """Gaps-and-islands sessionization: 30-min inactivity closes a session."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    with_sid = with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start"),
+             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end"))
+    )
+
+
+_W2_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS "end"
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "w1_hourly_windows": w1_hourly_windows,
+    "w2_sessionization": w2_sessionization,
+}
+
+ORACLES = {
+    "w1_hourly_windows": _W1_SQL,
+    "w2_sessionization": _W2_SQL,
+}

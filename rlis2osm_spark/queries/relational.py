@@ -1,0 +1,223 @@
+"""Core relational queries (scan/filter/agg/join/union/explode breadth —
+SURVEY §2.1 S1, §2.5, §2.6). Aggregates use decimal casts so results are
+bit-deterministic across Spark and DuckDB (double-sum order would not be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rlis2osm_spark.queries.util import load
+
+# exact-arithmetic conventions: prices/qty -> DECIMAL(10,2), rates (disc,
+# tax) -> DECIMAL(4,2); (1±rate) -> (5,2); price*(5,2) -> (16,4) exact;
+# charge (16,4)*(5,2) -> (22,6) exact. NO intermediate down-casts — Spark's
+# HALF_UP vs DuckDB's binary rounding would disagree on .xx5 ties.
+D = "decimal(18,2)"
+P = "decimal(10,2)"
+R = "decimal(4,2)"
+
+
+def _revenue():
+    price = F.col("l_extendedprice").cast(P)
+    disc = F.col("l_discount").cast(R)
+    return price * (F.lit(1).cast(R) - disc)  # (16,4), exact
+
+
+_REV_SQL = f"CAST(l_extendedprice AS {P}) * (CAST(1 AS {R}) - CAST(l_discount AS {R}))"
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 flavor: map-side partial agg -> single shuffle on tiny key
+    space; all sums exact (scales 2/4/6, no rounding anywhere)."""
+    li = load(spark, sf_dir, "lineitem")
+    charge = _revenue() * (F.lit(1).cast(R) + F.col("l_tax").cast(R))  # (22,6)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(P)).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(P)).cast("decimal(38,2)")
+            .alias("sum_base_price"),
+            F.sum(_revenue()).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS {P})) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS {P})) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(SUM(({_REV_SQL}) * (CAST(1 AS {R}) + CAST(l_tax AS {R}))) AS DECIMAL(38,6)) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_top_orders(spark, sf_dir):
+    """Join + agg + deterministic top-10 (broadcast the filtered dimension)."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q03_SQL = f"""
+SELECT l_orderkey,
+       CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q05_nation_revenue(spark, sf_dir):
+    """Multi-way star join: dims broadcast, fact shuffles once on groupBy."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+_Q05_SQL = f"""
+SELECT n_name,
+       CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def a5_group_collect(spark, sf_dir):
+    """A5/A6: groupBy + deterministic ordered collect (reference: bike
+    collect-list build side, translate.py:439,492)."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_custkey") < 200)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), "|").alias("names"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_A5_SQL = """
+SELECT c_nationkey,
+       STRING_AGG(c_name, '|' ORDER BY c_name) AS names,
+       COUNT(*) AS n
+FROM customer WHERE c_custkey < 200
+GROUP BY c_nationkey
+"""
+
+
+def u1_union_by_name(spark, sf_dir):
+    """U1/T24: schema union with null fillers (main.py:56-61)."""
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").cast(D).alias("price"),
+        F.lit(None).cast("int").alias("nation"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nation"),
+    ).withColumn("price", F.lit(None).cast(D))
+    return part.unionByName(supp.select("name", "price", "nation"))
+
+
+_U1_SQL = f"""
+SELECT p_name AS name, CAST(p_retailprice AS {D}) AS price, CAST(NULL AS INT) AS nation FROM part
+UNION ALL
+SELECT s_name AS name, CAST(NULL AS {D}) AS price, s_nationkey AS nation FROM supplier
+"""
+
+
+def e2_posexplode_words(spark, sf_dir):
+    """E2: split-to-rows with ordinality (word_table.sql:7-40)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+
+
+_E2_SQL = """
+SELECT doc_id, i - 1 AS pos, words[i] AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 50),
+     LATERAL (SELECT unnest(generate_series(1, len(words))) AS i)
+"""
+
+
+def o1_sorted_projection(spark, sf_dir):
+    """O1: schema-level column sort (main.py:58)."""
+    nation = load(spark, sf_dir, "nation")
+    return nation.select(*sorted(nation.columns))
+
+
+_O1_SQL = "SELECT n_name, n_nationkey, n_regionkey FROM nation"
+
+
+def s1_scan_pushdown(spark, sf_dir):
+    """S1: projected, filtered scan — predicate + column pushdown reach the
+    parquet reader (verified in tests via PushedFilters)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") >= 49.0) & (F.col("l_linenumber") == 1)).select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast(D).alias("qty")
+    )
+
+
+_S1_SQL = f"""
+SELECT l_orderkey, l_partkey, CAST(l_quantity AS {D}) AS qty
+FROM lineitem WHERE l_quantity >= 49.0 AND l_linenumber = 1
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_nation_revenue": q05_nation_revenue,
+    "a5_group_collect": a5_group_collect,
+    "u1_union_by_name": u1_union_by_name,
+    "e2_posexplode_words": e2_posexplode_words,
+    "o1_sorted_projection": o1_sorted_projection,
+    "s1_scan_pushdown": s1_scan_pushdown,
+}
+
+ORACLES = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q03_top_orders": _Q03_SQL,
+    "q05_nation_revenue": _Q05_SQL,
+    "a5_group_collect": _A5_SQL,
+    "u1_union_by_name": _U1_SQL,
+    "e2_posexplode_words": _E2_SQL,
+    "o1_sorted_projection": _O1_SQL,
+    "s1_scan_pushdown": _S1_SQL,
+}

@@ -1,0 +1,188 @@
+"""Rows-only queries: operators whose hot path is an Arrow-batched pandas
+UDF or an iterative/stateful algorithm — not ANSI-SQL-expressible, so the
+driver records rows-only checks (their correctness gates live in pytest
+goldens instead). One exception: the WKB tile path re-derives the exact
+cells of ``s2_tile_assignment``, so it *does* carry that oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from rlis2osm_spark.driver_support import ensure_package_on_workers
+from rlis2osm_spark.queries.util import load, pick, pick_int
+from rlis2osm_spark.queries import spatial_sql
+from rlis2osm_spark.queries.rlis_cols import DIRS, FTYPES, TYPES, ZLEVS
+
+
+def rlis_basename_expand(spark, sf_dir):
+    """P4-P6: positional basename expansion over derived ALL-CAPS names
+    (pandas UDF; goldens in tests/test_expand.py)."""
+    ensure_package_on_workers(spark)
+    from rlis2osm_spark.functions.expand import make_basename_udf
+
+    part = load(spark, sf_dir, "part")
+    name = F.upper(
+        F.concat_ws(" ",
+                    pick(["MT", "ST", "US", "NFD", "JQ", None, None],
+                         1 + F.col("p_partkey") % 7),
+                    F.col("p_name"),
+                    pick(FTYPES, 1 + F.col("p_partkey") % 11)))
+    return part.select(
+        "p_partkey", name.alias("raw"),
+        make_basename_udf()(name).alias("expanded"))
+
+
+def rlis_titlecase_names(spark, sf_dir):
+    """P7: titlecase port over lowered names (pandas UDF)."""
+    ensure_package_on_workers(spark)
+    from rlis2osm_spark.functions.expand import make_titlecase_udf
+
+    part = load(spark, sf_dir, "part")
+    name = F.upper(F.concat_ws(" ", F.col("p_name"), F.lit("ST")))
+    return part.select("p_partkey", make_titlecase_udf()(name).alias("name"))
+
+
+@F.pandas_udf(BinaryType())
+def _point_wkb(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    from rlis2osm_spark.functions.wkb import encode_point
+
+    return pd.Series(
+        [encode_point(float(x), float(y)) for x, y in zip(xs, ys)],
+        dtype=object)
+
+
+def s2_tile_assignment_wkb(spark, sf_dir):
+    """Flagship WKB path: identical coordinates packed as WKB points, run
+    through the *real* geometry->midpoint->cell pipeline. Must produce the
+    exact cells of the arithmetic path — it shares s2's oracle."""
+    ensure_package_on_workers(spark)
+    from rlis2osm_spark.spatial.tiles import with_tile
+
+    pts = spatial_sql._doc_points(spark, sf_dir)
+    geo = pts.select("doc_id", _point_wkb("x", "y").alias("geometry"))
+    tiled = with_tile(geo, spatial_sql.RES, grid=spatial_sql.GRID)
+    return tiled.select(
+        "doc_id", "ix", "iy", "cell",
+        F.shiftright("cell", 2).alias("parent_cell"))
+
+
+def _derived_streets(spark, sf_dir):
+    """RLIS-shaped street chains from part keys: 4-segment chains with
+    exactly-shared endpoints, chain-constant tags."""
+    ensure_package_on_workers(spark)
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    chain, seg = F.expr("p_partkey div 4"), k % 4
+    x0 = (chain % 100) * 4000.0
+    y0 = F.expr("(p_partkey div 4) div 100") * 2000.0
+    df = part.select(
+        k.alias("fid"),
+        (100000 + k).cast("int").alias("LOCALID"),
+        pick_int(TYPES, 1 + chain % len(TYPES)).alias("TYPE"),
+        pick(DIRS, 1 + chain % 13).alias("PREFIX"),
+        F.upper(F.col("p_name")).alias("STREETNAME"),
+        pick(FTYPES, 1 + chain % 11).alias("FTYPE"),
+        F.lit(None).cast("string").alias("DIRECTION"),
+        pick_int(ZLEVS, 1 + chain % 9).alias("F_ZLEV"),
+        pick_int(ZLEVS, 1 + chain % 9).alias("T_ZLEV"),
+        (x0 + seg * 500.0).alias("_x1"),
+        y0.alias("_y1"),
+        (x0 + seg * 500.0 + 500.0).alias("_x2"),
+        y0.alias("_y2"),
+    )
+
+    @F.pandas_udf(BinaryType())
+    def seg_wkb(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
+        from rlis2osm_spark.functions.wkb import encode_linestring
+
+        return pd.Series(
+            [encode_linestring([(a, b), (c, d)])
+             for a, b, c, d in zip(x1, y1, x2, y2)], dtype=object)
+
+    return df.withColumn(
+        "geometry", seg_wkb("_x1", "_y1", "_x2", "_y2")
+    ).drop("_x1", "_y1", "_x2", "_y2")
+
+
+def rlis_street_pipeline(spark, sf_dir):
+    """Full street branch (expand -> translate -> titlecase) over derived
+    streets; per-highway tag counts (rows-only; goldens in pytest)."""
+    from rlis2osm_spark.operators.streets import (
+        expand_street_names, translate_streets)
+
+    streets = _derived_streets(spark, sf_dir)
+    osm = translate_streets(expand_street_names(streets))
+    return (
+        osm.groupBy("highway")
+        .agg(F.count("*").alias("n"),
+             F.count("bridge").alias("n_bridge"),
+             F.count("tunnel").alias("n_tunnel"),
+             F.count("access").alias("n_access"))
+        .orderBy("highway")
+    )
+
+
+def rlis_dissolve_cc(spark, sf_dir):
+    """J4/A1: connected-components dissolve over derived chains — group size
+    distribution (iterative/stateful; not SQL-expressible)."""
+    from rlis2osm_spark.operators.dissolve import dissolve_ways
+    from rlis2osm_spark.operators.streets import (
+        expand_street_names, translate_streets)
+
+    streets = _derived_streets(spark, sf_dir)
+    osm = translate_streets(expand_street_names(streets)).withColumns(
+        {"src_table": F.lit("streets"), "part_idx": F.lit(0)})
+    dissolved = dissolve_ways(osm)
+    return (
+        dissolved.groupBy("n_members")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("n_members")
+    )
+
+
+def minhash_dedup_xxhash(spark, sf_dir):
+    """Production-path MinHash: shingle hashing via xxhash64 (no global
+    vocabulary rank, scales to 100 TB). Engine-specific hash -> rows-only."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    sh = words.withColumn(
+        "h", F.pmod(F.xxhash64(F.col("w")), F.lit(2147483647))
+    ).select("doc_id", "h").distinct()
+    h = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
+        F.col("h"))
+    hv = h.withColumn(
+        "hv", F.pmod((F.lit(2) * F.col("i") + 1) * F.col("h")
+                     + F.col("i") * 40503 + 17, F.lit(2147483647)))
+    sig = hv.groupBy("doc_id", "i").agg(F.min("hv").alias("mh"))
+    band = sig.withColumn("band", F.expr("i div 2"))
+    bkey = band.groupBy("doc_id", "band").agg(
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mh"))),
+            lambda s: s["mh"].cast("string")), ",").alias("bucket"))
+    a, b = bkey.alias("a"), bkey.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b")).distinct()
+    )
+
+
+QUERIES = {
+    "rlis_basename_expand": rlis_basename_expand,
+    "rlis_titlecase_names": rlis_titlecase_names,
+    "s2_tile_assignment_wkb": s2_tile_assignment_wkb,
+    "rlis_street_pipeline": rlis_street_pipeline,
+    "rlis_dissolve_cc": rlis_dissolve_cc,
+    "minhash_dedup_xxhash": minhash_dedup_xxhash,
+}
+
+# the WKB tile path must agree with the arithmetic oracle exactly
+ORACLES = {"s2_tile_assignment_wkb": spatial_sql._S2_SQL}

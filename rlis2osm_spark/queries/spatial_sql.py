@@ -1,0 +1,236 @@
+"""Spatial operators with exact DuckDB oracles (north-rule flagship path).
+
+Coordinates are derived from integer keys with pure int arithmetic (exactly
+representable as doubles), so cells, distances, and ranks are
+bit-deterministic in both engines. The Spark side uses the *real* engine
+primitives (morton_cell / k_ring / point_in_polygon / point_segment_dist2);
+the SQL side re-derives them independently (shift-mask interleave, BETWEEN
+candidate bands, range CASE containment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from rlis2osm_spark.queries.util import load
+from rlis2osm_spark.spatial.joins import point_in_polygon, point_segment_dist2
+from rlis2osm_spark.spatial.tiles import TileGrid, grid_coords, k_ring, morton_cell
+
+GRID = TileGrid(0.0, 0.0, 400_000.0)
+RES = 8  # 256x256 cells
+
+# derived coordinates: x,y in [0, 400000) from integer keys
+_AX, _AY = 2654435761, 2246822519
+_EXT = 400_000
+
+
+def _doc_points(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ((F.col("doc_id") * _AX) % _EXT).cast("double").alias("x"),
+        ((F.col("doc_id") * _AY + 12345) % _EXT).cast("double").alias("y"),
+    )
+
+
+_DOC_POINTS_SQL = f"""
+  SELECT doc_id,
+         CAST((doc_id * {_AX}) % {_EXT} AS DOUBLE) AS x,
+         CAST((doc_id * {_AY} + 12345) % {_EXT} AS DOUBLE) AS y
+  FROM documents
+"""
+
+
+def _sql_spread(v: str) -> str:
+    s = v
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        s = f"(({s} | ({s} << {shift})) & {mask})"
+    return s
+
+
+def _sql_cell(ix: str, iy: str) -> str:
+    return f"({_sql_spread(ix)} | ({_sql_spread(iy)} << 1))"
+
+
+def _sql_grid(c: str, res: int) -> str:
+    n = 1 << res
+    return (f"GREATEST(0, LEAST({n - 1}, "
+            f"CAST(FLOOR({c} / {float(_EXT)} * {n}) AS BIGINT)))")
+
+
+def s2_tile_assignment(spark, sf_dir):
+    """Flagship: point -> Morton tile at RES, plus one parent level."""
+    pts = _doc_points(spark, sf_dir)
+    ix, iy = grid_coords(F.col("x"), F.col("y"), RES, GRID)
+    cell = morton_cell(ix, iy)
+    return pts.select(
+        "doc_id",
+        ix.alias("ix"), iy.alias("iy"),
+        cell.alias("cell"),
+        F.shiftright(cell, 2).alias("parent_cell"),
+    )
+
+
+_S2_SQL = f"""
+WITH p AS ({_DOC_POINTS_SQL}),
+g AS (
+  SELECT doc_id, {_sql_grid('x', RES)} AS ix, {_sql_grid('y', RES)} AS iy FROM p
+)
+SELECT doc_id, ix, iy, {_sql_cell('ix', 'iy')} AS cell,
+       {_sql_cell('ix', 'iy')} >> 2 AS parent_cell
+FROM g
+"""
+
+
+def s3_tile_rollup(spark, sf_dir):
+    """Per-cell doc counts + hierarchical parent rollup (partial agg map-side)."""
+    t = s2_tile_assignment(spark, sf_dir)
+    return (
+        t.groupBy("parent_cell")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("cell").alias("n_child_cells"))
+    )
+
+
+_S3_SQL = f"""
+WITH t AS ({_S2_SQL})
+SELECT parent_cell, COUNT(*) AS n_docs, COUNT(DISTINCT cell) AS n_child_cells
+FROM t GROUP BY parent_cell
+"""
+
+
+# districts for point-in-polygon: rectangles with off-lattice bounds so
+# ray-cast and BETWEEN semantics cannot disagree on boundaries
+DISTRICTS = [
+    ("downtown", 50000.5, 50000.5, 150000.5, 150000.5),
+    ("east", 150000.5, 20000.5, 350000.5, 200000.5),
+    ("north", 20000.5, 200000.5, 250000.5, 390000.5),
+    ("west", 0.5, 0.5, 50000.5, 200000.5),
+]
+
+
+def s4_point_in_polygon(spark, sf_dir):
+    """PIP via the real ray-cast operator; districts are axis-aligned so the
+    oracle is a first-match CASE of range predicates."""
+    pts = _doc_points(spark, sf_dir)
+    polys = [
+        (name, [(x1, y1), (x2, y1), (x2, y2), (x1, y2)])
+        for name, x1, y1, x2, y2 in DISTRICTS
+    ]
+    return point_in_polygon(pts, polys, out_col="district").select(
+        "doc_id", "district")
+
+
+_S4_SQL = f"""
+WITH p AS ({_DOC_POINTS_SQL})
+SELECT doc_id,
+  CASE
+    {" ".join(f"WHEN x > {x1} AND x < {x2} AND y > {y1} AND y < {y2} THEN '{n}'"
+              for n, x1, y1, x2, y2 in DISTRICTS)}
+  END AS district
+FROM p
+"""
+
+
+def s5_knn_points(spark, sf_dir):
+    """Bounded kNN: probe docs vs part-derived base points; ring candidates
+    via the real k_ring machinery, rank by exact integer-squared distance."""
+    probes = _doc_points(spark, sf_dir).filter(F.col("doc_id") < 60)
+    part = load(spark, sf_dir, "part")
+    base = part.select(
+        "p_partkey",
+        ((F.col("p_partkey") * 40503 + 7) % _EXT).cast("double").alias("bx"),
+        ((F.col("p_partkey") * 69069 + 11) % _EXT).cast("double").alias("by"),
+    )
+    bix, biy = grid_coords(F.col("bx"), F.col("by"), RES, GRID)
+    based = base.withColumn("cell", morton_cell(bix, biy))
+
+    pix, piy = grid_coords(F.col("x"), F.col("y"), RES, GRID)
+    cands = probes.select(
+        "doc_id", "x", "y", F.explode(k_ring(pix, piy, RES)).alias("cell")
+    ).join(based, "cell")
+
+    d2 = point_segment_dist2(
+        F.col("x"), F.col("y"), F.col("bx"), F.col("by"),
+        F.col("bx"), F.col("by"))  # degenerate segment == point distance
+    w = Window.partitionBy("doc_id").orderBy(F.asc("d2"), F.asc("p_partkey"))
+    return (
+        cands.withColumn("d2", d2)
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= 3)
+        .select("doc_id", "p_partkey", F.col("d2").cast("long").alias("d2"),
+                "knn_rank")
+    )
+
+
+_S5_SQL = f"""
+WITH p AS (
+  SELECT doc_id, x, y, {_sql_grid('x', RES)} AS pix, {_sql_grid('y', RES)} AS piy
+  FROM ({_DOC_POINTS_SQL}) WHERE doc_id < 60
+),
+b AS (
+  SELECT p_partkey,
+         CAST((p_partkey * 40503 + 7) % {_EXT} AS DOUBLE) AS bx,
+         CAST((p_partkey * 69069 + 11) % {_EXT} AS DOUBLE) AS by
+  FROM part
+),
+bg AS (
+  SELECT *, {_sql_grid('bx', RES)} AS bix, {_sql_grid('by', RES)} AS biy FROM b
+),
+cand AS (
+  SELECT p.doc_id, bg.p_partkey,
+         (p.x - bg.bx) * (p.x - bg.bx) + (p.y - bg.by) * (p.y - bg.by) AS d2
+  FROM p JOIN bg
+    ON bg.bix BETWEEN p.pix - 1 AND p.pix + 1
+   AND bg.biy BETWEEN p.piy - 1 AND p.piy + 1
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2 ASC, p_partkey ASC) AS knn_rank
+  FROM cand
+)
+SELECT doc_id, p_partkey, CAST(d2 AS BIGINT) AS d2, knn_rank
+FROM r WHERE knn_rank <= 3
+"""
+
+
+def s6_raster_vector(spark, sf_dir):
+    """Raster<->vector tile join: synthetic elevation raster keyed by cell."""
+    t = s2_tile_assignment(spark, sf_dir)
+    raster = t.select("cell").distinct().select(
+        "cell", ((F.col("cell") * 2654435761) % 1000).alias("elevation"))
+    return (
+        t.join(raster, "cell")
+        .groupBy("elevation")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+_S6_SQL = f"""
+WITH t AS ({_S2_SQL}),
+raster AS (
+  SELECT cell, (cell * 2654435761) % 1000 AS elevation
+  FROM (SELECT DISTINCT cell FROM t)
+)
+SELECT elevation, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM t JOIN raster USING (cell)
+GROUP BY elevation
+"""
+
+
+QUERIES = {
+    "s2_tile_assignment": s2_tile_assignment,
+    "s3_tile_rollup": s3_tile_rollup,
+    "s4_point_in_polygon": s4_point_in_polygon,
+    "s5_knn_points": s5_knn_points,
+    "s6_raster_vector": s6_raster_vector,
+}
+
+ORACLES = {
+    "s2_tile_assignment": _S2_SQL,
+    "s3_tile_rollup": _S3_SQL,
+    "s4_point_in_polygon": _S4_SQL,
+    "s5_knn_points": _S5_SQL,
+    "s6_raster_vector": _S6_SQL,
+}
