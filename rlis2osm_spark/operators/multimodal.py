@@ -1,0 +1,140 @@
+"""Multimodal column operators: image/audio/video as opaque ``binary``
+payloads with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing is real and tested — schemas, the media join, batch
+shapes, partitioning, the UDF signatures. The codec step is STUBBED: the
+sandbox has no image/audio libraries, so ``decode_stub=True`` (default)
+runs a deterministic fake decoder over the raw bytes, and
+``decode_stub=False`` raises ``NotImplementedError`` at the exact seam
+where a real decoder (PIL / torchaudio / pyav) plugs in.
+
+Scale notes: payloads never pass through Python row-at-a-time — each
+``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
+bytes with ``spark.sql.execution.arrow.maxRecordsPerBatch`` against blob
+size, and partition the media table by ``bucket(media_ref)`` so the
+doc<->media join is co-located.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+IMAGE_FEATURE_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("format_guess", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("feature", ArrayType(FloatType())),
+])
+
+_MAGIC = {
+    b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"GIF8": "gif",
+    b"RIFF": "riff", b"\x01\x02": "wkb-le",
+}
+
+
+def _sniff(b: bytes) -> str:
+    for magic, name in _MAGIC.items():
+        if b.startswith(magic):
+            return name
+    return "unknown"
+
+
+def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in for a real image decode: derives a stable
+    pseudo raster shape + a byte-histogram feature from the payload."""
+    n = len(payload)
+    width = 16 + (n * 31) % 240
+    height = 16 + (n * 17) % 240
+    hist = np.bincount(
+        np.frombuffer(payload, dtype=np.uint8) % feat_dim, minlength=feat_dim
+    ).astype("float32")
+    total = hist.sum()
+    if total > 0:
+        hist /= total
+    return int(width), int(height), hist
+
+
+def extract_image_features(
+    media: DataFrame,
+    feat_dim: int = 16,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """media(media_ref, payload, ...) -> per-blob features via mapInPandas."""
+
+    def batches(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    rows.append((ref, 0, None, None, None, None))
+                    continue
+                b = bytes(payload)
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real image decoding requires an image codec "
+                        "library; plug PIL/pyav in here")
+                w, h, feat = _fake_decode(b, feat_dim)
+                rows.append((ref, len(b), _sniff(b), w, h, feat.tolist()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
+
+    return media.select("media_ref", "payload").mapInPandas(
+        batches, IMAGE_FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int,
+                decode_stub: bool = True) -> DataFrame:
+    """Resize plumbing: binary in -> binary out, one Arrow pass. The stub
+    'resize' truncates/pads the payload deterministically to w*h bytes —
+    the real implementation swaps only the inner function."""
+    target = width * height
+
+    def batches(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            out = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                if not decode_stub:
+                    raise NotImplementedError("plug a real resampler in here")
+                b = bytes(payload)
+                out.append((b * (target // max(len(b), 1) + 1))[:target])
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return media.mapInPandas(batches, media.schema)
+
+
+def frame_sample_refs(media: DataFrame, every_n: int = 10,
+                      n_frames_col: str | None = None) -> DataFrame:
+    """Video frame sampling plumbing: one row per sampled frame index.
+    Without a container parser the frame count is a deterministic function
+    of payload length (stub); the explode/shape is the real thing."""
+    n_frames = (
+        F.col(n_frames_col) if n_frames_col
+        else (F.length("payload") % 300 + 1)
+    )
+    return (
+        media.withColumn("n_frames", n_frames)
+        .select(
+            "media_ref", "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_ref",
+                    F.concat_ws("#", "media_ref", "frame_idx"))
+    )

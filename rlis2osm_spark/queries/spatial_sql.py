@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from rlis2osm_spark.queries.util import load
 from rlis2osm_spark.spatial.joins import point_in_polygon, point_segment_dist2
-from rlis2osm_spark.spatial.tiles import TileGrid, grid_coords, k_ring, morton_cell
+from rlis2osm_spark.spatial.tiles import (
+    TileGrid,
+    explode_ring_coords,
+    grid_coords,
+    morton_cell,
+)
 
 GRID = TileGrid(0.0, 0.0, 400_000.0)
 RES = 8  # 256x256 cells
@@ -145,12 +150,12 @@ def s5_knn_points(spark, sf_dir):
         ((F.col("p_partkey") * 69069 + 11) % _EXT).cast("double").alias("by"),
     )
     bix, biy = grid_coords(F.col("bx"), F.col("by"), RES, GRID)
-    based = base.withColumn("cell", morton_cell(bix, biy))
+    based = base.withColumns({"cx": bix, "cy": biy})
 
     pix, piy = grid_coords(F.col("x"), F.col("y"), RES, GRID)
-    cands = probes.select(
-        "doc_id", "x", "y", F.explode(k_ring(pix, piy, RES)).alias("cell")
-    ).join(based, "cell")
+    cands = explode_ring_coords(
+        probes.select("doc_id", "x", "y"), pix, piy
+    ).join(based, ["cx", "cy"])
 
     d2 = point_segment_dist2(
         F.col("x"), F.col("y"), F.col("bx"), F.col("by"),

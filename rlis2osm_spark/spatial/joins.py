@@ -20,7 +20,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from rlis2osm_spark.spatial.tiles import TileGrid, grid_coords, k_ring, morton_cell
+from rlis2osm_spark.spatial.tiles import (
+    TileGrid,
+    explode_ring_coords,
+    grid_coords,
+    morton_cell,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -147,13 +152,12 @@ def knn_join(
     """
     bix, biy = grid_coords((F.col("x1") + F.col("x2")) / 2,
                            (F.col("y1") + F.col("y2")) / 2, res, grid)
-    based = base.withColumn("cell", morton_cell(bix, biy))
+    based = base.withColumns({"cx": bix, "cy": biy})
 
     pix, piy = grid_coords(F.col("x"), F.col("y"), res, grid)
-    probed = probe.withColumn("ring", k_ring(pix, piy, res))
-    cands = probed.select(
-        probe_id, "x", "y", F.explode("ring").alias("cell")
-    ).join(based, "cell")
+    cands = explode_ring_coords(
+        probe.select(probe_id, "x", "y"), pix, piy
+    ).join(based, ["cx", "cy"])
 
     d2 = point_segment_dist2(
         F.col("x"), F.col("y"),

@@ -152,6 +152,27 @@ def with_tile(
     return df if keep_xy else df.drop("x", "y")
 
 
+def explode_ring_coords(df: DataFrame, ix: Column, iy: Column) -> DataFrame:
+    """Candidate-generation form of the 3x3 ring: one row per neighbor grid
+    coordinate (``cx``, ``cy``). Joining on the raw (cx, cy) pair is the
+    cheap path — a two-int equi-join with ONE tiny explode — versus
+    materializing 9 Morton codes per row (9 full interleave expression
+    trees blow the codegen method budget and fall out of whole-stage
+    codegen). Morton cells remain the storage/partition key; the ring join
+    never needs them."""
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    return (
+        df.withColumns({"_ix": ix, "_iy": iy})
+        .select("*", F.explode(offsets).alias("_o"))
+        .withColumns({"cx": F.col("_ix") + F.col("_o.dx"),
+                      "cy": F.col("_iy") + F.col("_o.dy")})
+        .drop("_o", "_ix", "_iy")
+    )
+
+
 def salted_cell(cell: Column, key: Column, n_salts: int = 8) -> Column:
     """Explicit skew salt: spread one hot cell across ``n_salts`` shuffle
     keys (pair with a two-phase aggregation)."""

@@ -1,0 +1,62 @@
+"""Structured Streaming variants of the event operators.
+
+The reference is a quarterly batch job (no streaming anywhere — SURVEY
+§2.6), and the north rule is resumable batch; these ops exist so the engine
+covers the streaming half of the training-data pipeline: watermarked
+tumbling-window aggregation, late-data handling, and streaming dedup. Batch
+equivalents (with DuckDB oracles) live in queries/events.py — the streaming
+tests assert stream==batch on a bounded file source (availableNow trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1h counts per event_type with late-data watermark — the
+    streaming twin of queries/events.w1_hourly_windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").start.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").alias("total"))
+        .select(F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n", "total")
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon
+    (state is bounded by the watermark — the scale contract)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id", "ts"])
+
+
+def run_available_now(query_df: DataFrame, checkpoint_dir: str,
+                      table_name: str):
+    """Drain a bounded source into a memory sink (tests / smoke)."""
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q

@@ -1,0 +1,132 @@
+"""Tests for dedup / similarity / textstats / multimodal operators."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rlis2osm_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy cat"),     # near dup
+        (3, "completely different text about spark engines"),
+        (4, "der hund ist nicht mit der katze und"),          # German-ish
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.survivor: r for r in dedup.exact_dedup(docs).collect()}
+    assert out[0].n_copies == 2 and out[0].members == [0, 1]
+    assert out[2].n_copies == 1
+
+
+def test_shingles_and_jaccard(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    keys = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 1) in keys  # identical
+    j01 = [r.jaccard for r in pairs if (r.doc_a, r.doc_b) == (0, 1)][0]
+    assert j01 == 1.0
+    # near dup shares some shingles but below 1.0
+    lower = dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    j02 = [r.jaccard for r in lower if (r.doc_a, r.doc_b) == (0, 2)]
+    assert j02 and 0.2 <= j02[0] < 1.0
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    pairs = {(r.doc_a, r.doc_b)
+             for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs  # identical docs always collide in every band
+    assert (0, 3) not in pairs
+
+
+def test_simhash(docs):
+    sigs = {r.doc_id: r.simhash for r in
+            dedup.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    pairs = {(r.doc_a, r.doc_b)
+             for r in dedup.simhash_dup_pairs(docs).collect()}
+    assert (0, 1) in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 8).astype("float32")
+    base[7] = base[3] * 1.5  # vec 7 is colinear with vec 3
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    probes = vectors.filter(F.col("vec_id") == 3)
+    out = similarity.brute_force_topk(vectors, probes, k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].neighbor_id == 7  # colinear vector wins with cos ~1
+    assert out[0].cos == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_ann_recall(vectors):
+    probes = vectors.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(vectors, probes, k=1)
+    ann = similarity.lsh_ann_topk(vectors, probes, dim=8, k=1, n_planes=3)
+    e = {r.probe_id: r.neighbor_id for r in exact.collect()}
+    a = {r.probe_id: r.neighbor_id for r in ann.collect()}
+    # colinear pair must be found (same bucket by construction: same signs)
+    assert a.get(3) == e[3] == 7
+    hits = sum(1 for k in a if a[k] == e.get(k))
+    assert hits >= len(a) * 0.5  # coarse recall sanity at 3 planes
+
+
+def test_textstats_quality_and_lang(docs):
+    out = {r.doc_id: r for r in textstats.quality_features(docs).collect()}
+    assert out[0].n_tokens == 9
+    assert out[0].stopword_ratio > 0.2
+    assert out[4].lang_guess == "de"
+    assert out[0].lang_guess == "en"
+    assert out[5].n_tokens == 0 and out[5].quality is not None
+    fp = {r.doc_id: r for r in textstats.fingerprint(docs).collect()}
+    assert fp[0].fp_xor == fp[1].fp_xor
+    assert fp[0].fp_xor != fp[2].fp_xor
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        ("m1", b"\x89PNG" + bytes(range(100)), "image"),
+        ("m2", b"\xff\xd8\xffrest-of-jpeg", "image"),
+        ("m3", None, "image"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, payload binary, media_kind string")
+    feats = {r.media_ref: r for r in
+             multimodal.extract_image_features(media, feat_dim=8).collect()}
+    assert feats["m1"].format_guess == "png"
+    assert feats["m2"].format_guess == "jpeg"
+    assert len(feats["m1"].feature) == 8
+    assert abs(sum(feats["m1"].feature) - 1.0) < 1e-5
+    assert feats["m3"].n_bytes == 0 and feats["m3"].feature is None
+
+    resized = multimodal.resize_stub(media.filter("payload is not null"),
+                                     8, 8).collect()
+    assert all(len(bytes(r.payload)) == 64 for r in resized)
+
+    frames = multimodal.frame_sample_refs(
+        media.filter("payload is not null"), every_n=16).collect()
+    assert all(r.frame_idx % 16 == 0 for r in frames)
+    assert any("#" in r.frame_ref for r in frames)
+
+
+def test_multimodal_real_decode_raises(spark):
+    media = spark.createDataFrame(
+        [("m1", b"abc", "image")],
+        "media_ref string, payload binary, media_kind string")
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        multimodal.extract_image_features(media, decode_stub=False).collect()
