@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from rlis2osm_spark.queries import (
     content,
+    content2,
     events,
     relational,
     rlis_cols,
@@ -20,7 +21,8 @@ from rlis2osm_spark.queries import (
     spatial_sql,
 )
 
-_MODULES = [relational, rlis_cols, rlis_python, spatial_sql, content, events]
+_MODULES = [relational, rlis_cols, rlis_python, spatial_sql, content,
+            content2, events]
 
 
 def all_queries():

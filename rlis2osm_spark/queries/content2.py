@@ -1,0 +1,145 @@
+"""Second batch of driver queries wiring the training-data operator modules
+(operators/dedup.py, similarity.py, textstats.py, multimodal.py) and the
+full combine pipeline. The multimodal plumbing query carries an exact
+oracle (its stub decoder is a pure function of payload length); ANN / prod
+SimHash / quality are rows-only (engine-hash or float-heavy).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from rlis2osm_spark.driver_support import ensure_package_on_workers
+from rlis2osm_spark.queries.util import load, pick
+from rlis2osm_spark.queries.rlis_cols import (
+    BIKETHERES, BIKETYPS, _derived_trails,
+)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """LSH ANN over the embeddings table (random-hyperplane buckets +
+    exact cosine re-rank). Rank-only output."""
+    from rlis2osm_spark.operators.similarity import lsh_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 15)
+    base = emb.filter(F.col("vec_id") >= 15)
+    out = lsh_ann_topk(base, probes, dim=64, k=3, n_planes=4)
+    return out.select("probe_id", "neighbor_id", "rank")
+
+
+def x3_quality_features(spark, sf_dir):
+    """Full text-quality feature set (lang-ID, ratios, composite score)."""
+    from rlis2osm_spark.operators.textstats import quality_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs).drop("text")
+
+
+def x4_simhash_prod(spark, sf_dir):
+    """Production SimHash (xxhash64 token hashes, 64-bit signatures)."""
+    from rlis2osm_spark.operators.dedup import simhash_signatures
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_signatures(docs.select("doc_id", "text"))
+
+
+def d5_minhash_engine(spark, sf_dir):
+    """MinHash-LSH via the engine operator (skew-guarded band buckets)."""
+    from rlis2osm_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(docs, n_hashes=8, n_bands=4)
+
+
+def m1_media_features(spark, sf_dir):
+    """Multimodal plumbing over derived binary payloads (text bytes stand
+    in for image blobs): mapInPandas batch decode -> typed features. The
+    stub decoder is a pure function of byte length, so DuckDB can predict
+    width/height/n_bytes exactly."""
+    ensure_package_on_workers(spark)
+    from rlis2osm_spark.operators.multimodal import extract_image_features
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("media_ref"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("image").alias("media_kind"),
+    )
+    feats = extract_image_features(media, feat_dim=8)
+    return feats.select("media_ref", "n_bytes", "width", "height")
+
+
+_M1_SQL = """
+SELECT 'doc:' || doc_id AS media_ref,
+       strlen(text) AS n_bytes,
+       16 + (strlen(text) * 31) % 240 AS width,
+       16 + (strlen(text) * 17) % 240 AS height
+FROM documents
+"""
+
+
+def rlis_combine_full(spark, sf_dir):
+    """The full EP2 combine pipeline (streets expand/translate/titlecase +
+    bike overlay + trails branch + unionByName) over derived RLIS-shaped
+    inputs; per-source highway histogram."""
+    ensure_package_on_workers(spark)
+    from rlis2osm_spark.operators.combine import combine
+    from rlis2osm_spark.queries.rlis_python import _derived_streets
+
+    streets = _derived_streets(spark, sf_dir)
+
+    trails = _derived_trails(spark, sf_dir).withColumnsRenamed(
+        {"tkey": "fid"})
+
+    @F.pandas_udf(BinaryType())
+    def tgeom(fids: pd.Series) -> pd.Series:
+        from rlis2osm_spark.functions.wkb import (
+            encode_linestring, encode_multilinestring)
+
+        out = []
+        for fid in fids:
+            x = float(int(fid) % 1000) * 400.0
+            y = float(int(fid) // 1000 % 100) * 400.0
+            if int(fid) % 7 == 0:
+                out.append(encode_multilinestring(
+                    [[(x, y), (x + 100.0, y)],
+                     [(x + 100.0, y), (x + 200.0, y + 30.0)]]))
+            else:
+                out.append(encode_linestring([(x, y), (x + 150.0, y + 10.0)]))
+        return pd.Series(out, dtype=object)
+
+    trails = trails.withColumn("geometry", tgeom("fid"))
+
+    supp = load(spark, sf_dir, "supplier")
+    bikes = supp.select(
+        F.col("s_suppkey").alias("fid"),
+        (100000 + (F.col("s_suppkey") * 13) % 2000).cast("long").alias("BIKEID"),
+        pick(BIKETYPS, 1 + F.col("s_suppkey") % 11).alias("BIKETYP"),
+        pick(BIKETHERES, 1 + F.col("s_suppkey") % 5).alias("BIKETHERE"),
+        F.lit(None).cast("binary").alias("geometry"),
+    )
+
+    out = combine(streets, trails, bikes)
+    return (
+        out.groupBy("src_table", "highway")
+        .agg(F.count("*").alias("n"),
+             F.count("name").alias("n_named"))
+        .orderBy("src_table", "highway")
+    )
+
+
+QUERIES = {
+    "ann_lsh_topk": ann_lsh_topk,
+    "x3_quality_features": x3_quality_features,
+    "x4_simhash_prod": x4_simhash_prod,
+    "d5_minhash_engine": d5_minhash_engine,
+    "m1_media_features": m1_media_features,
+    "rlis_combine_full": rlis_combine_full,
+}
+
+ORACLES = {
+    "m1_media_features": _M1_SQL,
+}
