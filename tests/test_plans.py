@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the scale-critical properties (pushdown,
+broadcast, partial aggregation, codegen, no stray Python) are regression-
+guarded here, not just eyeballed once."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rlis2osm_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+Q = all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_scan_pushdown_reaches_parquet(spark):
+    df = Q["s1_scan_pushdown"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:200]
+    # column pruning: ReadSchema carries only the needed columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_bike_overlay_is_broadcast(spark):
+    df = Q["j2_overlay_fanout"](spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_q01_partial_aggregation(spark):
+    plan = _plan(Q["q01_pricing_summary"](spark, SF))
+    # partial + final hash aggregate around a single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_translate_no_rowwise_python(spark):
+    plan = _plan(Q["t13_t20_trails"](spark, SF))
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF anywhere
+    assert "ArrowEvalPython" not in plan  # trails translation is all-native
+    assert "*(1)" in plan  # '*(n)' marks WholeStageCodegen stages
+
+
+def test_tile_assignment_is_native_after_arrow(spark):
+    df = Q["s2_tile_assignment"](spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_knn_probe_filter_pushdown(spark):
+    plan = _plan(Q["s5_knn_points"](spark, SF))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,60)" in plan \
+        or "LessThan(doc_id,60)" in plan
+    assert "BroadcastHashJoin" in plan  # base side broadcasts
+
+
+def test_minhash_band_join_shuffles_on_bucket(spark):
+    plan = _plan(Q["d3_minhash_lsh"](spark, SF))
+    assert "band" in plan and "bucket" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_dissolve_single_cc_shuffle(spark):
+    """The CC stage adds exactly one repartition exchange keyed on
+    group_key (plus the agg exchanges) — no iterative shuffle storm."""
+    from rlis2osm_spark.queries.rlis_python import rlis_dissolve_cc
+
+    plan = _plan(rlis_dissolve_cc(spark, SF))
+    assert plan.count("hashpartitioning(group_key") == 1
