@@ -200,8 +200,68 @@ FROM lineitem WHERE l_quantity >= 49.0 AND l_linenumber = 1
 """
 
 
+def q06_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 flavor: pure filter + global agg — the whole query is one
+    codegen stage over a pushdown scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2024-03-01"))
+            & (F.col("l_shipdate") < F.lit("2024-09-01"))
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(P)
+                  * F.col("l_discount").cast(R))
+            .cast("decimal(38,4)").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_Q06_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {P}) * CAST(l_discount AS {R})) AS DECIMAL(38,4)) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2024-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '2024-09-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def w3_rank_orders_per_customer(spark, sf_dir):
+    """Window ranking: top-2 orders per customer by value (dense ranking
+    with deterministic tie-break)."""
+    orders = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.col("o_totalprice").cast(P)), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey",
+                F.col("o_totalprice").cast(P).alias("price"), "rnk")
+    )
+
+
+_W3_SQL = f"""
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS {P}) AS price, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_custkey
+    ORDER BY CAST(o_totalprice AS {P}) DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "w3_rank_orders_per_customer": w3_rank_orders_per_customer,
     "q03_top_orders": q03_top_orders,
     "q05_nation_revenue": q05_nation_revenue,
     "a5_group_collect": a5_group_collect,
@@ -213,6 +273,8 @@ QUERIES = {
 
 ORACLES = {
     "q01_pricing_summary": _Q01_SQL,
+    "q06_forecast_revenue": _Q06_SQL,
+    "w3_rank_orders_per_customer": _W3_SQL,
     "q03_top_orders": _Q03_SQL,
     "q05_nation_revenue": _Q05_SQL,
     "a5_group_collect": _A5_SQL,
