@@ -209,7 +209,7 @@ def _feature_spans(src: str, fid: int, text_fields: list[tuple[str, object]]):
             spans.append({"kind": "media", "text": None,
                           "media_ref": f"geom:{src}:{fid}", "offset": off})
             off += 1
-        if v is None:
+        if v is None or (isinstance(v, float) and v != v):  # None or NaN
             continue
         spans.append({"kind": "text", "text": f"{k}={v}",
                       "media_ref": None, "offset": off})

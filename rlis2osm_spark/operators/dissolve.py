@@ -153,6 +153,7 @@ def dissolve_ways(
     fields: list[str] | None = None,
     exclude: bool = False,
     geom_col: str = "geometry",
+    algorithm: str = "unionfind",
 ) -> DataFrame:
     """EP3: dissolve connected, identically-tagged ways into merged geometries.
 
@@ -198,12 +199,33 @@ def dissolve_ways(
     # the partition count bounds per-worker memory, and a degenerate hot
     # group (SURVEY §7.3 skew hazard) is the documented case for switching
     # to the iterative large-star/small-star CC.
-    n_parts = max(spark_partitions(combined), 8)
-    comps = (
-        nodes.select("group_key", "node", "way_id")
-        .repartition(n_parts, "group_key")
-        .mapInPandas(_cc_map_partitions, _CC_SCHEMA)
-    )
+    if algorithm == "iterative":
+        # O(log^2 n) large-star/small-star over DataFrame self-joins — the
+        # path for groups too large for one worker (cc_iterative.py).
+        from rlis2osm_spark.operators.cc_iterative import connected_components
+
+        node_ids = nodes.withColumn(
+            "node_id", F.xxhash64("group_key", "node"))
+        pairs = (
+            node_ids.alias("a")
+            .join(node_ids.alias("b"),
+                  (F.col("a.node_id") == F.col("b.node_id"))
+                  & (F.col("a.way_id") < F.col("b.way_id")))
+            .select(F.col("a.way_id").alias("u"),
+                    F.col("b.way_id").alias("v"))
+        )
+        all_ways = df.select(F.col("way_id").alias("u"),
+                             F.col("way_id").alias("v"))
+        comps = connected_components(pairs.union(all_ways)).select(
+            F.col("node").alias("way_id"),
+            F.col("component").alias("component_id"))
+    else:
+        n_parts = max(spark_partitions(combined), 8)
+        comps = (
+            nodes.select("group_key", "node", "way_id")
+            .repartition(n_parts, "group_key")
+            .mapInPandas(_cc_map_partitions, _CC_SCHEMA)
+        )
 
     with_comp = df.join(comps, "way_id")
 

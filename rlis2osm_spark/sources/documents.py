@@ -105,6 +105,64 @@ def reassemble_spans(exploded: DataFrame) -> DataFrame:
     )
 
 
+def transform_text_spans(docs: DataFrame, text_fn,
+                         only_keys: list[str] | None = None) -> DataFrame:
+    """Rewrite the text payload of (selected) text spans IN PLACE — a pure
+    higher-order-function transform: kind/media_ref/offset of every span and
+    the span order are untouched (the order half of the sequence invariant),
+    no explode, no shuffle.
+
+    ``text_fn(text_col) -> Column``; ``only_keys`` restricts the rewrite to
+    ``k=v`` spans whose key matches."""
+    def rewrite(s):
+        new_text = text_fn(s["text"])
+        if only_keys is not None:
+            key = F.substring_index(s["text"], "=", 1)
+            new_text = F.when(key.isin(*only_keys), new_text).otherwise(s["text"])
+        return F.struct(
+            s["kind"].alias("kind"),
+            F.when(s["kind"] == "text", new_text).otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    return docs.withColumn("spans", F.transform("spans", rewrite))
+
+
+def documents_to_rlis_frame(docs: DataFrame, media: DataFrame, src: str,
+                            int_cols: tuple = ()) -> DataFrame:
+    """Reconstruct a typed RLIS frame from interleaved documents: filter by
+    the doc_id namespace, pivot the k=v text spans through the attrs map
+    (native), join the geometry payload. The inverse of datagen's
+    document assembly — proves the doc-native path computes exactly what
+    the table path computes (tested in test_documents.py)."""
+    d = docs.filter(F.col("doc_id").startswith(f"{src}:"))
+    d = d.withColumn("_attrs", text_attrs(F.col("spans")))
+    d = attach_geometry(d, media)
+    d = d.withColumn(
+        "fid", F.split(F.col("doc_id"), ":").getItem(1).cast("long"))
+    return d, "_attrs"
+
+
+def frame_columns(df_attrs, columns: dict[str, str]) -> DataFrame:
+    """Materialize attrs-map entries as typed columns:
+    columns = {name: sparktype}. Integer targets route through double —
+    nullable int attributes serialize as '-2.0'-style strings (pandas
+    None-coercion in the synthesizer), which ANSI int casts reject."""
+    df, attrs_col = df_attrs
+
+    def typed(name, t):
+        v = F.element_at(F.col(attrs_col), name)
+        if t in ("int", "long", "bigint", "smallint"):
+            return v.cast("double").cast(t)
+        return v.cast(t)
+
+    return df.withColumns({
+        name: typed(name, t) for name, t in columns.items()
+    }).drop(attrs_col)
+
+
 def attach_geometry(docs: DataFrame, media: DataFrame,
                     broadcast_media: bool = False) -> DataFrame:
     """Join each document to its geometry payload via the first media span.

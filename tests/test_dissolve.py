@@ -147,3 +147,20 @@ def test_dissolve_synth_end_to_end(spark, synth_dir):
     # every merged geometry decodes
     for r in rows[:50]:
         assert decode_lines(bytes(r.geometry))
+
+
+def test_dissolve_iterative_matches_unionfind(spark, synth_dir):
+    """Scale-path CC (large-star/small-star) produces the same dissolve
+    groups as the per-group union-find."""
+    from rlis2osm_spark.operators.combine import combine
+
+    streets = spark.read.parquet(f"{synth_dir}/streets.parquet")
+    trails = spark.read.parquet(f"{synth_dir}/trails.parquet")
+    bikes = spark.read.parquet(f"{synth_dir}/bike_routes.parquet")
+    combined = combine(streets, trails, bikes)
+    a = dissolve_ways(combined).select("component_id", "n_members")
+    b = dissolve_ways(combined, algorithm="iterative").select(
+        "component_id", "n_members")
+    ra = sorted((r.component_id, r.n_members) for r in a.collect())
+    rb = sorted((r.component_id, r.n_members) for r in b.collect())
+    assert ra == rb
