@@ -47,6 +47,25 @@ def tile_rollup(tiled: DataFrame, levels: int = 2) -> DataFrame:
     )
 
 
+def tile_rollup_salted(tiled: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Skew-proof variant of tile_rollup: explicit salted keys + two-phase
+    aggregation (north-rule contract — downtown cells are orders of
+    magnitude hotter than rural ones; AQE helps, but the salt makes the
+    mitigation visible and deterministic).
+
+    Phase 1 shuffles on (cell, salt) — a hot cell spreads over n_salts
+    reducers; phase 2 merges the n_salts partials per cell (tiny)."""
+    salted = tiled.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
+    phase1 = salted.groupBy("cell", "salt").agg(
+        F.count("*").alias("n_partial"))
+    return (
+        phase1.groupBy("cell")
+        .agg(F.sum("n_partial").alias("n_docs"))
+        .withColumn("parent_cell", parent_cell(F.col("cell"), 2))
+    )
+
+
 def rlis_osm_pipeline(
     spark: SparkSession,
     data_dir: str,

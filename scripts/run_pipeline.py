@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the full pipeline (north-rule launch shape).
+
+Cluster:
+    python -c "from rlis2osm_spark.driver_support import ensure_package_on_workers"  # builds .cache zip
+    spark-submit --py-files .cache/rlis2osm_spark_pyfiles.zip \
+        scripts/run_pipeline.py --data-dir <dir> --out <dir> [--resume]
+
+Local (this sandbox):
+    python scripts/run_pipeline.py --data-dir .synth/verify_demo --out /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", default="rlis")
+    ap.add_argument("--res", type=int, default=12)
+    ap.add_argument("--no-resume", action="store_true",
+                    help="invalidate existing snapshots first")
+    args = ap.parse_args()
+
+    from rlis2osm_spark.datagen import ensure_dataset
+    from rlis2osm_spark.driver_support import ensure_package_on_workers
+    from rlis2osm_spark.pipeline import (
+        rlis_osm_pipeline, tile_assignment, tile_rollup)
+    from rlis2osm_spark.plans.checkpoint import Checkpointer
+    from rlis2osm_spark.session import build_session
+
+    ensure_dataset(args.data_dir)
+    spark = build_session(app_name="rlis2osm_spark-pipeline")
+    ensure_package_on_workers(spark)
+
+    ck = Checkpointer(spark, args.out, args.run_id)
+    if args.no_resume:
+        for stage in ("combined", "dissolved", "tiled"):
+            ck.invalidate(stage)
+
+    dissolved = rlis_osm_pipeline(spark, args.data_dir,
+                                  ckpt_root=args.out, run_id=args.run_id)
+
+    docs = spark.read.parquet(f"{args.data_dir}/documents_rlis.parquet")
+    media = spark.read.parquet(f"{args.data_dir}/media.parquet")
+    tiled = ck.stage(
+        "tiled",
+        lambda: tile_assignment(docs, media, res=args.res).drop("spans"),
+        inputs=["documents_rlis", "media"],
+    )
+    rollup = tile_rollup(tiled)
+
+    print(json.dumps({
+        "dissolved_ways": dissolved.count(),
+        "tiled_docs": tiled.count(),
+        "cells": rollup.count(),
+        "lineage": ck.report(),
+    }, indent=1, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
