@@ -78,12 +78,44 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+def w4_asof_enrichment(spark, sf_dir):
+    """Backward as-of join: each error event enriched with the user's most
+    recent purchase value at or before it (operators/asof.py), cross-checked
+    against DuckDB's native ASOF JOIN."""
+    from rlis2osm_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    out = asof_join(errors, purchases, on="user_id",
+                    value_cols=["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("value_asof"),
+    )
+
+
+_W4_SQL = """
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       p.value AS value_asof
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 QUERIES = {
     "w1_hourly_windows": w1_hourly_windows,
     "w2_sessionization": w2_sessionization,
+    "w4_asof_enrichment": w4_asof_enrichment,
 }
 
 ORACLES = {
     "w1_hourly_windows": _W1_SQL,
     "w2_sessionization": _W2_SQL,
+    "w4_asof_enrichment": _W4_SQL,
 }

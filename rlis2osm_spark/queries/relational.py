@@ -258,10 +258,78 @@ FROM (
 """
 
 
+def g1_rollup(spark, sf_dir):
+    """Hierarchical grouping (ROLLUP) — the reference has no grouping sets
+    (SURVEY §2.5); Catalyst expands them for free."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("l_quantity").cast(P)).cast("decimal(38,2)")
+             .alias("qty"))
+    )
+
+
+_G1_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS {P})) AS DECIMAL(38,2)) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def r1_interval_join(spark, sf_dir):
+    """Interval-overlap join via bucketed candidates
+    (operators/rangejoin.py); oracle is DuckDB's native inequality join."""
+    from rlis2osm_spark.operators.rangejoin import interval_overlap_join
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0)
+    left = orders.select(
+        F.col("o_orderkey").alias("lid"),
+        ((F.col("o_orderkey") * 7) % 10000).alias("ls"),
+        ((F.col("o_orderkey") * 7) % 10000 + F.col("o_orderkey") % 50)
+        .alias("le"),
+    )
+    part = load(spark, sf_dir, "part")
+    right = part.select(
+        F.col("p_partkey").alias("rid"),
+        ((F.col("p_partkey") * 13) % 10000).alias("rs"),
+        ((F.col("p_partkey") * 13) % 10000 + F.col("p_partkey") % 80)
+        .alias("re"),
+    )
+    pairs = interval_overlap_join(
+        left, right, on=None, left_range=("ls", "le"),
+        right_range=("rs", "re"), bucket_width=64)
+    return (
+        pairs.groupBy((F.col("lid") % 100).alias("lid_bucket"))
+        .agg(F.count("*").alias("n_pairs"),
+             F.sum(F.col("lid") + F.col("rid")).alias("id_sum"))
+    )
+
+
+_R1_SQL = """
+WITH l AS (
+  SELECT o_orderkey AS lid, (o_orderkey * 7) % 10000 AS ls,
+         (o_orderkey * 7) % 10000 + o_orderkey % 50 AS le
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+r AS (
+  SELECT p_partkey AS rid, (p_partkey * 13) % 10000 AS rs,
+         (p_partkey * 13) % 10000 + p_partkey % 80 AS re
+  FROM part
+)
+SELECT lid % 100 AS lid_bucket, COUNT(*) AS n_pairs, SUM(lid + rid) AS id_sum
+FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
+GROUP BY lid % 100
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "r1_interval_join": r1_interval_join,
     "q06_forecast_revenue": q06_forecast_revenue,
     "w3_rank_orders_per_customer": w3_rank_orders_per_customer,
+    "g1_rollup": g1_rollup,
     "q03_top_orders": q03_top_orders,
     "q05_nation_revenue": q05_nation_revenue,
     "a5_group_collect": a5_group_collect,
@@ -275,6 +343,8 @@ ORACLES = {
     "q01_pricing_summary": _Q01_SQL,
     "q06_forecast_revenue": _Q06_SQL,
     "w3_rank_orders_per_customer": _W3_SQL,
+    "g1_rollup": _G1_SQL,
+    "r1_interval_join": _R1_SQL,
     "q03_top_orders": _Q03_SQL,
     "q05_nation_revenue": _Q05_SQL,
     "a5_group_collect": _A5_SQL,
