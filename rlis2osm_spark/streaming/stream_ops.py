@@ -47,6 +47,36 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
         ["event_id", "ts"])
 
 
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total maintained across micro-batches
+    (state = two scalars per user; bounded by the user-id domain). The
+    state layer the brief calls out for operators watermarked windows
+    can't express."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = "user_id long, n_events long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)]})
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout)
+    )
+
+
 def run_available_now(query_df: DataFrame, checkpoint_dir: str,
                       table_name: str):
     """Drain a bounded source into a memory sink (tests / smoke)."""

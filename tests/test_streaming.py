@@ -58,3 +58,37 @@ def test_streaming_dedup(spark, stream_src, tmp_path):
     n_batch = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert n_stream == n_batch  # event_ids unique -> dedup is a no-op count
     q.stop()
+
+
+def test_stateful_running_totals(spark, stream_src, tmp_path):
+    """applyInPandasWithState: final per-user totals across micro-batches
+    equal the batch aggregation."""
+    stream = stream_ops.read_event_stream(spark, stream_src)
+    totals = stream_ops.running_user_totals(stream)
+    q = (
+        totals.writeStream.format("memory").queryName("stream_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # 'update' mode emits one row per user per batch; last emit wins
+    import pyspark.sql.functions as F
+
+    got_df = spark.sql("select * from stream_totals")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    got = {r.user_id: (r.n_events, r.total)
+           for r in got_df.withColumn("rk", F.row_number().over(w))
+           .filter("rk = 1").collect()}
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    expect = {r.user_id: (r.n, round(r.total, 2))
+              for r in batch.groupBy("user_id")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total"))
+              .collect()}
+    # compare counts exactly; totals to 2dp (float sum order)
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in expect.items()}
+    for k in expect:
+        assert abs(got[k][1] - expect[k][1]) < 0.05
+    q.stop()
