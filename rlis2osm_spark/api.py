@@ -1,0 +1,45 @@
+"""High-level API — the Spark-native equivalent of the reference's public
+surface, so an rlis2osm user maps their workflow 1:1:
+
+reference                                   | here
+--------------------------------------------|----------------------------------
+``rlis2osm`` CLI / ``main()``               | scripts/run_pipeline.py (spark-submit)
+``expand_translate_combine(paths)``         | ``expand_translate_combine(spark, catalog)``
+``WayDissolver().dissolve_ways(src, dst)``  | ``dissolve(df, fields=, exclude=)``
+ogr2osm + repair_keys plugin                | ``to_osm_xml(df, out_dir)``
+``StreetNameExpander(special_cases=...)``   | ``functions.expand.make_basename_udf(special_cases)``
+titlecase callback plugin                   | ``functions.titlecase_port.titlecase(callback=...)``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rlis2osm_spark.operators.combine import combine, repair_and_filter_tags
+from rlis2osm_spark.operators.dissolve import dissolve_ways as _dissolve
+from rlis2osm_spark.operators.osm_sink import write_osm_xml
+from rlis2osm_spark.sources.catalog import Catalog
+
+
+def expand_translate_combine(spark: SparkSession, catalog: Catalog) -> DataFrame:
+    """EP2 (main.py:47-142): streets+bike overlay and trails branches into
+    one OSM-tagged DataFrame."""
+    return combine(
+        catalog.load(spark, "streets"),
+        catalog.load(spark, "trails"),
+        catalog.load(spark, "bike_routes"),
+    )
+
+
+def dissolve(combined: DataFrame, fields: list[str] | None = None,
+             exclude: bool = False, algorithm: str = "unionfind") -> DataFrame:
+    """EP3 (dissolve.py:21-49): merge connected identically-tagged ways."""
+    return _dissolve(combined, fields=fields, exclude=exclude,
+                     algorithm=algorithm)
+
+
+def to_osm_xml(df: DataFrame, out_dir: str) -> DataFrame:
+    """EP1 stage 6 (main.py:248-257 + repair_keys.py): assemble final tags
+    (rename-mangled keys are already full names; ''/null dropped) and write
+    distributed .osm fragments."""
+    return write_osm_xml(repair_and_filter_tags(df), out_dir)

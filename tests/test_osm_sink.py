@@ -34,3 +34,15 @@ def test_write_osm_xml(spark, synth_dir, tmp_path):
             # S9: no empty/null tag values survive the sink
             assert all(v not in ("", "None", None) for v in tags.values())
     assert total_ways == n_rows
+
+
+def test_api_facade(spark, synth_dir, tmp_path):
+    """Reference-shaped workflow through the api module end-to-end."""
+    from rlis2osm_spark import api
+    from rlis2osm_spark.sources.catalog import Catalog
+
+    cat = Catalog(synth_dir)
+    combined = api.expand_translate_combine(spark, cat)
+    dissolved = api.dissolve(combined)
+    stats = api.to_osm_xml(dissolved, str(tmp_path / "osm_api")).collect()
+    assert sum(s.n_ways for s in stats) == dissolved.count()
