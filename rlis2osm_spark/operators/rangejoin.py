@@ -40,13 +40,16 @@ def interval_overlap_join(
     keys = ["_bucket"] + ([on] if on else [])
     cands = lb.join(rb, keys)
     overlap = (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
-    out_cols = [c for c in left.columns + right.columns
-                if c not in ("_bucket",)]
-    # dedupe multi-bucket duplicates deterministically
-    seen = []
-    dedup_cols = []
-    for c in out_cols:
-        if c not in seen:
-            seen.append(c)
-            dedup_cols.append(c)
-    return cands.where(overlap).select(*dedup_cols).distinct()
+    # anchor-bucket dedup: a pair that overlaps appears in every bucket
+    # both intervals touch; count it ONLY in the bucket containing
+    # max(start, start) — exactly one bucket per overlapping pair, so no
+    # distinct (a full extra shuffle) is needed.
+    anchor = F.floor(F.greatest(F.col(ls), F.col(rs)) / bucket_width)
+    out_cols = []
+    for c in left.columns + right.columns:
+        if c != "_bucket" and c not in out_cols:
+            out_cols.append(c)
+    return (
+        cands.where(overlap & (F.col("_bucket") == anchor))
+        .select(*out_cols)
+    )
