@@ -342,7 +342,33 @@ FROM wid GROUP BY doc_id
 """
 
 
+def x5_hash_sampling(spark, sf_dir):
+    """Deterministic hash sampling — the reproducible subset selector for
+    training-data pipelines (same rows at any scale/cluster, unlike
+    seed-based sample()). 10% band of a multiplicative hash on the key,
+    plus per-language stratified counts of the selected set."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 100
+    picked = docs.filter(bucket < 10)
+    return (
+        picked.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"),
+             F.min("doc_id").alias("first_doc"),
+             (F.sum("n_chars")).alias("chars"))
+    )
+
+
+_X5_SQL = """
+SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc,
+       SUM(n_chars) AS chars
+FROM documents
+WHERE (doc_id * 2654435761) % 100 < 10
+GROUP BY lang
+"""
+
+
 QUERIES = {
+    "x5_hash_sampling": x5_hash_sampling,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -353,6 +379,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x5_hash_sampling": _X5_SQL,
     "d1_exact_dedup": _D1_SQL,
     "d2_ngram_jaccard": _D2_SQL,
     "d3_minhash_lsh": _D3_SQL,
