@@ -138,6 +138,7 @@ def knn_join(
     probe_id: str,
     base_id: str,
     grid: TileGrid = TileGrid(),
+    n_salts: int = 1,
 ) -> DataFrame:
     """k nearest base segments for each probe point, within the probe cell's
     3x3 ring (bounded kNN — choose ``res`` so a cell comfortably exceeds the
@@ -155,9 +156,21 @@ def knn_join(
     based = base.withColumns({"cx": bix, "cy": biy})
 
     pix, piy = grid_coords(F.col("x"), F.col("y"), res, grid)
-    cands = explode_ring_coords(
-        probe.select(probe_id, "x", "y"), pix, piy
-    ).join(based, ["cx", "cy"])
+    probed = explode_ring_coords(probe.select(probe_id, "x", "y"), pix, piy)
+
+    join_keys = ["cx", "cy"]
+    if n_salts > 1:
+        # explicit skew salting for a shuffle-side candidate join
+        # (hot downtown cells): replicate the base across n_salts shuffle
+        # keys, give each probe one deterministic salt — same candidate
+        # set, n_salts-way fan-out of the hottest reducer.
+        based = based.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+        probed = probed.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col(probe_id)), F.lit(n_salts)))
+        join_keys = ["cx", "cy", "salt"]
+
+    cands = probed.join(based, join_keys)
 
     d2 = point_segment_dist2(
         F.col("x"), F.col("y"),

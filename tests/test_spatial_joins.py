@@ -86,3 +86,29 @@ def test_raster_vector_join(spark):
     out = raster_vector_join(vec, raster).collect()
     assert len(out) == 2
     assert all(r.elevation == r.cell % 100 for r in out)
+
+
+def test_knn_salted_matches_unsalted(spark):
+    """Explicit skew salting on the candidate join changes the shuffle
+    layout, never the result."""
+    grid = TileGrid(0.0, 0.0, 1024.0)
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    probe = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y))
+         for i, (x, y) in enumerate(rng.randint(0, 1024, size=(40, 2)))],
+        "pid string, x double, y double")
+    base = spark.createDataFrame(
+        [(f"b{i}", float(x), float(y), float(x) + 5.0, float(y))
+         for i, (x, y) in enumerate(rng.randint(0, 1019, size=(60, 2)))],
+        "bid string, x1 double, y1 double, x2 double, y2 double")
+    plain = knn_join(probe, base, k=2, res=4, probe_id="pid", base_id="bid",
+                     grid=grid)
+    salted = knn_join(probe, base, k=2, res=4, probe_id="pid", base_id="bid",
+                      grid=grid, n_salts=4)
+    a = sorted((r.pid, r.bid, r.knn_rank) for r in plain.collect())
+    b = sorted((r.pid, r.bid, r.knn_rank) for r in salted.collect())
+    assert a == b
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan
