@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from rlis2osm_spark.functions import wkb
-from rlis2osm_spark.schemas import COMBINED_FIELDS
 
 _OUT_SCHEMA = StructType([
     StructField("part_file", StringType()),

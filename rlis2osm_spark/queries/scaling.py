@@ -12,7 +12,6 @@ kNN against the part-derived segment set, and a hierarchical rollup.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
@@ -21,7 +20,6 @@ from rlis2osm_spark.queries.spatial_sql import GRID, RES, _AX, _AY, _EXT
 from rlis2osm_spark.spatial.tiles import (
     explode_ring_coords,
     grid_coords,
-    morton_cell,
     with_tile,
 )
 

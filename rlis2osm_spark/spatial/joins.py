@@ -24,7 +24,6 @@ from rlis2osm_spark.spatial.tiles import (
     TileGrid,
     explode_ring_coords,
     grid_coords,
-    morton_cell,
 )
 
 
@@ -117,6 +116,51 @@ def point_in_polygon(
 # ---------------------------------------------------------------------------
 # kNN (e.g. trail -> nearest streets snapping)
 # ---------------------------------------------------------------------------
+
+def snap_trails_to_streets(
+    trails: DataFrame,
+    streets: DataFrame,
+    res: int = 10,
+    k: int = 1,
+    grid: TileGrid = TileGrid(),
+) -> DataFrame:
+    """North-star convenience: nearest-street matching for trail snapping.
+
+    trails/streets are WKB-geometry frames (``fid``, ``geometry``); trails
+    snap by representative point, streets match as exact segments. Returns
+    (trail_fid, street_fid, dist2, knn_rank).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, StructField as SF, StructType as ST)
+
+    from rlis2osm_spark.functions import wkb as _wkb
+    from rlis2osm_spark.spatial.tiles import geom_midpoint
+
+    seg_schema = ST([SF("x1", DoubleType()), SF("y1", DoubleType()),
+                     SF("x2", DoubleType()), SF("y2", DoubleType())])
+
+    @F.pandas_udf(seg_schema)
+    def seg_ends(geoms: pd.Series) -> pd.DataFrame:
+        rows = []
+        for g in geoms:
+            if g is None:
+                rows.append((None, None, None, None))
+            else:
+                rows.append(_wkb.endpoints(bytes(g)))
+        return pd.DataFrame(rows, columns=["x1", "y1", "x2", "y2"])
+
+    probe = trails.withColumn("_xy", geom_midpoint(F.col("geometry"))).select(
+        F.col("fid").alias("trail_fid"),
+        F.col("_xy.x").alias("x"), F.col("_xy.y").alias("y"))
+    base = streets.withColumn("_s", seg_ends(F.col("geometry"))).select(
+        F.col("fid").alias("street_fid"),
+        F.col("_s.x1").alias("x1"), F.col("_s.y1").alias("y1"),
+        F.col("_s.x2").alias("x2"), F.col("_s.y2").alias("y2"))
+    return knn_join(probe, base, k=k, res=res, probe_id="trail_fid",
+                    base_id="street_fid", grid=grid).select(
+        "trail_fid", "street_fid", "dist2", "knn_rank")
+
 
 def point_segment_dist2(px: Column, py: Column, x1: Column, y1: Column,
                         x2: Column, y2: Column) -> Column:
