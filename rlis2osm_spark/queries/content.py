@@ -221,7 +221,7 @@ bits AS (
 ),
 votes AS (SELECT doc_id, k, SUM(vote) AS s FROM bits GROUP BY doc_id, k)
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -324,11 +324,15 @@ def x2_fingerprint(spark, sf_dir):
     """Order-sensitive document fingerprint over vocabulary ids:
     positional weighted sum mod P + xor-fold (ints, both engines)."""
     wid = _word_ids(_words(spark, sf_dir))
+    # 64-bit terms on both sides: Spark would otherwise fold in int32 (silent
+    # overflow at scale) while DuckDB's pos/wid are already BIGINT.
+    term_sum = (F.col("pos") + 1).cast("long") * F.col("wid").cast("long")
+    term_xor = (F.col("pos") + 13).cast("long") * F.col("wid").cast("long")
     return (
         wid.groupBy("doc_id")
         .agg(
-            (F.sum((F.col("pos") + 1) * F.col("wid")) % P31).alias("fp_sum"),
-            F.bit_xor((F.col("pos") + 13) * F.col("wid")).alias("fp_xor"),
+            (F.sum(term_sum) % P31).alias("fp_sum"),
+            F.bit_xor(term_xor).alias("fp_xor"),
         )
     )
 
@@ -336,7 +340,7 @@ def x2_fingerprint(spark, sf_dir):
 _X2_SQL = f"""
 WITH wid AS ({_WORD_IDS_SQL.format(words=_WORDS_SQL.format(where=""))})
 SELECT doc_id,
-       SUM((pos + 1) * wid) % {P31} AS fp_sum,
+       CAST(SUM((pos + 1) * wid) % {P31} AS BIGINT) AS fp_sum,
        BIT_XOR((pos + 13) * wid) AS fp_xor
 FROM wid GROUP BY doc_id
 """
@@ -360,7 +364,7 @@ def x5_hash_sampling(spark, sf_dir):
 
 _X5_SQL = """
 SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc,
-       SUM(n_chars) AS chars
+       CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM documents
 WHERE (doc_id * 2654435761) % 100 < 10
 GROUP BY lang

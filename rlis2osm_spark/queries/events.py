@@ -23,17 +23,20 @@ def w1_hourly_windows(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(D)).cast("decimal(38,2)").alias("total"),
+            F.sum(F.col("value").cast(D)).cast("decimal(38,2)")
+            .cast("string").alias("total"),
         )
         .select(F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
                 "event_type", "n", "total")
     )
 
 
+# total as decimal->string on both sides: DuckDB .df() would materialize the
+# DECIMAL as float64 (dropping trailing zeros) while Spark keeps Decimal.
 _W1_SQL = f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS {D})) AS DECIMAL(38,2)) AS total
+       CAST(CAST(SUM(CAST(value AS {D})) AS DECIMAL(38,2)) AS VARCHAR) AS total
 FROM events GROUP BY 1, 2
 """
 
@@ -71,7 +74,7 @@ s AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM g
 )
-SELECT user_id, session_seq, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS "end"
 FROM s GROUP BY user_id, session_seq

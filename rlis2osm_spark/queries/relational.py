@@ -36,22 +36,30 @@ def q01_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("2024-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(P)).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(P)).cast("decimal(38,2)")
+            .cast("string").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast(P)).cast("decimal(38,2)")
-            .alias("sum_base_price"),
-            F.sum(_revenue()).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            .cast("string").alias("sum_base_price"),
+            F.sum(_revenue()).cast("decimal(38,4)").cast("string")
+            .alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").cast("string")
+            .alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
 
 
+# Final decimals are emitted as canonical fixed-scale strings on BOTH sides:
+# the value is exact either way, but pandas materialization differs (Spark ->
+# decimal.Decimal objects, DuckDB .df() -> float64), which breaks byte-level
+# hashes on any value with a trailing zero.  decimal->string keeps every
+# scale digit in both engines.
 _Q01_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS {P})) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS {P})) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS sum_disc_price,
-       CAST(SUM(({_REV_SQL}) * (CAST(1 AS {R}) + CAST(l_tax AS {R}))) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS {P})) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS {P})) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
+       CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+       CAST(CAST(SUM(({_REV_SQL}) * (CAST(1 AS {R}) + CAST(l_tax AS {R}))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
@@ -71,10 +79,12 @@ def q03_top_orders(spark, sf_dir):
         .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+        .select("l_orderkey", F.col("revenue").cast("string").alias("revenue"))
     )
 
 
 _Q03_SQL = f"""
+SELECT l_orderkey, CAST(revenue AS VARCHAR) AS revenue FROM (
 SELECT l_orderkey,
        CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
 FROM lineitem
@@ -84,6 +94,7 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
+)
 """
 
 
@@ -101,13 +112,14 @@ def q05_nation_revenue(spark, sf_dir):
               & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").cast("string")
+             .alias("revenue"))
     )
 
 
 _Q05_SQL = f"""
 SELECT n_name,
-       CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+       CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -144,20 +156,20 @@ def u1_union_by_name(spark, sf_dir):
     """U1/T24: schema union with null fillers (main.py:56-61)."""
     part = load(spark, sf_dir, "part").select(
         F.col("p_name").alias("name"),
-        F.col("p_retailprice").cast(D).alias("price"),
+        F.col("p_retailprice").cast(D).cast("string").alias("price"),
         F.lit(None).cast("int").alias("nation"),
     )
     supp = load(spark, sf_dir, "supplier").select(
         F.col("s_name").alias("name"),
         F.col("s_nationkey").alias("nation"),
-    ).withColumn("price", F.lit(None).cast(D))
+    ).withColumn("price", F.lit(None).cast("string"))
     return part.unionByName(supp.select("name", "price", "nation"))
 
 
 _U1_SQL = f"""
-SELECT p_name AS name, CAST(p_retailprice AS {D}) AS price, CAST(NULL AS INT) AS nation FROM part
+SELECT p_name AS name, CAST(CAST(p_retailprice AS {D}) AS VARCHAR) AS price, CAST(NULL AS INT) AS nation FROM part
 UNION ALL
-SELECT s_name AS name, CAST(NULL AS {D}) AS price, s_nationkey AS nation FROM supplier
+SELECT s_name AS name, CAST(NULL AS VARCHAR) AS price, s_nationkey AS nation FROM supplier
 """
 
 
@@ -190,12 +202,13 @@ def s1_scan_pushdown(spark, sf_dir):
     parquet reader (verified in tests via PushedFilters)."""
     li = load(spark, sf_dir, "lineitem")
     return li.filter((F.col("l_quantity") >= 49.0) & (F.col("l_linenumber") == 1)).select(
-        "l_orderkey", "l_partkey", F.col("l_quantity").cast(D).alias("qty")
+        "l_orderkey", "l_partkey",
+        F.col("l_quantity").cast(D).cast("string").alias("qty")
     )
 
 
 _S1_SQL = f"""
-SELECT l_orderkey, l_partkey, CAST(l_quantity AS {D}) AS qty
+SELECT l_orderkey, l_partkey, CAST(CAST(l_quantity AS {D}) AS VARCHAR) AS qty
 FROM lineitem WHERE l_quantity >= 49.0 AND l_linenumber = 1
 """
 
@@ -243,12 +256,13 @@ def w3_rank_orders_per_customer(spark, sf_dir):
         orders.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 2)
         .select("o_custkey", "o_orderkey",
-                F.col("o_totalprice").cast(P).alias("price"), "rnk")
+                F.col("o_totalprice").cast(P).cast("string").alias("price"),
+                F.col("rnk").cast("long").alias("rnk"))
     )
 
 
 _W3_SQL = f"""
-SELECT o_custkey, o_orderkey, CAST(o_totalprice AS {P}) AS price, rnk
+SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS {P}) AS VARCHAR) AS price, rnk
 FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY o_custkey
@@ -266,13 +280,13 @@ def g1_rollup(spark, sf_dir):
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"),
              F.sum(F.col("l_quantity").cast(P)).cast("decimal(38,2)")
-             .alias("qty"))
+             .cast("string").alias("qty"))
     )
 
 
 _G1_SQL = f"""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS {P})) AS DECIMAL(38,2)) AS qty
+       CAST(CAST(SUM(CAST(l_quantity AS {P})) AS DECIMAL(38,2)) AS VARCHAR) AS qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -318,7 +332,8 @@ r AS (
          (p_partkey * 13) % 10000 + p_partkey % 80 AS re
   FROM part
 )
-SELECT lid % 100 AS lid_bucket, COUNT(*) AS n_pairs, SUM(lid + rid) AS id_sum
+SELECT lid % 100 AS lid_bucket, COUNT(*) AS n_pairs,
+       CAST(SUM(lid + rid) AS BIGINT) AS id_sum
 FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
 GROUP BY lid % 100
 """
