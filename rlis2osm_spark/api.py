@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from rlis2osm_spark.operators.combine import combine, repair_and_filter_tags
 from rlis2osm_spark.operators.dissolve import dissolve_ways as _dissolve
-from rlis2osm_spark.operators.osm_sink import write_osm_xml
+from rlis2osm_spark.operators.osm_sink import merge_fragments, write_osm_xml
 from rlis2osm_spark.sources.catalog import Catalog
 
 
@@ -38,8 +38,14 @@ def dissolve(combined: DataFrame, fields: list[str] | None = None,
                      algorithm=algorithm)
 
 
-def to_osm_xml(df: DataFrame, out_dir: str) -> DataFrame:
+def to_osm_xml(df: DataFrame, out_dir: str, merged: str | None = None):
     """EP1 stage 6 (main.py:248-257 + repair_keys.py): assemble final tags
     (rename-mangled keys are already full names; ''/null dropped) and write
-    distributed .osm fragments."""
-    return write_osm_xml(repair_and_filter_tags(df), out_dir)
+    distributed WGS84 .osm fragments.  With ``merged=<path>`` also runs the
+    single-artifact merge (the reference's one ``rlis.osm``) and returns
+    its stats dict instead of the lazy fragment-stats DataFrame."""
+    stats = write_osm_xml(repair_and_filter_tags(df), out_dir)
+    if merged is None:
+        return stats
+    stats.collect()  # materialize the distributed fragment write
+    return merge_fragments(out_dir, merged)

@@ -1,30 +1,40 @@
 """OSM XML sink (SURVEY §2.1 S8/S9): the reference shells out to ogr2osm
-(main.py:248-257) with the tag-repair plugin (repair_keys.py). Here the
-sink is a distributed write: each partition serializes its ways + interned
-nodes to one ``part-*.osm`` fragment via ``mapInPandas`` (Arrow-batched),
-with negative ids per OSM convention for new objects.
+(main.py:248-257) with ``-e 2913`` — reprojecting RLIS' EPSG:2913 feet to
+WGS84 — and the tag-repair plugin (repair_keys.py), producing ONE
+``rlis.osm``.  Here the sink is two stages, both covered:
 
-Id allocation is deterministic and collision-free across partitions
-without coordination: each row's way id is derived from its lineage key
-(xxhash64 -> negative), node ids from the exact coordinate bytes — the
-same interning rule as the dissolve stage (exact float equality,
-dissolve.py:144-153). Duplicate nodes across partition boundaries are
-allowed by the OSM XML data model for separate files and deduplicated by
-id on merge (same coords -> same id).
+1. ``write_osm_xml`` — distributed: each partition serializes its ways +
+   interned nodes to one ``part-*.osm`` fragment via ``mapInPandas``
+   (Arrow-batched), coordinates reprojected to lat/lon (spatial/proj.py),
+   negative ids per OSM convention for new objects.
+2. ``merge_fragments`` — single-writer merge into one artifact (the .osm
+   file is inherently a one-file deliverable, same as the reference):
+   streams fragments twice (nodes then ways), deduplicates nodes by id,
+   and fails loudly if two distinct coordinates ever hashed to one id.
+
+Id allocation is deterministic across partitions without coordination:
+node ids come from a blake2b-64 of the exact 16 coordinate bytes — the
+same exact-float interning rule as the dissolve stage (dissolve.py:
+144-153) — so identical endpoints get identical ids in every fragment and
+collapse on merge.  (Round 1 used crc32|adler32, whose high half has poor
+entropy on 16-byte input; blake2b keeps the full 62-bit id space honest.)
 """
 
 from __future__ import annotations
 
 import os
 from collections.abc import Iterator
+from hashlib import blake2b
+from struct import pack
 from xml.sax.saxutils import escape, quoteattr
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from rlis2osm_spark.functions import wkb
+from rlis2osm_spark.spatial.proj import feet_to_lonlat
 
 _OUT_SCHEMA = StructType([
     StructField("part_file", StringType()),
@@ -34,12 +44,10 @@ _OUT_SCHEMA = StructType([
 
 
 def _node_id(x: float, y: float) -> int:
-    import struct as _s
-    import zlib
-
-    h = zlib.crc32(_s.pack("<2d", x, y)) | (
-        zlib.adler32(_s.pack("<2d", y, x)) << 32)
-    return -(h % (1 << 60)) - 1
+    """Deterministic negative node id from the exact coordinate bytes."""
+    h = int.from_bytes(
+        blake2b(pack("<2d", x, y), digest_size=8).digest(), "little")
+    return -(h % (1 << 62)) - 1
 
 
 def write_osm_xml(
@@ -47,11 +55,15 @@ def write_osm_xml(
     out_dir: str,
     geom_col: str = "geometry",
     tags_col: str = "tags",
+    reproject: bool = True,
 ) -> DataFrame:
     """Write one .osm fragment per partition; returns per-partition stats.
 
     Expects the sink-assembled frame (repair_and_filter_tags): a map<k,v>
-    ``tags`` column with ''/null values already dropped (S9 semantics)."""
+    ``tags`` column with ''/null values already dropped (S9 semantics).
+    ``reproject=True`` converts EPSG:2913 feet to WGS84 lat/lon (the
+    reference's ``ogr2osm -e 2913`` step); False keeps source coordinates
+    (debug only — not valid OSM XML)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def serialize(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -59,7 +71,7 @@ def write_osm_xml(
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         path = os.path.join(out_dir, f"part-{pid:05d}.osm")
-        nodes: dict[int, tuple[float, float]] = {}
+        nodes: dict[int, tuple[float, float]] = {}  # id -> (x, y) source ft
         ways: list[tuple[int, list[int], dict]] = []
         for pdf in frames:
             for i in range(len(pdf)):
@@ -77,12 +89,23 @@ def write_osm_xml(
                         refs.append(nid)
                 ways.append((wid, refs, dict(tags)))
 
+        ids = list(nodes)
+        if ids and reproject:
+            import numpy as np
+
+            xs = np.fromiter((nodes[i][0] for i in ids), dtype=np.float64)
+            ys = np.fromiter((nodes[i][1] for i in ids), dtype=np.float64)
+            lons, lats = feet_to_lonlat(xs, ys)  # one vectorized batch
+        else:
+            lons = [nodes[i][0] for i in ids]
+            lats = [nodes[i][1] for i in ids]
+
         with open(path, "w", encoding="utf-8") as fh:
             fh.write("<?xml version='1.0' encoding='UTF-8'?>\n")
             fh.write("<osm version='0.6' generator='rlis2osm_spark'>\n")
-            for nid, (x, y) in nodes.items():
+            for nid, lon, lat in zip(ids, lons, lats):
                 fh.write(f"  <node id='{nid}' visible='true' "
-                         f"lat='{y!r}' lon='{x!r}' />\n")
+                         f"lat='{float(lat)!r}' lon='{float(lon)!r}' />\n")
             for wid, refs, tags in ways:
                 fh.write(f"  <way id='{wid}' visible='true'>\n")
                 for r in refs:
@@ -98,3 +121,55 @@ def write_osm_xml(
 
     cols = [geom_col, tags_col]
     return df.select(*cols).mapInPandas(serialize, _OUT_SCHEMA)
+
+
+def merge_fragments(out_dir: str, dest_path: str) -> dict:
+    """Merge ``part-*.osm`` fragments into one artifact (reference
+    main.py:248-257 emits a single ``rlis.osm``).
+
+    Streams every fragment twice — nodes first, then ways — holding only
+    the node-id -> lat/lon map (for cross-fragment dedup + collision
+    check).  A single merged .osm is a one-machine deliverable by nature;
+    at cluster scale the fragments themselves are the parallel output and
+    this runs on the driver/edge node, like the reference's ogr2osm step.
+
+    Raises ValueError if two distinct coordinates produced the same node
+    id (hash collision) instead of silently corrupting way geometry.
+    """
+    import glob
+
+    frags = sorted(glob.glob(os.path.join(out_dir, "part-*.osm")))
+    seen: dict[str, str] = {}
+    n_ways = 0
+    with open(dest_path, "w", encoding="utf-8") as out:
+        out.write("<?xml version='1.0' encoding='UTF-8'?>\n")
+        out.write("<osm version='0.6' generator='rlis2osm_spark'>\n")
+        for f in frags:
+            with open(f, encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.startswith("  <node "):
+                        continue
+                    nid = line.split("id='", 1)[1].split("'", 1)[0]
+                    coords = line.split("lat='", 1)[1]
+                    prev = seen.get(nid)
+                    if prev is None:
+                        seen[nid] = coords
+                        out.write(line)
+                    elif prev != coords:
+                        raise ValueError(
+                            f"node id collision: {nid} maps to two "
+                            f"coordinates ({prev!r} vs {coords!r})")
+        in_way = False
+        for f in frags:
+            with open(f, encoding="utf-8") as fh:
+                for line in fh:
+                    if line.startswith("  <way "):
+                        in_way = True
+                        n_ways += 1
+                    if in_way:
+                        out.write(line)
+                    if line.startswith("  </way>"):
+                        in_way = False
+        out.write("</osm>\n")
+    return {"dest": dest_path, "n_nodes": len(seen), "n_ways": n_ways,
+            "n_fragments": len(frags)}

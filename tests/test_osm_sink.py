@@ -46,3 +46,81 @@ def test_api_facade(spark, synth_dir, tmp_path):
     dissolved = api.dissolve(combined)
     stats = api.to_osm_xml(dissolved, str(tmp_path / "osm_api")).collect()
     assert sum(s.n_ways for s in stats) == dissolved.count()
+
+
+def test_nodes_are_wgs84(spark, synth_dir, tmp_path):
+    """ADVICE r1: the sink must reproject EPSG:2913 feet to lat/lon (the
+    reference's `ogr2osm -e 2913`); raw feet are not valid OSM XML."""
+    streets = spark.read.parquet(f"{synth_dir}/streets.parquet")
+    trails = spark.read.parquet(f"{synth_dir}/trails.parquet")
+    bikes = spark.read.parquet(f"{synth_dir}/bike_routes.parquet")
+    out = repair_and_filter_tags(combine(streets, trails, bikes))
+    write_osm_xml(out.coalesce(1), str(tmp_path / "osm")).collect()
+    root = ET.parse(glob.glob(str(tmp_path / "osm" / "part-*.osm"))[0]).getroot()
+    nodes = root.findall("node")
+    assert nodes
+    for n in nodes:
+        lat, lon = float(n.get("lat")), float(n.get("lon"))
+        # synthetic extent is the Portland metro area in EPSG:2913
+        assert 44.5 < lat < 47.5, lat
+        assert -124.5 < lon < -119.0, lon
+
+
+def test_merge_single_artifact(spark, synth_dir, tmp_path):
+    """S8 completion: one rlis.osm (reference main.py:248-257), nodes
+    deduplicated across fragments, every way ref resolvable."""
+    from rlis2osm_spark import api
+    from rlis2osm_spark.sources.catalog import Catalog
+
+    combined = api.expand_translate_combine(spark, Catalog(synth_dir))
+    dest = str(tmp_path / "rlis.osm")
+    info = api.to_osm_xml(combined.repartition(4), str(tmp_path / "frags"),
+                          merged=dest)
+    assert info["n_fragments"] >= 2 and info["dest"] == dest
+
+    root = ET.parse(dest).getroot()
+    node_ids = [n.get("id") for n in root.findall("node")]
+    assert len(node_ids) == len(set(node_ids)) == info["n_nodes"]
+    ways = root.findall("way")
+    assert len(ways) == info["n_ways"] == combined.count()
+    id_set = set(node_ids)
+    for w in ways:
+        for nd in w.findall("nd"):
+            assert nd.get("ref") in id_set
+    # shared endpoints across fragments collapsed: fragments together hold
+    # more node lines than the merged artifact keeps
+    frag_nodes = sum(
+        len(ET.parse(f).getroot().findall("node"))
+        for f in glob.glob(str(tmp_path / "frags" / "part-*.osm")))
+    assert frag_nodes >= info["n_nodes"]
+
+
+def test_merge_detects_node_id_collision(tmp_path):
+    from rlis2osm_spark.operators.osm_sink import merge_fragments
+
+    d = tmp_path / "frags"
+    d.mkdir()
+    head = "<?xml version='1.0' encoding='UTF-8'?>\n<osm version='0.6'>\n"
+    (d / "part-00000.osm").write_text(
+        head + "  <node id='-5' visible='true' lat='45.1' lon='-122.2' />\n</osm>\n")
+    (d / "part-00001.osm").write_text(
+        head + "  <node id='-5' visible='true' lat='45.9' lon='-122.2' />\n</osm>\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collision"):
+        merge_fragments(str(d), str(tmp_path / "out.osm"))
+
+
+def test_projection_roundtrip():
+    import numpy as np
+
+    from rlis2osm_spark.spatial.proj import feet_to_lonlat, lonlat_to_feet
+
+    # Pioneer Courthouse Square: known RLIS-grid ballpark (~7.64M, ~683k ft)
+    x, y = lonlat_to_feet(-122.67917, 45.51898)
+    assert abs(x - 7_643_612.0) < 5.0 and abs(y - 682_839.6) < 5.0
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(-123.5, -121.5, 500)
+    lats = rng.uniform(45.0, 46.2, 500)
+    rl, rp = feet_to_lonlat(*lonlat_to_feet(lons, lats))
+    assert np.max(np.abs(rl - lons)) < 1e-9
+    assert np.max(np.abs(rp - lats)) < 1e-9
