@@ -32,10 +32,12 @@ def expand_translate_combine(spark: SparkSession, catalog: Catalog) -> DataFrame
 
 
 def dissolve(combined: DataFrame, fields: list[str] | None = None,
-             exclude: bool = False, algorithm: str = "unionfind") -> DataFrame:
-    """EP3 (dissolve.py:21-49): merge connected identically-tagged ways."""
+             exclude: bool = False, algorithm: str = "auto",
+             max_group_rows: int = 250_000) -> DataFrame:
+    """EP3 (dissolve.py:21-49): merge connected identically-tagged ways.
+    Degenerate tag-groups auto-route to the iterative CC (skew guard)."""
     return _dissolve(combined, fields=fields, exclude=exclude,
-                     algorithm=algorithm)
+                     algorithm=algorithm, max_group_rows=max_group_rows)
 
 
 def to_osm_xml(df: DataFrame, out_dir: str, merged: str | None = None):

@@ -40,14 +40,17 @@ def explode_multipart(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
     """E1: one row per LineString part, order-stable via posexplode.
 
     Emits ``part_idx`` so downstream ids stay deterministic. Single-part rows
-    short-circuit on a native prefix compare of the WKB header.
+    short-circuit on a native prefix compare of the WKB header. Null-geometry
+    rows are KEPT (posexplode_outer) rather than silently dropped — the
+    dissolve stage raises on them and the sink counts them, so row loss is
+    always loud (ADVICE r1).
     """
     g = F.col(geom_col)
     is_single = F.substring(g, 1, 5) == F.lit(_LINESTRING_TYPE)
     parts = F.when(is_single, F.array(g)).otherwise(_explode_parts_udf(g))
     return (
         df.withColumn("_parts", parts)
-        .select("*", F.posexplode("_parts").alias("part_idx", "_part_geom"))
+        .select("*", F.posexplode_outer("_parts").alias("part_idx", "_part_geom"))
         .drop("_parts", geom_col)
         .withColumnRenamed("_part_geom", geom_col)
     )

@@ -20,11 +20,13 @@ single-path BFS (dissolve.py:51-160) — the documented scalability wall. Here:
   Arrow-batched linemerge; tags via ``first`` (equal within group by
   construction, dissolve.py:81-82).
 
-Scale notes (100 TB): the tag-group key is explicitly salted-checkable —
-degenerate groups (e.g. unnamed service roads spanning a continent) are the
-skew risk; ``max_group_rows`` guards them and AQE skew-join handles the edge
-shuffle. An O(log n) large-star/small-star iterative CC is the documented
-upgrade path if single groups ever exceed executor memory.
+Scale notes (100 TB): degenerate groups (e.g. unnamed service roads
+spanning a continent) are the skew risk. ``algorithm="auto"`` measures
+group sizes first (one map-side-combined count) and routes any group above
+``max_group_rows`` to the O(log^2 n) large-star/small-star iterative CC
+(cc_iterative.py) while the rest take the cheap per-partition union-find —
+no caller tuning required, and both paths are proven equivalent in
+tests/test_dissolve.py.
 """
 
 from __future__ import annotations
@@ -138,14 +140,46 @@ def _cc_map_partitions(frames) -> "pd.DataFrame":
 def endpoint_nodes(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
     """J3: explode each way into two (way_id, node) rows, node = raw 16-byte
     coordinate payload sliced natively from the WKB."""
-    g = F.col(geom_col)
     f_node = F.expr(f"substring({geom_col}, 10, 16)")
     t_node = F.expr(
         f"substring({geom_col}, length({geom_col}) - 15, 16)")
     return df.select(
         "way_id",
         F.explode(F.array(f_node, t_node)).alias("node"),
-    ).where(g.isNotNull())
+    )
+
+
+def _comps_unionfind(nodes: DataFrame, n_parts: int) -> DataFrame:
+    """Hash-partition whole tag-groups to workers, one union-find per
+    partition (nodes namespaced by group_key). Cheapest path when groups are
+    numerous and city-sized."""
+    return (
+        nodes.select("group_key", "node", "way_id")
+        .repartition(n_parts, "group_key")
+        .mapInPandas(_cc_map_partitions, _CC_SCHEMA)
+    )
+
+
+def _comps_iterative(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """O(log^2 n) large-star/small-star CC over DataFrame self-joins — the
+    path for groups too large for one worker (cc_iterative.py). ``ways``
+    supplies singleton ways so isolated members keep a component."""
+    from rlis2osm_spark.operators.cc_iterative import connected_components
+
+    node_ids = nodes.withColumn("node_id", F.xxhash64("group_key", "node"))
+    pairs = (
+        node_ids.alias("a")
+        .join(node_ids.alias("b"),
+              (F.col("a.node_id") == F.col("b.node_id"))
+              & (F.col("a.way_id") < F.col("b.way_id")))
+        .select(F.col("a.way_id").alias("u"),
+                F.col("b.way_id").alias("v"))
+    )
+    all_ways = ways.select(F.col("way_id").alias("u"),
+                           F.col("way_id").alias("v"))
+    return connected_components(pairs.union(all_ways)).select(
+        F.col("node").alias("way_id"),
+        F.col("component").alias("component_id"))
 
 
 def dissolve_ways(
@@ -153,15 +187,24 @@ def dissolve_ways(
     fields: list[str] | None = None,
     exclude: bool = False,
     geom_col: str = "geometry",
-    algorithm: str = "unionfind",
+    algorithm: str = "auto",
+    max_group_rows: int = 250_000,
 ) -> DataFrame:
     """EP3: dissolve connected, identically-tagged ways into merged geometries.
 
     Input: the combine-stage output (lineage cols + COMBINED_FIELDS +
     geometry). Output: one row per dissolve group with the group's tag
     columns and the linemerged geometry (A1), plus ``n_members`` lineage.
-    Rejects MultiGeometries like the reference (dissolve.py:137-142) — run
+    Rejects MultiGeometries AND null geometries loudly, like the reference
+    (dissolve.py:137-142 / its hard crash on missing geometry) — run
     ``explode_multipart`` first.
+
+    ``algorithm="auto"`` (default) counts rows per tag-group first (one
+    cheap map-side-combined agg) and routes groups above ``max_group_rows``
+    — the degenerate-skew hazard, e.g. unnamed service roads spanning the
+    whole extent — to the iterative large-star/small-star CC, everything
+    else to the per-partition union-find. "unionfind"/"iterative" force one
+    path (tests, known-shaped inputs).
     """
     tag_fields = [c for c in COMBINED_FIELDS if c in combined.columns]
     dissolve_fields = _define_filter_fields(tag_fields, fields, exclude)
@@ -176,56 +219,47 @@ def dissolve_ways(
         ),
     ).withColumn("group_key", _group_key(dissolve_fields))
 
-    # native guard: WKB type word must be LineString (parity with the
-    # reference's NotImplementedError on multigeometries)
-    bad = F.substring(F.col(geom_col), 1, 5) != F.lit(bytes([1, 2, 0, 0, 0]))
+    # native guards: geometry must be present (the reference fails loudly
+    # on missing geometry — no silent row loss) and the WKB type word must
+    # be LineString (parity with its NotImplementedError on multigeometries)
+    g = F.col(geom_col)
     df = df.withColumn(
         geom_col,
         F.when(
-            bad,
+            g.isNull(),
+            F.raise_error(F.lit(
+                "dissolve requires non-null geometry "
+                "(filter or repair upstream)")),
+        ).when(
+            F.substring(g, 1, 5) != F.lit(bytes([1, 2, 0, 0, 0])),
             F.raise_error(F.lit(
                 "dissolve does not support MultiGeometries; "
                 "explode to single part first")),
-        ).otherwise(F.col(geom_col)),
+        ).otherwise(g),
     )
 
     nodes = endpoint_nodes(df, geom_col).join(
         df.select("way_id", "group_key"), "way_id"
     )
 
-    # hash-partition whole tag-groups to workers, one union-find per
-    # partition (nodes namespaced by group_key). Far cheaper than a
-    # per-group applyInPandas when groups are numerous and small; at scale
-    # the partition count bounds per-worker memory, and a degenerate hot
-    # group (SURVEY §7.3 skew hazard) is the documented case for switching
-    # to the iterative large-star/small-star CC.
+    n_parts = max(spark_partitions(combined), 8)
     if algorithm == "iterative":
-        # O(log^2 n) large-star/small-star over DataFrame self-joins — the
-        # path for groups too large for one worker (cc_iterative.py).
-        from rlis2osm_spark.operators.cc_iterative import connected_components
-
-        node_ids = nodes.withColumn(
-            "node_id", F.xxhash64("group_key", "node"))
-        pairs = (
-            node_ids.alias("a")
-            .join(node_ids.alias("b"),
-                  (F.col("a.node_id") == F.col("b.node_id"))
-                  & (F.col("a.way_id") < F.col("b.way_id")))
-            .select(F.col("a.way_id").alias("u"),
-                    F.col("b.way_id").alias("v"))
-        )
-        all_ways = df.select(F.col("way_id").alias("u"),
-                             F.col("way_id").alias("v"))
-        comps = connected_components(pairs.union(all_ways)).select(
-            F.col("node").alias("way_id"),
-            F.col("component").alias("component_id"))
-    else:
-        n_parts = max(spark_partitions(combined), 8)
-        comps = (
-            nodes.select("group_key", "node", "way_id")
-            .repartition(n_parts, "group_key")
-            .mapInPandas(_cc_map_partitions, _CC_SCHEMA)
-        )
+        comps = _comps_iterative(nodes, df.select("way_id"))
+    elif algorithm == "unionfind":
+        comps = _comps_unionfind(nodes, n_parts)
+    else:  # auto: route only degenerate groups to the iterative path
+        sizes = df.groupBy("group_key").agg(F.count("*").alias("_gsz"))
+        big_keys = sizes.filter(F.col("_gsz") > max_group_rows).select(
+            "group_key")
+        if big_keys.limit(1).count() == 0:
+            comps = _comps_unionfind(nodes, n_parts)
+        else:
+            small_n = nodes.join(big_keys, "group_key", "left_anti")
+            big_n = nodes.join(big_keys, "group_key", "left_semi")
+            big_ways = df.join(big_keys, "group_key", "left_semi").select(
+                "way_id")
+            comps = _comps_unionfind(small_n, n_parts).unionByName(
+                _comps_iterative(big_n, big_ways))
 
     with_comp = df.join(comps, "way_id")
 

@@ -40,6 +40,7 @@ _OUT_SCHEMA = StructType([
     StructField("part_file", StringType()),
     StructField("n_ways", LongType()),
     StructField("n_nodes", LongType()),
+    StructField("n_null_geoms", LongType()),  # skipped rows, surfaced loudly
 ])
 
 
@@ -73,10 +74,12 @@ def write_osm_xml(
         path = os.path.join(out_dir, f"part-{pid:05d}.osm")
         nodes: dict[int, tuple[float, float]] = {}  # id -> (x, y) source ft
         ways: list[tuple[int, list[int], dict]] = []
+        n_null = 0
         for pdf in frames:
             for i in range(len(pdf)):
                 geom = pdf[geom_col].iloc[i]
                 if geom is None:
+                    n_null += 1
                     continue
                 tags = pdf[tags_col].iloc[i] or {}
                 # deterministic, partition-disjoint negative way ids
@@ -116,8 +119,8 @@ def write_osm_xml(
                 fh.write("  </way>\n")
             fh.write("</osm>\n")
         yield pd.DataFrame(
-            [(path, len(ways), len(nodes))],
-            columns=["part_file", "n_ways", "n_nodes"])
+            [(path, len(ways), len(nodes), n_null)],
+            columns=["part_file", "n_ways", "n_nodes", "n_null_geoms"])
 
     cols = [geom_col, tags_col]
     return df.select(*cols).mapInPandas(serialize, _OUT_SCHEMA)

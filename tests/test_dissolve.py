@@ -164,3 +164,69 @@ def test_dissolve_iterative_matches_unionfind(spark, synth_dir):
     ra = sorted((r.component_id, r.n_members) for r in a.collect())
     rb = sorted((r.component_id, r.n_members) for r in b.collect())
     assert ra == rb
+
+
+def test_dissolve_null_geometry_raises(spark):
+    """ADVICE r1: null geometry must fail loudly (reference crashes on
+    missing geometry), not silently drop rows from the output."""
+    from pyspark.errors import SparkRuntimeException
+
+    df = _combined_df(spark, [
+        (0, "residential", "Oak", _seg(0, 0, 1, 0)),
+        (1, "residential", "Oak", None),
+    ])
+    with pytest.raises(SparkRuntimeException, match="non-null geometry"):
+        dissolve_ways(df).collect()
+
+
+def test_dissolve_auto_routes_degenerate_group(spark):
+    """VERDICT r1 #3: a tag-group larger than max_group_rows auto-routes to
+    the iterative CC and produces identical output to pure union-find."""
+    rows = []
+    # one degenerate group: a 60-segment chain + a disjoint 10-segment chain,
+    # all identically tagged (the 'unnamed service road' skew shape)
+    for i in range(60):
+        rows.append((i, "service", None, _seg(i, 0, i + 1, 0)))
+    for i in range(10):
+        rows.append((100 + i, "service", None, _seg(i, 50, i + 1, 50)))
+    # plus small healthy groups
+    rows.append((200, "residential", "Oak", _seg(0, 9, 1, 9)))
+    rows.append((201, "residential", "Oak", _seg(1, 9, 2, 9)))
+    rows.append((202, "tertiary", "Elm", _seg(5, 5, 6, 6)))
+    df = _combined_df(spark, rows)
+
+    def canon(res):
+        return sorted(
+            (r.highway, r.name, r.n_members,
+             tuple(sorted(map(tuple, map(lambda p: (tuple(p[0]), tuple(p[-1])),
+                                          decode_lines(bytes(r.geometry)))))))
+            for r in res.collect())
+
+    auto = dissolve_ways(df, algorithm="auto", max_group_rows=20)
+    uf = dissolve_ways(df, algorithm="unionfind")
+    assert canon(auto) == canon(uf)
+    # the degenerate group really did split into its two chains
+    svc = [r for r in auto.collect() if r.highway == "service"]
+    assert sorted(r.n_members for r in svc) == [10, 60]
+
+
+def test_dissolve_same_tag_fork_divergence_pin(spark):
+    """ADVICE r1: pins the intended divergence from the reference on
+    same-tag forks. The reference's greedy single-path BFS
+    (dissolve.py:74-93) breaks at a T-junction and emits 2+ features; true
+    connected components merge the fork into ONE feature whose geometry
+    linemerges into 2 parts (a through-line + the stub). This is the
+    documented, deliberate semantic (operators/dissolve.py module doc)."""
+    df = _combined_df(spark, [
+        (0, "residential", "Oak", _seg(0, 0, 1, 0)),
+        (1, "residential", "Oak", _seg(1, 0, 2, 0)),
+        (2, "residential", "Oak", _seg(1, 0, 1, 1)),  # stub at the junction
+    ])
+    out = dissolve_ways(df).collect()
+    assert len(out) == 1 and out[0].n_members == 3
+    parts = decode_lines(bytes(out[0].geometry))
+    # GEOS-linemerge semantics: a degree-3 node blocks merging, so all three
+    # member segments survive as parts of the single dissolved feature
+    assert len(parts) == 3
+    endpoints = {tuple(p[0]) for p in parts} | {tuple(p[-1]) for p in parts}
+    assert (1.0, 1.0) in endpoints  # the stub is present, not dropped
