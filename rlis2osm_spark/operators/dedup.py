@@ -11,10 +11,12 @@ shuffle per operator is the one its semantics require):
   The band bucket is the shuffle key; hot buckets (boilerplate shingles)
   are the skew risk — cap bucket width with ``max_bucket`` (drops
   pathological buckets loudly rather than letting one reducer own the job).
-- SimHash:    per-token bit votes -> 64-bit signature; near-dups share
-  signatures within small Hamming distance (pair generation via exact
-  signature match here; banding over signature chunks scales it out).
-- n-gram Jaccard: exact verification join for candidate pairs.
+- SimHash:    per-token bit votes folded into ``bits`` conditional sums in
+  ONE groupBy (no per-bit explode) -> 64-bit signature; pair generation via
+  exact match (Hamming-0) or chunk banding + bit_count verify (Hamming-k,
+  full recall for k <= n_bands-1).
+- n-gram Jaccard: exact verification join for candidate pairs, with a
+  ``max_df`` hot-shingle cap (boilerplate shingles are quadratic reducers).
 """
 
 from __future__ import annotations
@@ -107,10 +109,36 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-) -> DataFrame:
+    max_df: int | None = None,
+):
     """Exact n-gram Jaccard similarity join (the verification stage after
-    LSH candidates at scale; standalone here)."""
+    LSH candidates at scale; standalone here).
+
+    ``max_df`` is the hot-shingle skew guard (VERDICT r1): a shingle present
+    in more than ``max_df`` documents ("terms of service" boilerplate) is an
+    O(df^2) reducer in the self-join and carries ~no similarity signal, so
+    it is dropped from BOTH the intersection and the per-doc sizes (jaccard
+    stays a true jaccard over the kept shingle sets). The drop is loud:
+    with ``max_df`` set the return is ``(pairs_df, Observation)`` whose
+    metrics (``hot_shingle_rows`` / ``hot_shingles``) are populated by the
+    action that materializes the pairs.
+    """
     sh = shingles(df, id_col, text_col, n)
+    obs = None
+    if max_df is not None:
+        from pyspark.sql import Observation
+
+        sh = sh.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("shingle")))
+        obs = Observation("ngram_jaccard_hot_shingles")
+        sh = sh.observe(
+            obs,
+            F.sum((F.col("_df") > max_df).cast("long")).alias("hot_shingle_rows"),
+            # DISTINCT aggs are disallowed in observed metrics; HLL is fine
+            F.approx_count_distinct(
+                F.when(F.col("_df") > max_df, F.col("shingle"))).alias("hot_shingles"),
+        )
+        sh = sh.filter(F.col("_df") <= max_df).drop("_df")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -122,13 +150,14 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
+    pairs = (
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard",
                     F.col("n_inter")
                     / (F.col("na") + F.col("nb") - F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
     )
+    return pairs if obs is None else (pairs, obs)
 
 
 def simhash_signatures(
@@ -138,31 +167,33 @@ def simhash_signatures(
     bits: int = 64,
 ) -> DataFrame:
     """SimHash signatures from token hashes: bit k votes +1/-1 by the k-th
-    bit of xxhash64(token); sign of the vote sum sets the signature bit."""
+    bit of xxhash64(token); sign of the vote sum sets the signature bit.
+
+    One row per TOKEN (not per token*bit — round 1 exploded 64x before
+    aggregating): the vote sum for bit k over c ones in n tokens is
+    ``2c - n``, so ``bits`` conditional ones-counts in a single
+    map-side-combined groupBy carry the whole signature. Identical output,
+    ~bits x less shuffle input, still 100% whole-stage codegen.
+    """
     toks = tokenize(df.select(id_col, text_col), text_col).withColumn(
         "th", F.xxhash64("token"))
-    votes = toks.select(
-        id_col, "th",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("k"),
-    ).withColumn(
-        "vote",
-        F.when(F.expr("shiftrightunsigned(th, cast(k as int)) & 1") == 1,
-               1).otherwise(-1))
-    per_bit = votes.groupBy(id_col, "k").agg(F.sum("vote").alias("s"))
-    return (
-        per_bit.withColumn(
-            "bitval",
-            F.when(F.col("s") > 0,
-                   F.expr("shiftleft(1L, cast(k as int))")).otherwise(F.lit(0)))
-        .groupBy(id_col)
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    ones = [
+        F.sum(F.expr(f"shiftrightunsigned(th, {k}) & 1")).alias(f"_c{k}")
+        for k in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(F.count("*").alias("_n"), *ones)
+    sig = F.lit(0).cast("long")
+    for k in range(bits):
+        # bit set iff vote sum 2c - n > 0
+        sig = sig + F.when(2 * F.col(f"_c{k}") > F.col("_n"),
+                           F.expr(f"shiftleft(1L, {k})")).otherwise(F.lit(0))
+    return per_doc.select(id_col, sig.alias("simhash"))
 
 
 def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", bits: int = 64) -> DataFrame:
-    """Exact-signature SimHash duplicate pairs (Hamming-0; banding over
-    signature chunks generalizes to Hamming-k at scale)."""
+    """Exact-signature SimHash duplicate pairs (Hamming-0; see
+    ``simhash_hamming_pairs`` for the Hamming-k banded variant)."""
     sig = simhash_signatures(df, id_col, text_col, bits)
     a, b = sig.alias("a"), sig.alias("b")
     return a.join(
@@ -170,3 +201,62 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     ).select(F.col(f"a.{id_col}").alias("doc_a"),
              F.col(f"b.{id_col}").alias("doc_b"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    sig_df: DataFrame | None = None,
+) -> DataFrame:
+    """Hamming-k SimHash near-dup pairs via chunk banding (VERDICT r1 #6).
+
+    Split each signature into ``n_bands`` equal chunks; by pigeonhole any
+    pair within Hamming distance ``n_bands - 1`` shares at least one exact
+    chunk, so candidates are the pairs sharing a (band, chunk) bucket — an
+    equi-join, never all-pairs — then the exact Hamming distance
+    (``bit_count(a ^ b)``) verifies. Complete (recall 1.0) whenever
+    ``max_hamming <= n_bands - 1``; raises otherwise rather than silently
+    under-recalling.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands >= {max_hamming + 1} "
+            "for full recall (pigeonhole)")
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands chunks")
+    sig = sig_df if sig_df is not None else simhash_signatures(
+        df, id_col, text_col, bits)
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    chunked = sig.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftrightunsigned(simhash, {b * width}) & "
+                       f"{mask}L").alias("chunk"))
+            for b in range(n_bands)
+        ])).alias("bc"),
+    ).select(id_col, "simhash", "bc.band", "bc.chunk")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("bit_count(sig_a ^ sig_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -191,25 +191,21 @@ FROM band a JOIN band b
 
 
 def d4_simhash(spark, sf_dir):
-    """16-bit SimHash from vocabulary ids (bit votes via modular parity)."""
+    """16-bit SimHash from vocabulary ids (bit votes via modular parity).
+    One row per word occurrence: the per-bit vote sums are 16 conditional
+    sums in a single groupBy (round 1 exploded 16 rows per word — same
+    output, 16x less shuffle input; mirrors operators/dedup.py)."""
     wid = _word_ids(_words(spark, sf_dir, limit=150)).select("doc_id", "wid")
-    bits = wid.select(
-        "doc_id", "wid",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("k"),
-    ).withColumn(
-        "vote",
-        F.when(((F.col("wid") * 2654435761 + F.col("k") * 40503) % 2) == 1,
-               F.lit(1)).otherwise(F.lit(-1)),
-    )
-    votes = bits.groupBy("doc_id", "k").agg(F.sum("vote").alias("s"))
-    return (
-        votes.withColumn(
-            "bitval",
-            F.when(F.col("s") > 0,
-                   F.expr("shiftleft(1, cast(k as int))")).otherwise(0))
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    votes = [
+        F.sum(F.when(((F.col("wid") * 2654435761 + k * 40503) % 2) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"_s{k}")
+        for k in range(16)
+    ]
+    per_doc = wid.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for k in range(16):
+        sig = sig + F.when(F.col(f"_s{k}") > 0, F.lit(1 << k)).otherwise(0)
+    return per_doc.select("doc_id", sig.alias("simhash"))
 
 
 _D4_SQL = f"""
@@ -223,6 +219,31 @@ votes AS (SELECT doc_id, k, SUM(vote) AS s FROM bits GROUP BY doc_id, k)
 SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
+"""
+
+
+def d6_simhash_hamming_k(spark, sf_dir):
+    """Hamming-k near-dup pairs: banded candidate generation (4 x 4-bit
+    chunks of the 16-bit d4 signature -> equi-join, never all-pairs) +
+    exact bit_count verify. The oracle brute-forces all pairs — identical
+    results prove the banding loses nothing (pigeonhole: complete for
+    hamming <= n_bands-1)."""
+    from rlis2osm_spark.operators.dedup import simhash_hamming_pairs
+
+    sig = d4_simhash(spark, sf_dir)
+    return simhash_hamming_pairs(
+        None, id_col="doc_id", bits=16, n_bands=4, max_hamming=2,
+        sig_df=sig)
+
+
+_D6_SQL = f"""
+WITH sig AS ({_D4_SQL}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 2
 """
 
 
@@ -377,6 +398,7 @@ QUERIES = {
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
     "d4_simhash": d4_simhash,
+    "d6_simhash_hamming_k": d6_simhash_hamming_k,
     "n1_cosine_topk": n1_cosine_topk,
     "x1_text_quality": x1_text_quality,
     "x2_fingerprint": x2_fingerprint,
@@ -388,6 +410,7 @@ ORACLES = {
     "d2_ngram_jaccard": _D2_SQL,
     "d3_minhash_lsh": _D3_SQL,
     "d4_simhash": _D4_SQL,
+    "d6_simhash_hamming_k": _D6_SQL,
     "n1_cosine_topk": _N1_SQL,
     "x1_text_quality": _X1_SQL,
     "x2_fingerprint": _X2_SQL,
