@@ -225,6 +225,12 @@ def knn_join(
     )
     return (
         cands.withColumn("dist2", d2)
+        # ONE exchange for dedup + ranking: hash on probe_id satisfies both
+        # the (probe_id, base_id) clustering the dedup aggregate needs and
+        # the window's probe_id clustering — without this, dropDuplicates
+        # shuffles on the pair key and the window reshuffles on probe_id
+        # (VERDICT r1 #7; asserted in tests/test_plans.py).
+        .repartition(F.col(probe_id))
         # a candidate reachable via 2+ ring cells must count once
         .dropDuplicates([probe_id, base_id])
         .withColumn("knn_rank", F.row_number().over(w))

@@ -75,3 +75,29 @@ def test_dissolve_single_cc_shuffle(spark):
 
     plan = _plan(rlis_dissolve_cc(spark, SF))
     assert plan.count("hashpartitioning(group_key") == 1
+
+
+def test_knn_single_probe_exchange(spark):
+    """VERDICT r1 #7: dedup + window share ONE hash exchange on the probe
+    id — hashpartitioning(probe_id) appears exactly once, and there is no
+    exchange keyed on the (probe_id, base_id) pair."""
+    from rlis2osm_spark.spatial.joins import knn_join
+
+    probe = spark.range(50).select(
+        F.col("id").alias("pid"),
+        (F.col("id") * 37.0 % 1000).alias("x"),
+        (F.col("id") * 91.0 % 1000).alias("y"))
+    base = spark.range(200).select(
+        F.col("id").alias("bid"),
+        (F.col("id") * 13.0 % 1000).alias("x1"),
+        (F.col("id") * 29.0 % 1000).alias("y1"),
+        (F.col("id") * 13.0 % 1000 + 5).alias("x2"),
+        (F.col("id") * 29.0 % 1000 + 5).alias("y2"))
+    df = knn_join(probe, base, k=2, res=6, probe_id="pid", base_id="bid")
+    plan = _plan(df)
+    assert plan.count("hashpartitioning(pid") == 1, plan
+    assert "hashpartitioning(pid#" in plan
+    assert plan.count("hashpartitioning(pid#") == 1
+    # no pair-keyed exchange anywhere
+    import re
+    assert not re.search(r"hashpartitioning\(pid#\d+L?, bid", plan), plan
