@@ -12,9 +12,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
 from rlis2osm_spark.driver_support import ensure_package_on_workers
-from rlis2osm_spark.queries.util import load, pick
+from rlis2osm_spark.queries.util import (
+    case_int_map, load, pick, sql_int_list, sql_str_list)
 from rlis2osm_spark.queries.rlis_cols import (
-    BIKETHERES, BIKETYPS, _derived_trails,
+    BIKETHERES, BIKETYPS, _derived_trails, _T1320_SQL,
 )
 
 
@@ -131,6 +132,54 @@ def rlis_combine_full(spark, sf_dir):
     )
 
 
+def _combine_full_sql() -> str:
+    """Oracle for the full combine histogram (r2): both branches are
+    SQL-determined — street highway from TYPE (names never null, no
+    downgrade), street fan-out = max(#kept overlay bikes per LOCALID, 1),
+    trails through the t13_t20 transcription with the fid%7 multipart
+    doubling; street names post-titlecase are never null ('' for null)."""
+    from rlis2osm_spark.operators.streets import HIGHWAY_BY_TYPE
+
+    types = sorted(HIGHWAY_BY_TYPE)
+    return f"""
+WITH s_base AS (
+  SELECT p_partkey, 100000 + p_partkey AS localid,
+         {sql_int_list(types)}[1 + (p_partkey // 4) % {len(types)}] AS type
+  FROM part
+), s_hw AS (
+  SELECT localid, {case_int_map(HIGHWAY_BY_TYPE, "type")} AS highway FROM s_base
+), bk AS (
+  SELECT 100000 + (s_suppkey * 13) % 2000 AS bikeid,
+         {sql_str_list(BIKETYPS)}[1 + s_suppkey % 11] AS biketyp,
+         {sql_str_list(BIKETHERES)}[1 + s_suppkey % 5] AS bikethere
+  FROM supplier
+), bkept AS (
+  SELECT CAST(substr(CAST(bikeid AS VARCHAR), -6) AS INT) AS local_id FROM bk
+  WHERE COALESCE(biketyp, '') <> '' OR (bikethere IS NOT NULL AND bikethere <> '')
+), bn AS (SELECT local_id, COUNT(*) AS nm FROM bkept GROUP BY local_id),
+s_rows AS (
+  SELECT s.highway, GREATEST(COALESCE(bn.nm, 0), 1) AS mult
+  FROM s_hw s LEFT JOIN bn ON s.localid = bn.local_id
+),
+s_hist AS (
+  SELECT 'streets' AS src_table, highway,
+         CAST(SUM(mult) AS BIGINT) AS n, CAST(SUM(mult) AS BIGINT) AS n_named
+  FROM s_rows GROUP BY highway
+),
+t_rows AS (
+  SELECT highway, name, CASE WHEN tkey % 7 = 0 THEN 2 ELSE 1 END AS mult
+  FROM ({_T1320_SQL})
+),
+t_hist AS (
+  SELECT 'trails' AS src_table, highway, CAST(SUM(mult) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN name IS NOT NULL THEN mult ELSE 0 END) AS BIGINT) AS n_named
+  FROM t_rows GROUP BY highway
+)
+SELECT * FROM s_hist UNION ALL SELECT * FROM t_hist
+ORDER BY src_table, highway
+"""
+
+
 QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "x3_quality_features": x3_quality_features,
@@ -142,4 +191,5 @@ QUERIES = {
 
 ORACLES = {
     "m1_media_features": _M1_SQL,
+    "rlis_combine_full": _combine_full_sql(),
 }

@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
 from rlis2osm_spark.driver_support import ensure_package_on_workers
-from rlis2osm_spark.queries.util import load, pick, pick_int
+from rlis2osm_spark.queries.util import (
+    case_int_map, load, pick, pick_int, sql_int_list)
 from rlis2osm_spark.queries import spatial_sql
 from rlis2osm_spark.queries.rlis_cols import DIRS, FTYPES, TYPES, ZLEVS
 
@@ -109,7 +110,10 @@ def _derived_streets(spark, sf_dir):
 
 def rlis_street_pipeline(spark, sf_dir):
     """Full street branch (expand -> translate -> titlecase) over derived
-    streets; per-highway tag counts (rows-only; goldens in pytest)."""
+    streets; per-highway tag counts. Oracle-checked since r2: the histogram
+    depends only on TYPE / z-levels (derived names are never null/'unnamed',
+    so the residential downgrade can't fire), which SQL transcribes exactly;
+    the pandas-UDF name path stays covered by pytest goldens."""
     from rlis2osm_spark.operators.streets import (
         expand_street_names, translate_streets)
 
@@ -123,6 +127,36 @@ def rlis_street_pipeline(spark, sf_dir):
              F.count("access").alias("n_access"))
         .orderBy("highway")
     )
+
+
+def _street_pipeline_sql() -> str:
+    from rlis2osm_spark.operators.streets import (
+        ACCESS_BY_TYPE, HIGHWAY_BY_TYPE)
+
+    # derivation mirrors _derived_streets: chain-constant TYPE and z-levels,
+    # F_ZLEV == T_ZLEV by construction, names never null -> no downgrade
+    return f"""
+WITH d AS (
+  SELECT p_partkey,
+         {sql_int_list(sorted(HIGHWAY_BY_TYPE))}[1 + (p_partkey // 4) % {len(HIGHWAY_BY_TYPE)}] AS type,
+         {sql_int_list(ZLEVS)}[1 + (p_partkey // 4) % 9] AS fz_raw
+  FROM part
+), z AS (
+  SELECT *, CASE WHEN fz_raw IS NULL OR fz_raw = 0 THEN 1 ELSE fz_raw END AS fz
+  FROM d
+), l AS (
+  SELECT *,
+    CASE WHEN fz > 1 THEN fz - 1 WHEN fz < 0 THEN fz END AS layer,
+    {case_int_map(HIGHWAY_BY_TYPE, "type")} AS highway,
+    {case_int_map(ACCESS_BY_TYPE, "type")} AS access
+  FROM z
+)
+SELECT highway, COUNT(*) AS n,
+       COUNT(CASE WHEN layer > 0 THEN 1 END) AS n_bridge,
+       COUNT(CASE WHEN layer < 0 THEN 1 END) AS n_tunnel,
+       COUNT(access) AS n_access
+FROM l GROUP BY highway ORDER BY highway
+"""
 
 
 def rlis_dissolve_cc(spark, sf_dir):
@@ -184,5 +218,9 @@ QUERIES = {
     "minhash_dedup_xxhash": minhash_dedup_xxhash,
 }
 
-# the WKB tile path must agree with the arithmetic oracle exactly
-ORACLES = {"s2_tile_assignment_wkb": spatial_sql._S2_SQL}
+# the WKB tile path must agree with the arithmetic oracle exactly; the
+# street-pipeline histogram is TYPE/z-level-determined -> SQL-transcribable
+ORACLES = {
+    "s2_tile_assignment_wkb": spatial_sql._S2_SQL,
+    "rlis_street_pipeline": _street_pipeline_sql(),
+}
