@@ -116,3 +116,117 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos", "rank", "bucket")
     )
+
+
+def _dist2(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_train_centroids(
+    base: DataFrame,
+    dim: int,
+    k_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means over DataFrame jobs — the IVF coarse quantizer.
+
+    Every heavy step is distributed (assignment = rows x k broadcast join
+    with native dot products; update = posexplode + groupBy mean); only the
+    k*dim centroid state crosses to the driver each round — the same
+    "small convergence state" pattern as the CC signature. Deterministic:
+    init picks the k rows with the smallest xxhash64(id). Train on a
+    sampled base at 100 TB (pass ``base.sample(...)`` / a hash band —
+    centroid quality needs only ~1000 points per centroid).
+    """
+    b = base.select(F.col(id_col).alias("_id"),
+                    as_double_vec(F.col(vec_col)).alias("v"))
+    init = (b.withColumn("_h", F.xxhash64(F.col("_id")))
+            .orderBy("_h").limit(k_centroids))
+    cents = [list(r.v) for r in init.collect()]
+    spark = base.sparkSession
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            list(enumerate(cents)), "cid int, c array<double>")
+        assigned = (
+            b.crossJoin(F.broadcast(cdf))
+            .withColumn("d2", _dist2(F.col("v"), F.col("c")))
+            .groupBy("_id")
+            .agg(F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid"))
+                 .alias("best"),
+                 F.first("v").alias("v"))
+            .select(F.col("best.cid").alias("cid"), "v")
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()  # k*dim rows of centroid state — tiny by design
+        )
+        new = [list(c) for c in cents]  # empty clusters keep their centroid
+        for r in sums:
+            new[r.cid][r.i] = r.s / r.n
+        cents = new
+    return cents
+
+
+def ivf_ann_topk(
+    base: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    k_centroids: int = 16,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means cells as the candidate generator (VERDICT r1 #10).
+
+    Base vectors live in their nearest centroid's cell (at 100 TB: the
+    Iceberg bucket/partition key -> a probe prunes to ``n_probe`` cells'
+    files); probes search their ``n_probe`` nearest cells and re-rank by
+    exact cosine. Raising ``n_probe`` trades latency for recall — the knob
+    LSH lacks (its buckets are fixed by the plane count).
+    """
+    cents = centroids if centroids is not None else ivf_train_centroids(
+        base, dim, k_centroids, id_col=id_col, vec_col=vec_col)
+    spark = base.sparkSession
+    cdf = spark.createDataFrame(
+        list(enumerate(cents)), "cid int, c array<double>")
+
+    b = base.select(F.col(id_col).alias("neighbor_id"),
+                    as_double_vec(F.col(vec_col)).alias("bv"))
+    b_cell = (
+        b.crossJoin(F.broadcast(cdf))
+        .withColumn("d2", _dist2(F.col("bv"), F.col("c")))
+        .groupBy("neighbor_id")
+        .agg(F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("best"),
+             F.first("bv").alias("bv"))
+        .select("neighbor_id", "bv", F.col("best.cid").alias("bucket"))
+    )
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      as_double_vec(F.col(vec_col)).alias("pv"))
+    wp = Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("cid"))
+    p_cells = (
+        p.crossJoin(F.broadcast(cdf))
+        .withColumn("d2", _dist2(F.col("pv"), F.col("c")))
+        .withColumn("crank", F.row_number().over(wp))
+        .filter(F.col("crank") <= n_probe)
+        .select("probe_id", "pv", F.col("cid").alias("bucket"))
+    )
+
+    cands = p_cells.join(b_cell, "bucket").filter(
+        F.col("probe_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("cos", cosine(F.col("pv"), F.col("bv")))
+        .repartition(F.col("probe_id"))  # one exchange: dedup + rank
+        .dropDuplicates(["probe_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank", "bucket")
+    )

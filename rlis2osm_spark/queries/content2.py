@@ -31,6 +31,19 @@ def ann_lsh_topk(spark, sf_dir):
     return out.select("probe_id", "neighbor_id", "rank")
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN over the embeddings table (k-means coarse quantizer,
+    n_probe nearest cells, exact cosine re-rank). Rows-only (iterative
+    training); recall vs brute force asserted in pytest."""
+    from rlis2osm_spark.operators.similarity import ivf_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 15)
+    base = emb.filter(F.col("vec_id") >= 15)
+    out = ivf_ann_topk(base, probes, dim=64, k=3, k_centroids=8, n_probe=3)
+    return out.select("probe_id", "neighbor_id", "rank")
+
+
 def x3_quality_features(spark, sf_dir):
     """Full text-quality feature set (lang-ID, ratios, composite score)."""
     from rlis2osm_spark.operators.textstats import quality_features
@@ -182,6 +195,7 @@ ORDER BY src_table, highway
 
 QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "x3_quality_features": x3_quality_features,
     "x4_simhash_prod": x4_simhash_prod,
     "d5_minhash_engine": d5_minhash_engine,
