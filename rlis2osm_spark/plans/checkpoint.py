@@ -8,20 +8,27 @@ cluster the same API maps 1:1 onto Iceberg: ``stage()`` becomes
 committed snapshot. Resume = skip stages whose manifest is valid — a rerun
 of a 10-stage job that died at stage 7 replays nothing before it.
 
-Metrics are collected with **one extra narrow aggregation** over
-``spark_partition_id()`` (no second scan of the input: the stage output is
-read back from its own snapshot), giving per-partition row counts — the
-skew lineage the north rule asks for.
+Two r2 upgrades (ADVICE/VERDICT r1):
+
+- **Input fingerprinting**: a manifest is only valid if its recorded input
+  fingerprint still matches — upstream stage manifests by digest, external
+  paths by (file, size, mtime) — so a rerun after upstream data changed
+  rebuilds instead of silently serving the stale snapshot.
+- **Write-layout metrics**: per-partition row counts come from the written
+  files' parquet footers (pure metadata reads — no extra Spark job), not
+  from re-reading the snapshot (whose coalesced input splits measured the
+  READ layout, not the skew that was written).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
+from hashlib import blake2b
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 _MANIFEST = "_manifest.json"
 
@@ -37,16 +44,51 @@ class Checkpointer:
         d = os.path.join(self.root, name)
         return d, os.path.join(d, _MANIFEST)
 
-    def has_valid(self, name: str) -> bool:
+    def _read_manifest(self, name: str) -> dict | None:
         _, manifest = self._paths(name)
         if not os.path.exists(manifest):
-            return False
+            return None
         try:
             with open(manifest) as fh:
-                meta = json.load(fh)
-            return meta.get("status") == "committed"
+                return json.load(fh)
         except (json.JSONDecodeError, OSError):
+            return None
+
+    def _fingerprint_inputs(self, inputs: list[str] | None) -> str:
+        """Digest of everything a stage consumed: upstream stage manifests
+        (by their own digest + row count) or external paths (every file's
+        relpath, size, mtime). Any change -> different fingerprint ->
+        resume is refused and the stage rebuilds."""
+        parts: list = []
+        for inp in inputs or []:
+            meta = self._read_manifest(inp)
+            if meta is not None:  # upstream stage of this run
+                parts.append(("stage", inp, meta.get("output_digest"),
+                              meta.get("row_count")))
+            elif os.path.isdir(inp):
+                files = sorted(
+                    (os.path.relpath(p, inp), os.path.getsize(p),
+                     int(os.path.getmtime(p)))
+                    for p in glob.glob(os.path.join(inp, "**"), recursive=True)
+                    if os.path.isfile(p))
+                parts.append(("dir", inp, files))
+            elif os.path.isfile(inp):
+                parts.append(("file", inp, os.path.getsize(inp),
+                              int(os.path.getmtime(inp))))
+            else:
+                parts.append(("missing", inp))
+        return blake2b(
+            json.dumps(parts, sort_keys=True).encode(), digest_size=8
+        ).hexdigest()
+
+    def has_valid(self, name: str, input_fingerprint: str | None = None) -> bool:
+        meta = self._read_manifest(name)
+        if meta is None or meta.get("status") != "committed":
             return False
+        if input_fingerprint is not None and (
+                meta.get("input_fingerprint") != input_fingerprint):
+            return False
+        return True
 
     def stage(
         self,
@@ -58,9 +100,14 @@ class Checkpointer:
     ) -> DataFrame:
         """Materialize ``build()`` as snapshot ``name`` (or read the existing
         valid snapshot). ``build`` is a thunk so skipped stages pay zero
-        planning cost."""
+        planning cost. ``inputs`` (stage names and/or paths) gate the resume:
+        a manifest whose recorded input fingerprint no longer matches is
+        rebuilt, not served."""
         data_dir, manifest = self._paths(name)
-        if self.has_valid(name) and not force:
+        fp = self._fingerprint_inputs(inputs)
+        stale = (self._read_manifest(name) is not None
+                 and not self.has_valid(name, fp))
+        if self.has_valid(name, fp) and not force:
             with open(manifest) as fh:
                 self.lineage.append(json.load(fh) | {"resumed": True})
             return self.spark.read.parquet(data_dir)
@@ -72,29 +119,37 @@ class Checkpointer:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
 
-        out = self.spark.read.parquet(data_dir)
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .count()
-            .collect()
-        )
+        # WRITE-layout skew metrics straight from the parquet footers
+        import pyarrow.parquet as pq
+
+        part_files = sorted(
+            p for p in glob.glob(os.path.join(data_dir, "**", "*.parquet"),
+                                 recursive=True))
+        partition_rows = {
+            os.path.relpath(p, data_dir): pq.read_metadata(p).num_rows
+            for p in part_files
+        }
+        out_digest = blake2b(
+            json.dumps(sorted(partition_rows.items())).encode(),
+            digest_size=8).hexdigest()
         meta = {
             "stage": name,
             "status": "committed",
             "inputs": inputs or [],
-            "row_count": int(sum(r["count"] for r in per_part)),
-            "n_partitions": len(per_part),
-            "partition_rows": {int(r["partition_id"]): int(r["count"])
-                               for r in per_part},
-            "max_partition_rows": max((int(r["count"]) for r in per_part),
-                                      default=0),
+            "input_fingerprint": fp,
+            "output_digest": out_digest,
+            "row_count": int(sum(partition_rows.values())),
+            "n_partitions": len(partition_rows),
+            "partition_rows": partition_rows,
+            "max_partition_rows": max(partition_rows.values(), default=0),
+            "rebuilt_stale": stale,
             "wall_seconds": round(time.time() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         with open(manifest, "w") as fh:
             json.dump(meta, fh, indent=1)
         self.lineage.append(meta | {"resumed": False})
-        return out
+        return self.spark.read.parquet(data_dir)
 
     def invalidate(self, name: str) -> None:
         _, manifest = self._paths(name)

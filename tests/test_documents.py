@@ -105,3 +105,68 @@ def test_salted_rollup_matches_unsalted(spark, synth_dir):
     assert a == b
     plan = tile_rollup_salted(tiled)._jdf.queryExecution().executedPlan().toString()
     assert "salt" in plan  # the salted shuffle key is really in the plan
+
+
+def test_checkpoint_invalidates_on_input_change(spark, tmp_path):
+    """ADVICE r1: a committed snapshot must NOT be served after its inputs
+    changed — the input fingerprint gates the resume."""
+    import time as _time
+
+    src = tmp_path / "src.parquet"
+    spark.range(10).write.parquet(str(src))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.read.parquet(str(src))
+
+    ck = Checkpointer(spark, str(tmp_path), "fp")
+    ck.stage("ids", build, inputs=[str(src)])
+    assert len(calls) == 1
+
+    # same inputs -> resume
+    Checkpointer(spark, str(tmp_path), "fp").stage(
+        "ids", build, inputs=[str(src)])
+    assert len(calls) == 1
+
+    # rewrite the input (force a different mtime) -> rebuild, flagged stale
+    _time.sleep(1.1)
+    spark.range(20).write.mode("overwrite").parquet(str(src))
+    ck3 = Checkpointer(spark, str(tmp_path), "fp")
+    out = ck3.stage("ids", build, inputs=[str(src)])
+    assert len(calls) == 2
+    assert out.count() == 20
+    assert ck3.report()[0]["rebuilt_stale"] is True
+
+
+def test_checkpoint_chained_stage_fingerprint(spark, tmp_path):
+    """A downstream stage keyed on an upstream STAGE name rebuilds when the
+    upstream snapshot changes (digest chain), resumes when it doesn't."""
+    calls = []
+
+    def up():
+        return spark.range(5)
+
+    ck = Checkpointer(spark, str(tmp_path), "chain")
+    up_df = ck.stage("up", up)
+
+    def down():
+        calls.append(1)
+        return up_df.select("id")
+
+    ck.stage("down", down, inputs=["up"])
+    assert len(calls) == 1
+    ck2 = Checkpointer(spark, str(tmp_path), "chain")
+    ck2.stage("up", up)
+    ck2.stage("down", down, inputs=["up"])
+    assert len(calls) == 1  # both resumed
+
+    ck3 = Checkpointer(spark, str(tmp_path), "chain")
+    up2 = ck3.stage("up", lambda: spark.range(7), force=True)
+
+    def down2():
+        calls.append(1)
+        return up2.select("id")
+
+    ck3.stage("down", down2, inputs=["up"])
+    assert len(calls) == 2  # upstream digest changed -> downstream rebuilt
