@@ -83,7 +83,7 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     # last — real clusters reset per stage attempt)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     flagship_sec = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         _materialize(queries["s2_tile_assignment_wkb"](spark, sf_dir))
         el = time.time() - t0
