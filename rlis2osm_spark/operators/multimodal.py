@@ -138,3 +138,55 @@ def frame_sample_refs(media: DataFrame, every_n: int = 10,
         .withColumn("frame_ref",
                     F.concat_ws("#", "media_ref", "frame_idx"))
     )
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("n_windows", IntegerType()),
+    StructField("rms", ArrayType(FloatType())),       # per-window energy
+    StructField("zero_crossings", LongType()),
+])
+
+
+def extract_audio_features(
+    media: DataFrame,
+    window: int = 1024,
+    max_windows: int = 64,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Audio plumbing: binary payload -> windowed energy features, one Arrow
+    pass. The stub treats the raw bytes as int8 PCM (deterministic); a real
+    decoder (soundfile/torchaudio) plugs in at the seam. Vectorized numpy
+    per batch — no per-sample Python."""
+
+    def batches(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    rows.append((ref, 0, None, None, None))
+                    continue
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real audio decoding requires a codec library; "
+                        "plug soundfile/torchaudio in here")
+                b = bytes(payload)
+                sig = np.frombuffer(b, dtype=np.int8).astype("float32")
+                n_win = min(max(len(sig) // window, 1), max_windows)
+                used = sig[: n_win * window] if len(sig) >= window else sig
+                if len(used) >= window:
+                    w = used.reshape(n_win, window)
+                    rms = np.sqrt((w * w).mean(axis=1))
+                else:
+                    rms = np.array([np.sqrt((used * used).mean())
+                                    if len(used) else 0.0], dtype="float32")
+                    n_win = 1
+                zc = int(np.count_nonzero(np.diff(np.signbit(sig))))
+                rows.append((ref, len(b), n_win,
+                             [float(x) for x in rms], zc))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return media.select("media_ref", "payload").mapInPandas(
+        batches, AUDIO_FEATURE_SCHEMA)

@@ -33,7 +33,7 @@ def q01_pricing_summary(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     charge = _revenue() * (F.lit(1).cast(R) + F.col("l_tax").cast(R))  # (22,6)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast(P)).cast("decimal(38,2)")
@@ -62,7 +62,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(CAST(SUM(({_REV_SQL}) * (CAST(1 AS {R}) + CAST(l_tax AS {R}))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -219,26 +219,26 @@ def q06_forecast_revenue(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("2024-03-01"))
-            & (F.col("l_shipdate") < F.lit("2024-09-01"))
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-09-01"))
             & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
         .agg(
             F.sum(F.col("l_extendedprice").cast(P)
                   * F.col("l_discount").cast(R))
-            .cast("decimal(38,4)").alias("revenue"),
+            .cast("decimal(38,4)").cast("string").alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
 
 
 _Q06_SQL = f"""
-SELECT CAST(SUM(CAST(l_extendedprice AS {P}) * CAST(l_discount AS {R})) AS DECIMAL(38,4)) AS revenue,
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS {P}) * CAST(l_discount AS {R})) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '2024-03-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '2024-09-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-09-01 00:00:00'
   AND l_discount BETWEEN 0.03 AND 0.07
   AND l_quantity < 24
 """
@@ -368,3 +368,113 @@ ORACLES = {
     "o1_sorted_projection": _O1_SQL,
     "s1_scan_pushdown": _S1_SQL,
 }
+
+
+def q04_semi_join(spark, sf_dir):
+    """EXISTS semi-join (TPC-H Q4 flavor): orders with at least one
+    late-shipping lineitem, counted per priority. Catalyst plans a
+    LeftSemi broadcast/SMJ — no fan-out, no distinct needed."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.lit("2000-01-01"))
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+
+def q16_anti_join(spark, sf_dir):
+    """NOT EXISTS anti-join (TPC-H Q16 flavor): customers with no orders
+    above a price threshold, counted per nation."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_quiet_customers"))
+    )
+
+
+_Q16_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_quiet_customers
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_nationkey
+"""
+
+
+def q13_outer_count(spark, sf_dir):
+    """Left outer + count distribution (TPC-H Q13 flavor): how many
+    customers placed k orders, including k=0 — the outer-join null-count
+    semantics Catalyst must preserve through the double aggregate."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips nulls
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q18_having(spark, sf_dir):
+    """Aggregate + HAVING (TPC-H Q18 flavor): orders whose total quantity
+    exceeds a threshold, with exact decimal sums as strings."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(P)).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .select("l_orderkey",
+                F.col("total_qty").cast("decimal(38,2)").cast("string")
+                .alias("total_qty"))
+    )
+
+
+_Q18_SQL = f"""
+SELECT l_orderkey,
+       CAST(CAST(SUM(CAST(l_quantity AS {P})) AS DECIMAL(38,2)) AS VARCHAR) AS total_qty
+FROM lineitem
+GROUP BY l_orderkey
+HAVING SUM(CAST(l_quantity AS {P})) > 150
+"""
+
+
+QUERIES.update({
+    "q04_semi_join": q04_semi_join,
+    "q13_outer_count": q13_outer_count,
+    "q16_anti_join": q16_anti_join,
+    "q18_having": q18_having,
+})
+ORACLES.update({
+    "q04_semi_join": _Q04_SQL,
+    "q13_outer_count": _Q13_SQL,
+    "q16_anti_join": _Q16_SQL,
+    "q18_having": _Q18_SQL,
+})

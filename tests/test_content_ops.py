@@ -219,3 +219,19 @@ def test_ivf_centroids_deterministic(vectors):
     c2 = similarity.ivf_train_centroids(vectors, dim=8, k_centroids=4, n_iter=3)
     assert c1 == c2
     assert len(c1) == 4 and all(len(c) == 8 for c in c1)
+
+
+def test_audio_features_plumbing(spark):
+    rows = [("a:1", bytes(range(256)) * 20), ("a:2", b"\x01\x02"),
+            ("a:3", None)]
+    media = spark.createDataFrame(rows, "media_ref string, payload binary")
+    out = {r.media_ref: r
+           for r in multimodal.extract_audio_features(media).collect()}
+    assert out["a:1"].n_windows == 5  # 5120 bytes // 1024
+    assert len(out["a:1"].rms) == 5
+    assert out["a:1"].rms[0] == pytest.approx(out["a:1"].rms[1])  # periodic
+    assert out["a:2"].n_windows == 1 and out["a:2"].n_bytes == 2
+    assert out["a:3"].rms is None
+    with pytest.raises(Exception, match="codec"):
+        multimodal.extract_audio_features(
+            media.filter("payload is not null"), decode_stub=False).collect()
