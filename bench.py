@@ -187,8 +187,12 @@ def run_scaling() -> dict:
             capture_output=True, text=True, cwd=REPO, timeout=3000,
             env={**os.environ, "PYTHONPATH": REPO},
         )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results.append(json.loads(line))
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"scaling child local[{cpus}] produced no result:\n"
+                + (out.stderr or out.stdout)[-2000:])
+        results.append(json.loads(lines[-1]))
     rn, r4n = results
     speedup = rn["sec"] / r4n["sec"]
     efficiency = round(speedup / 4.0, 3)
