@@ -230,3 +230,49 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos", "rank", "bucket")
     )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family, build brief).
+
+    OR-construction over ``n_tables`` independent random-hyperplane
+    signatures: a true near-dup pair (cos -> 1) agrees on all planes of
+    SOME table with probability ~1 - (1 - p^n_planes)^n_tables, p =
+    1 - theta/pi. Candidates come from ONE self-join on (table, bucket)
+    (the table id is exploded into the key — no per-table job), then the
+    exact cosine verifies. Never all-pairs; the verify set is tiny.
+    """
+    v = df.select(F.col(id_col).alias("_id"),
+                  as_double_vec(F.col(vec_col)).alias("v"))
+    tagged = v.select(
+        "_id", "v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_expr(F.col("v"), dim, n_planes,
+                                seed=1234567 + t * 99991).alias("bucket"))
+            for t in range(n_tables)
+        ])).alias("tb"),
+    ).select("_id", "v", "tb.tbl", "tb.bucket")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cands = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cands.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", "cos")
+    )

@@ -207,3 +207,105 @@ ORACLES = {
     "m1_media_features": _M1_SQL,
     "rlis_combine_full": _combine_full_sql(),
 }
+
+
+def d7_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup (dedup family): the exact verification
+    join, oracle-checked. The raw embeddings are random (max pairwise cos
+    ~0.44), so near-dup structure is DERIVED deterministically in-query:
+    each base vector gets a +0.02-shifted copy (cos ~0.998) and a negated
+    copy (cos -1). Output = (doc_a, doc_b) int pairs only — cosine values
+    sit at ~0.998 vs <0.5, far from the 0.9 threshold, so cross-engine
+    float fold-order cannot flip a pair."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    shifted = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("v", lambda x: x + 0.02).alias("v"))
+    negated = base.select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.transform("v", lambda x: -x).alias("v"))
+    allv = base.unionByName(shifted).unionByName(negated)
+
+    from rlis2osm_spark.operators.similarity import cosine
+
+    a = allv.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    b = allv.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+
+
+_D7_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 120
+),
+allv AS (
+  SELECT vec_id, v FROM base
+  UNION ALL SELECT vec_id + 1000, list_transform(v, x -> x + 0.02) FROM base
+  UNION ALL SELECT vec_id + 2000, list_transform(v, x -> -x) FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b FROM pairs WHERE cos >= 0.9
+"""
+
+
+def x6_subword_tokens(spark, sf_dir):
+    """BPE-ish token counting (build brief): whitespace tokens vs regex
+    subword estimate ([A-Za-z]+|[0-9]+|punct) — native regexp on both
+    engines."""
+    from rlis2osm_spark.operators.textstats import (
+        TOKEN_RX, subword_count, token_count)
+
+    docs = load(spark, sf_dir, "documents")
+    _ = TOKEN_RX
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        subword_count(F.col("text")).alias("n_subword_tokens"),
+    )
+
+
+_X6_SQL = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subword_tokens
+FROM documents
+"""
+
+
+def neardup_lsh_engine(spark, sf_dir):
+    """Production near-dup path: multi-table LSH OR-construction + exact
+    cosine verify (operators/similarity.py). Engine-seeded buckets ->
+    rows-only; recall asserted in pytest."""
+    from rlis2osm_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    base = emb.select("vec_id", "embedding")
+    shifted = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"))
+    allv = base.unionByName(shifted)
+    out = cosine_neardup_pairs(allv, dim=64, threshold=0.9,
+                               n_tables=6, n_planes=6)
+    return out.select("doc_a", "doc_b")
+
+
+QUERIES.update({
+    "d7_embedding_neardup": d7_embedding_neardup,
+    "x6_subword_tokens": x6_subword_tokens,
+    "neardup_lsh_engine": neardup_lsh_engine,
+})
+ORACLES.update({
+    "d7_embedding_neardup": _D7_SQL,
+    "x6_subword_tokens": _X6_SQL,
+})

