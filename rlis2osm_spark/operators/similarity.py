@@ -276,3 +276,34 @@ def cosine_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
     )
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 1234567):
+    """High-dimension bucket assigner: the same LCG hyperplanes as
+    ``lsh_bucket_expr`` but applied as ONE numpy matmul per Arrow batch.
+
+    ``lsh_bucket_expr`` folds plan-time literal weight arrays — ideal at
+    dim <= ~128 (whole-stage codegen, zero Python), but the plan grows
+    O(n_planes * dim) and codegen chokes at dim 1k+. This variant ships the
+    (dim x n_planes) matrix in the UDF closure (auto-broadcast) and pays
+    one vectorized Arrow pass instead. Same signature semantics; the two
+    paths may disagree only on projections within float rounding of zero.
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    W = np.array([_lcg_weights(p, dim, seed) for p in range(n_planes)],
+                 dtype=np.float64).T  # (dim, n_planes)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(LongType())
+    def bucket(vecs):
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = M @ W                     # (batch, n_planes)
+        return pd.Series(((proj > 0) @ powers).astype("int64"))
+
+    return bucket

@@ -257,3 +257,38 @@ def test_cosine_neardup_recall(spark):
         # anything extra must still verify (cos >= threshold by construction
         # of the operator) — assert no structural false positive
         assert (a % 1000) != (b % 1000) or (a, b) in expected
+
+
+def test_lsh_bucket_udf_high_dim(spark):
+    """Arrow matmul bucket path: deterministic, identical vectors share a
+    bucket, and buckets match the expr path away from the zero boundary."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    dim = 256  # beyond comfortable plan-literal territory
+    base = rng.randn(20, dim)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    rows += [(100 + i, [float(x) for x in base[i]]) for i in range(20)]  # dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bucket = similarity.lsh_bucket_udf(dim, n_planes=6)
+    out = {r.vec_id: r.b for r in
+           df.select("vec_id", bucket("embedding").alias("b")).collect()}
+    for i in range(20):
+        assert out[i] == out[100 + i]  # identical vector -> identical bucket
+    assert len(set(out.values())) > 1  # and buckets do spread
+
+    # parity with the expr path at dim where both run (projections of random
+    # gaussians are ~never within rounding of zero)
+    small = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(16)]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    b_expr = small.select(
+        "vec_id",
+        similarity.lsh_bucket_expr(F.col("embedding"), 16, 6).alias("b"))
+    b_udf = small.select(
+        "vec_id", similarity.lsh_bucket_udf(16, 6)("embedding").alias("b"))
+    e = {r.vec_id: r.b for r in b_expr.collect()}
+    u = {r.vec_id: r.b for r in b_udf.collect()}
+    assert e == u

@@ -101,3 +101,13 @@ def test_knn_single_probe_exchange(spark):
     # no pair-keyed exchange anywhere
     import re
     assert not re.search(r"hashpartitioning\(pid#\d+L?, bid", plan), plan
+
+
+def test_semi_anti_join_plan_forms(spark):
+    """q04/q16 must plan as real semi/anti joins (no fan-out + distinct)."""
+    p04 = _plan(Q["q04_semi_join"](spark, SF))
+    assert "LeftSemi" in p04, p04
+    p16 = _plan(Q["q16_anti_join"](spark, SF))
+    assert "LeftAnti" in p16, p16
+    # both keep the partial-aggregation split on the count
+    assert "partial_count" in p04 or "HashAggregate" in p04
