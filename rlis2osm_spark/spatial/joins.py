@@ -236,3 +236,70 @@ def knn_join(
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
     )
+
+
+def polygon_cell_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 8,
+    grid: TileGrid = TileGrid(),
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id: str = "polygon_id",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """Distributed point-in-polygon JOIN — the scale path when the polygon
+    layer is itself a big DataFrame (``point_in_polygon`` takes a small
+    driver-side list and broadcasts it in the UDF closure).
+
+    polygons: (polygon_id, ring array<struct<x double, y double>>).
+    Plan: native per-polygon bbox -> explode the covering cell rectangle at
+    ``res`` -> cell equi-join against tiled points (the only shuffle) ->
+    exact ray-cast verify on the candidate set only (Arrow batch) ->
+    deterministic winner = min polygon_id. Points in no polygon keep null.
+    Choose ``res`` so a typical polygon covers O(1..100) cells; hot cells
+    (a metro-wide polygon) follow the same salting/AQE story as the kNN.
+    """
+    from pyspark.sql.types import BooleanType
+
+    size = grid.cell_size(res)
+    xs = F.transform(F.col(ring_col), lambda p: p["x"])
+    ys = F.transform(F.col(ring_col), lambda p: p["y"])
+    fmin = lambda arr: F.array_min(arr)  # noqa: E731
+    fmax = lambda arr: F.array_max(arr)  # noqa: E731
+    ix0 = F.floor((fmin(xs) - grid.x0) / size).cast("int")
+    ix1 = F.floor((fmax(xs) - grid.x0) / size).cast("int")
+    iy0 = F.floor((fmin(ys) - grid.y0) / size).cast("int")
+    iy1 = F.floor((fmax(ys) - grid.y0) / size).cast("int")
+    cells = (
+        polygons.select(poly_id, ring_col,
+                        F.explode(F.sequence(ix0, ix1)).alias("cx"),
+                        iy0.alias("_iy0"), iy1.alias("_iy1"))
+        .select(poly_id, ring_col, "cx",
+                F.explode(F.sequence("_iy0", "_iy1")).alias("cy"))
+    )
+
+    pix, piy = grid_coords(F.col(x_col), F.col(y_col), res, grid)
+    pts = points.withColumns({"cx": pix, "cy": piy})
+
+    @F.pandas_udf(BooleanType())
+    def inside(xs_s: pd.Series, ys_s: pd.Series, rings: pd.Series) -> pd.Series:
+        out = []
+        for x, y, ring in zip(xs_s, ys_s, rings):
+            if ring is None:  # unmatched left-join row (no candidate cell)
+                out.append(False)
+                continue
+            r = np.array([[p["x"], p["y"]] for p in ring], dtype=float)
+            if not (r[0] == r[-1]).all():
+                r = np.vstack([r, r[:1]])
+            out.append(bool(_ray_cast(np.array([x]), np.array([y]), r)[0]))
+        return pd.Series(out)
+
+    cands = pts.join(cells, ["cx", "cy"], "left")
+    hits = cands.withColumn(
+        "_in", inside(F.col(x_col), F.col(y_col), F.col(ring_col)))
+    pt_cols = [c for c in points.columns]
+    return (
+        hits.groupBy(*pt_cols)
+        .agg(F.min(F.when(F.col("_in"), F.col(poly_id))).alias(poly_id))
+    )

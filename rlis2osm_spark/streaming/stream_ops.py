@@ -90,3 +90,36 @@ def run_available_now(query_df: DataFrame, checkpoint_dir: str,
     )
     q.awaitTermination(300)
     return q
+
+
+DOCS_XY_DDL = "doc_id long, ts timestamp, x double, y double"
+
+
+def read_doc_point_stream(spark: SparkSession, path: str,
+                          max_files: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_XY_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_tile_rollup(stream: DataFrame, res: int = 8,
+                          watermark: str = "1 hour") -> DataFrame:
+    """The flagship tile pipeline under Structured Streaming: native Morton
+    cell assignment per document, then watermarked tumbling counts per
+    (window, cell). Tile math is stateless column arithmetic, so the only
+    state is the windowed aggregate — bounded by the watermark exactly like
+    the event windows; the shuffle key (window, cell) is the same
+    partitioning the batch rollup uses."""
+    from rlis2osm_spark.spatial.tiles import tile_cell
+
+    tiled = stream.withColumn("cell", tile_cell(F.col("x"), F.col("y"), res))
+    return (
+        tiled.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").start.alias("w"), "cell")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("min_doc"))
+        .select(F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "cell", "n_docs", "min_doc")
+    )

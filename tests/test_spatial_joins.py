@@ -131,3 +131,46 @@ def test_snap_trails_to_streets_synth(spark, synth_dir):
     # each matched trail appears exactly once at k=1
     ids = [r.trail_fid for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_polygon_cell_join_matches_broadcast_pip(spark):
+    """The distributed polygon JOIN (cell candidates + per-candidate ray
+    cast) assigns exactly what the broadcast-list PIP assigns, with the
+    deterministic min-id winner on overlaps."""
+    from pyspark.sql import functions as F
+
+    from rlis2osm_spark.spatial.joins import (
+        point_in_polygon, polygon_cell_join)
+    from rlis2osm_spark.spatial.tiles import TileGrid
+
+    grid = TileGrid()
+    x0, y0 = grid.x0, grid.y0
+    # two overlapping squares + one far square
+    polys = [
+        ("p1", [(x0 + 1000, y0 + 1000), (x0 + 6000, y0 + 1000),
+                (x0 + 6000, y0 + 6000), (x0 + 1000, y0 + 6000)]),
+        ("p2", [(x0 + 4000, y0 + 4000), (x0 + 9000, y0 + 4000),
+                (x0 + 9000, y0 + 9000), (x0 + 4000, y0 + 9000)]),
+        ("p3", [(x0 + 50000, y0 + 50000), (x0 + 51000, y0 + 50000),
+                (x0 + 51000, y0 + 51000), (x0 + 50000, y0 + 51000)]),
+    ]
+    pts = spark.createDataFrame(
+        [(i, x0 + (i * 397.0) % 12000, y0 + (i * 683.0) % 12000)
+         for i in range(400)],
+        "pid long, x double, y double")
+
+    # broadcast-list variant, polygons in id order (same winner rule)
+    want = {r.pid: r.polygon_id
+            for r in point_in_polygon(pts, polys).collect()}
+
+    poly_rows = [
+        (pid, [{"x": float(x), "y": float(y)} for x, y in ring])
+        for pid, ring in polys
+    ]
+    pdf = spark.createDataFrame(
+        poly_rows, "polygon_id string, ring array<struct<x double, y double>>")
+    got = {r.pid: r.polygon_id
+           for r in polygon_cell_join(pts, pdf, res=8).collect()}
+    assert got == want
+    assert set(filter(None, got.values())) == {"p1", "p2"}
+    assert any(v is None for v in got.values())  # some points in none

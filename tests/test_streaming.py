@@ -92,3 +92,37 @@ def test_stateful_running_totals(spark, stream_src, tmp_path):
     for k in expect:
         assert abs(got[k][1] - expect[k][1]) < 0.05
     q.stop()
+
+
+def test_streaming_tile_rollup_matches_batch(spark, tmp_path):
+    """Flagship-in-streaming: Morton tile assignment + watermarked windowed
+    rollup over a bounded doc-point stream equals the batch plan."""
+    from rlis2osm_spark.spatial.tiles import tile_cell
+
+    src = tmp_path / "docs_src"
+    pts = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=(F.col("id") % 300).cast("int"))).alias("ts"),
+        (7_500_000.0 + (F.col("id") * 397.0) % 300_000).alias("x"),
+        (550_000.0 + (F.col("id") * 683.0) % 300_000).alias("y"),
+    )
+    pts.coalesce(2).write.parquet(str(src))
+
+    stream = stream_ops.read_doc_point_stream(spark, str(src))
+    assert stream.isStreaming
+    rolled = stream_ops.streaming_tile_rollup(stream, res=6)
+    stream_ops.run_available_now(rolled, str(tmp_path / "ck"), "stream_tiles")
+    got = {(r.window_start, r.cell): (r.n_docs, r.min_doc)
+           for r in spark.sql("select * from stream_tiles").collect()}
+
+    batch = (
+        pts.withColumn("cell", tile_cell(F.col("x"), F.col("y"), 6))
+        .groupBy(F.window("ts", "1 hour").start.alias("w"), "cell")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .select(F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "cell", "n_docs", "min_doc")
+    )
+    want = {(r.window_start, r.cell): (r.n_docs, r.min_doc)
+            for r in batch.collect()}
+    assert got == want and len(want) > 10
