@@ -123,3 +123,20 @@ def streaming_tile_rollup(stream: DataFrame, res: int = 8,
         .select(F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
                 "cell", "n_docs", "min_doc")
     )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via Catalyst's native session_window —
+    state merges adjacent windows per user and closes a session after
+    ``gap`` inactivity; the streaming twin of w2's gaps-and-islands batch
+    query (identical session boundaries: a new session starts when the gap
+    STRICTLY exceeds ``gap``)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start"),
+             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end"))
+        .select("user_id", "n_events", "start", "end")
+    )

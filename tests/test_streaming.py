@@ -126,3 +126,23 @@ def test_streaming_tile_rollup_matches_batch(spark, tmp_path):
     want = {(r.window_start, r.cell): (r.n_docs, r.min_doc)
             for r in batch.collect()}
     assert got == want and len(want) > 10
+
+
+def test_streaming_session_windows_match_batch_islands(spark, stream_src,
+                                                       tmp_path):
+    """Native session_window streaming == the w2 gaps-and-islands batch
+    sessionization (same strict-gap boundary), session-by-session."""
+    from rlis2osm_spark.queries.events import w2_sessionization
+
+    stream = stream_ops.read_event_stream(spark, stream_src)
+    sess = stream_ops.session_windows(stream, gap="30 minutes")
+    stream_ops.run_available_now(sess, str(tmp_path / "ck_sess"), "stream_sess")
+    got = sorted(
+        (r.user_id, r.n_events, r.start, r.end)
+        for r in spark.sql("select * from stream_sess").collect())
+
+    batch = w2_sessionization(spark, SF_DIR)
+    want = sorted(
+        (r.user_id, r.n_events, r.start, r.end)
+        for r in batch.collect())
+    assert got == want and len(want) > 100
