@@ -309,3 +309,57 @@ ORACLES.update({
     "d7_embedding_neardup": _D7_SQL,
     "x6_subword_tokens": _X6_SQL,
 })
+
+
+def _x3_sql() -> str:
+    """Full SQL transcription of quality_features (moves x3 from rows-only
+    to oracle): same token/stopword/punct/repetition arithmetic in the same
+    fold order, lang argmax with the ascending-key tie-break."""
+    from rlis2osm_spark.operators.textstats import LANG_MARKERS, STOPWORDS_EN
+
+    stop = str(STOPWORDS_EN).replace('"', "'")
+    lang_cols = ",\n         ".join(
+        f"len(list_filter(lotoks, w -> list_contains("
+        f"{str(m).replace(chr(34), chr(39))}, w))) AS s_{lang}"
+        for lang, m in LANG_MARKERS.items())
+    # argmax, ties broken by ascending language code
+    langs = sorted(LANG_MARKERS)
+    guess = " ".join(
+        f"WHEN s_{code} = gmax THEN '{code}'" for code in langs)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS lotoks
+  FROM documents
+), f AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tok,
+         CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END AS safe_n,
+         len(list_filter(toks, w -> list_contains({stop}, w))) AS n_stop,
+         length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
+         length(text) AS n_chars,
+         len(list_distinct(toks)) AS n_uniq,
+         {lang_cols}
+  FROM t
+), g AS (
+  SELECT *, GREATEST(s_de, s_en, s_es, s_fr) AS gmax,
+         1.0 - n_uniq / safe_n AS rep_ratio
+  FROM f
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+       ROUND(n_stop / safe_n, 6) AS stopword_ratio,
+       ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+       ROUND(rep_ratio, 6) AS repetition_ratio,
+       CASE WHEN gmax = 0 THEN NULL {guess} END AS lang_guess,
+       ROUND(LEAST(1.0, n_tok / 100.0) * 0.4
+             + (1.0 - LEAST(1.0, n_punct / GREATEST(n_chars, 1) * 5)) * 0.2
+             + (1.0 - rep_ratio) * 0.2
+             + LEAST(1.0, n_stop / safe_n * 5) * 0.2, 6) AS quality
+FROM g
+"""
+
+
+ORACLES.update({"x3_quality_features": _x3_sql()})
