@@ -84,7 +84,11 @@ def _derived_streets(spark, sf_dir):
         (100000 + k).cast("int").alias("LOCALID"),
         pick_int(TYPES, 1 + chain % len(TYPES)).alias("TYPE"),
         pick(DIRS, 1 + chain % 13).alias("PREFIX"),
-        F.upper(F.col("p_name")).alias("STREETNAME"),
+        # chain-constant (and chain-unique) name: the 4 segments of a chain
+        # form ONE dissolve group; distinct chains never share a tag group.
+        # (r2 fix: upper(p_name) varied per segment, so the intended chains
+        # almost never merged and the CC workload was mostly singletons.)
+        F.concat(F.lit("CHAIN"), chain.cast("string")).alias("STREETNAME"),
         pick(FTYPES, 1 + chain % 11).alias("FTYPE"),
         F.lit(None).cast("string").alias("DIRECTION"),
         pick_int(ZLEVS, 1 + chain % 9).alias("F_ZLEV"),
@@ -161,7 +165,10 @@ FROM l GROUP BY highway ORDER BY highway
 
 def rlis_dissolve_cc(spark, sf_dir):
     """J4/A1: connected-components dissolve over derived chains — group size
-    distribution (iterative/stateful; not SQL-expressible)."""
+    distribution. The CC algorithm itself is iterative, but the derived
+    topology's ground truth is analytic (disjoint 4-segment chains, chain-
+    constant unique tags), so the histogram carries an exact oracle: every
+    chain must dissolve into one component of its segment count."""
     from rlis2osm_spark.operators.dissolve import dissolve_ways
     from rlis2osm_spark.operators.streets import (
         expand_street_names, translate_streets)
@@ -218,9 +225,18 @@ QUERIES = {
     "minhash_dedup_xxhash": minhash_dedup_xxhash,
 }
 
+# ground truth of the derived chain topology: p_partkey//4 chains, one
+# dissolve group per chain (names chain-unique), n_members = segment count
+_DISSOLVE_SQL = """
+SELECT cnt AS n_members, COUNT(*) AS n_groups FROM (
+  SELECT p_partkey // 4 AS chain, COUNT(*) AS cnt FROM part GROUP BY 1
+) GROUP BY cnt ORDER BY cnt
+"""
+
 # the WKB tile path must agree with the arithmetic oracle exactly; the
 # street-pipeline histogram is TYPE/z-level-determined -> SQL-transcribable
 ORACLES = {
     "s2_tile_assignment_wkb": spatial_sql._S2_SQL,
     "rlis_street_pipeline": _street_pipeline_sql(),
+    "rlis_dissolve_cc": _DISSOLVE_SQL,
 }
