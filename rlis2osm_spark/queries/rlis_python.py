@@ -240,3 +240,71 @@ ORACLES = {
     "rlis_street_pipeline": _street_pipeline_sql(),
     "rlis_dissolve_cc": _DISSOLVE_SQL,
 }
+
+
+def _basename_sql() -> str:
+    """Independent SQL transcription of the positional basename expansion
+    (P4-P6, reference expand.py:139-175) — moves rlis_basename_expand from
+    rows-only to oracle. Faithful to the quirks: periods stripped first,
+    '-'-split parts expanded independently, separator RUNS (len > 1) count
+    as words for position numbering, first/last dicts only when a part has
+    more than two words."""
+    from rlis2osm_spark.functions.expand import (
+        RLIS_SPECIAL_CASES, build_positional_dicts)
+    from rlis2osm_spark.queries.util import case_map
+
+    d = build_positional_dicts(RLIS_SPECIAL_CASES)
+    first = case_map(d["first"], "UPPER(tok)", else_sql="tok")
+    middle = case_map(d["middle"], "UPPER(tok)", else_sql="tok")
+    last = case_map(d["last"], "UPPER(tok)", else_sql="tok")
+    name = ("UPPER(CONCAT_WS(' ', ['MT','ST','US','NFD','JQ',NULL,NULL]"
+            "[1 + p_partkey % 7], p_name, "
+            f"{_FTYPE_LIST}[1 + p_partkey % 11]))")
+    return f"""
+WITH src AS (
+  SELECT p_partkey, {name} AS raw FROM part
+),
+parts AS (
+  SELECT s.p_partkey, s.raw, u.part_idx, trim(u.part) AS part
+  FROM src s, LATERAL (
+    SELECT unnest(string_split(replace(s.raw, '.', ''), '-')) AS part,
+           generate_subscripts(string_split(replace(s.raw, '.', ''), '-'), 1) AS part_idx
+  ) u
+),
+toks AS (
+  SELECT p.p_partkey, p.raw, p.part_idx, t.tok_idx, t.tok,
+         CASE WHEN t.tok NOT IN (' ', '/') THEN 1 ELSE 0 END AS is_word
+  FROM parts p LEFT JOIN LATERAL (
+    SELECT unnest(regexp_extract_all(p.part, '[ /]+|[^ /]+')) AS tok,
+           generate_subscripts(regexp_extract_all(p.part, '[ /]+|[^ /]+'), 1) AS tok_idx
+  ) t ON TRUE
+),
+pos AS (
+  SELECT *,
+    SUM(is_word) OVER (PARTITION BY p_partkey, part_idx ORDER BY tok_idx) AS wpos,
+    SUM(is_word) OVER (PARTITION BY p_partkey, part_idx) AS nw
+  FROM toks
+),
+ex AS (
+  SELECT *, CASE
+    WHEN is_word = 0 THEN tok
+    WHEN wpos = 1 AND nw > 2 THEN {first}
+    WHEN wpos = nw AND nw > 2 THEN {last}
+    ELSE {middle} END AS etok
+  FROM pos
+),
+reb AS (
+  SELECT p_partkey, raw, part_idx,
+         COALESCE(STRING_AGG(etok, '' ORDER BY tok_idx), '') AS rpart
+  FROM ex GROUP BY p_partkey, raw, part_idx
+)
+SELECT p_partkey, raw,
+       STRING_AGG(rpart, '-' ORDER BY part_idx) AS expanded
+FROM reb GROUP BY p_partkey, raw
+"""
+
+
+from rlis2osm_spark.queries.util import sql_str_list as _ssl  # noqa: E402
+
+_FTYPE_LIST = _ssl(FTYPES)
+ORACLES["rlis_basename_expand"] = _basename_sql()
