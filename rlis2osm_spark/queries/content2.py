@@ -285,8 +285,11 @@ FROM documents
 
 def neardup_lsh_engine(spark, sf_dir):
     """Production near-dup path: multi-table LSH OR-construction + exact
-    cosine verify (operators/similarity.py). Engine-seeded buckets ->
-    rows-only; recall asserted in pytest."""
+    cosine verify (operators/similarity.py). The derived input's ground
+    truth is analytic — every (i, 1000+i) shifted pair has cos ~0.998,
+    every cross pair < 0.5 — and the whole path is deterministic (seeded
+    LCG hyperplanes), so the expected-output oracle doubles as a standing
+    recall==1.0 assertion at the driver's gate."""
     from rlis2osm_spark.operators.similarity import cosine_neardup_pairs
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
@@ -363,3 +366,10 @@ FROM g
 
 
 ORACLES.update({"x3_quality_features": _x3_sql()})
+
+
+_NEARDUP_SQL = """
+SELECT vec_id AS doc_a, vec_id + 1000 AS doc_b
+FROM embeddings WHERE vec_id < 120
+"""
+ORACLES.update({"neardup_lsh_engine": _NEARDUP_SQL})

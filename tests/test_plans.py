@@ -111,3 +111,26 @@ def test_semi_anti_join_plan_forms(spark):
     assert "LeftAnti" in p16, p16
     # both keep the partial-aggregation split on the count
     assert "partial_count" in p04 or "HashAggregate" in p04
+
+
+def test_polygon_cell_join_is_cell_equijoin(spark):
+    """The polygon JOIN's candidate stage is a (cx, cy) equi-join; the only
+    Python is the per-candidate ray cast."""
+    from rlis2osm_spark.spatial.joins import polygon_cell_join
+    from rlis2osm_spark.spatial.tiles import TileGrid
+
+    g = TileGrid()
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (g.x0 + (F.col("id") * 97.0) % 9000).alias("x"),
+        (g.y0 + (F.col("id") * 71.0) % 9000).alias("y"))
+    polys = spark.createDataFrame(
+        [("p1", [{"x": g.x0 + 1000.0, "y": g.y0 + 1000.0},
+                 {"x": g.x0 + 5000.0, "y": g.y0 + 1000.0},
+                 {"x": g.x0 + 5000.0, "y": g.y0 + 5000.0},
+                 {"x": g.x0 + 1000.0, "y": g.y0 + 5000.0}])],
+        "polygon_id string, ring array<struct<x double, y double>>")
+    plan = _plan(polygon_cell_join(pts, polys, res=8))
+    assert "cx" in plan and "cy" in plan
+    assert "Join" in plan
+    assert plan.count("ArrowEvalPython") == 1  # ray cast only
