@@ -28,6 +28,9 @@ def main() -> int:
     ap.add_argument("--res", type=int, default=12)
     ap.add_argument("--no-resume", action="store_true",
                     help="invalidate existing snapshots first")
+    ap.add_argument("--osm", default=None, metavar="PATH",
+                    help="also write the single merged OSM XML artifact "
+                         "(reference main.py:248-257 emits one rlis.osm)")
     args = ap.parse_args()
 
     from rlis2osm_spark.datagen import ensure_dataset
@@ -58,10 +61,19 @@ def main() -> int:
     )
     rollup = tile_rollup(tiled)
 
+    osm_info = None
+    if args.osm:
+        from rlis2osm_spark import api
+
+        osm_info = api.to_osm_xml(
+            dissolved, os.path.join(args.out, args.run_id, "osm_fragments"),
+            merged=args.osm)
+
     print(json.dumps({
         "dissolved_ways": dissolved.count(),
         "tiled_docs": tiled.count(),
         "cells": rollup.count(),
+        "osm": osm_info,
         "lineage": ck.report(),
     }, indent=1, default=str))
     spark.stop()
