@@ -122,3 +122,40 @@ ORACLES = {
     "w2_sessionization": _W2_SQL,
     "w4_asof_enrichment": _W4_SQL,
 }
+
+
+def w5_session_window(spark, sf_dir):
+    """Catalyst's native session_window in batch mode — must reproduce the
+    w2 gaps-and-islands sessionization session-by-session (strict-gap
+    boundary). The streaming twin is streaming/stream_ops.session_windows."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start"),
+             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end"))
+        .select("user_id", "n_events", "start", "end")
+    )
+
+
+_W5_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS "end"
+FROM s GROUP BY user_id, session_seq
+"""
+
+QUERIES.update({"w5_session_window": w5_session_window})
+ORACLES.update({"w5_session_window": _W5_SQL})

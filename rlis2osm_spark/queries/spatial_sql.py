@@ -239,3 +239,64 @@ ORACLES = {
     "s5_knn_points": _S5_SQL,
     "s6_raster_vector": _S6_SQL,
 }
+
+
+def s7_polygon_join(spark, sf_dir):
+    """Distributed point-in-polygon JOIN (spatial/joins.polygon_cell_join):
+    polygon layer as a DataFrame, bbox-covering-cell candidates, generic
+    ray-cast verify, min-id winner. Polygons here are axis-aligned squares
+    derived from nation keys so the SQL oracle is a trivial containment
+    test — while the Spark side still runs the generic ray-cast path."""
+    from rlis2osm_spark.spatial.joins import polygon_cell_join
+
+    pts = _doc_points(spark, sf_dir)
+    nation = load(spark, sf_dir, "nation")
+    # 25 squares tiling part of the extent, some overlapping
+    sq = nation.select(
+        F.concat(F.lit("poly"), F.format_string("%02d", "n_nationkey"))
+        .alias("polygon_id"),
+        ((F.col("n_nationkey") % 5) * 70000.0).alias("x0"),
+        (F.expr("n_nationkey div 5") * 70000.0).alias("y0"),
+    )
+    polys = sq.select(
+        "polygon_id",
+        F.array(
+            F.struct(F.col("x0").alias("x"), F.col("y0").alias("y")),
+            F.struct((F.col("x0") + 90000.0).alias("x"), F.col("y0").alias("y")),
+            F.struct((F.col("x0") + 90000.0).alias("x"),
+                     (F.col("y0") + 90000.0).alias("y")),
+            F.struct(F.col("x0").alias("x"), (F.col("y0") + 90000.0).alias("y")),
+        ).alias("ring"),
+    )
+    out = polygon_cell_join(
+        pts.filter(F.col("doc_id") < 2000), polys, res=5, grid=GRID)
+    return out.select("doc_id", "polygon_id")
+
+
+# Ray-cast semantics on an axis-aligned CCW square: strictly inside counts;
+# the even-odd rule with the `px < xint` strict test excludes the right and
+# top edges and includes left/bottom — i.e. the half-open cell
+# [x0, x0+w) x (y0, y0+w]. Oracle transcribes that half-open box directly.
+_S7_SQL = f"""
+WITH pts AS ({_DOC_POINTS_SQL}),
+sq AS (
+  SELECT 'poly' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS polygon_id,
+         (n_nationkey % 5) * 70000.0 AS x0,
+         (n_nationkey // 5) * 70000.0 AS y0
+  FROM nation
+),
+hit AS (
+  SELECT p.doc_id, s.polygon_id
+  FROM pts p JOIN sq s
+    ON p.x >= s.x0 AND p.x < s.x0 + 90000.0
+   AND p.y > s.y0 AND p.y <= s.y0 + 90000.0
+  WHERE p.doc_id < 2000
+)
+SELECT p.doc_id, MIN(h.polygon_id) AS polygon_id
+FROM (SELECT doc_id FROM pts WHERE doc_id < 2000) p
+LEFT JOIN hit h ON p.doc_id = h.doc_id
+GROUP BY p.doc_id
+"""
+
+QUERIES.update({"s7_polygon_join": s7_polygon_join})
+ORACLES.update({"s7_polygon_join": _S7_SQL})
