@@ -240,6 +240,7 @@ def cosine_neardup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family, build brief).
 
@@ -249,6 +250,13 @@ def cosine_neardup_pairs(
     1 - theta/pi. Candidates come from ONE self-join on (table, bucket)
     (the table id is exploded into the key — no per-table job), then the
     exact cosine verifies. Never all-pairs; the verify set is tiny.
+
+    ``max_bucket`` is the hot-bucket skew guard (same contract as
+    minhash's): a bucket holding a dense cluster is an O(n^2) reducer, so
+    buckets wider than the cap are dropped from candidate generation —
+    loudly, via the returned ``(pairs, Observation)`` with
+    ``hot_bucket_rows``. Recall is preserved for any pair that also shares
+    a non-hot bucket in another table (the OR-construction's job).
     """
     v = df.select(F.col(id_col).alias("_id"),
                   as_double_vec(F.col(vec_col)).alias("v"))
@@ -262,6 +270,19 @@ def cosine_neardup_pairs(
             for t in range(n_tables)
         ])).alias("tb"),
     ).select("_id", "v", "tb.tbl", "tb.bucket")
+    obs = None
+    if max_bucket is not None:
+        from pyspark.sql import Observation
+
+        tagged = tagged.withColumn(
+            "_bn", F.count("*").over(
+                Window.partitionBy("tbl", "bucket")))
+        obs = Observation("neardup_hot_buckets")
+        tagged = tagged.observe(
+            obs,
+            F.sum((F.col("_bn") > max_bucket).cast("long"))
+            .alias("hot_bucket_rows"))
+        tagged = tagged.filter(F.col("_bn") <= max_bucket).drop("_bn")
     a, b = tagged.alias("a"), tagged.alias("b")
     cands = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
@@ -271,11 +292,12 @@ def cosine_neardup_pairs(
                 F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return (
+    pairs = (
         cands.withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
     )
+    return pairs if obs is None else (pairs, obs)
 
 
 def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 1234567):

@@ -247,6 +247,7 @@ def polygon_cell_join(
     y_col: str = "y",
     poly_id: str = "polygon_id",
     ring_col: str = "ring",
+    max_cells_per_polygon: int = 100_000,
 ) -> DataFrame:
     """Distributed point-in-polygon JOIN — the scale path when the polygon
     layer is itself a big DataFrame (``point_in_polygon`` takes a small
@@ -271,6 +272,20 @@ def polygon_cell_join(
     ix1 = F.floor((fmax(xs) - grid.x0) / size).cast("int")
     iy0 = F.floor((fmin(ys) - grid.y0) / size).cast("int")
     iy1 = F.floor((fmax(ys) - grid.y0) / size).cast("int")
+    # loud guard: a continent-sized polygon at fine res would explode into
+    # millions of covering cells (the silent-blowup failure mode at 100 TB);
+    # fail with the offending id instead — the fix is a coarser res for the
+    # big-polygon stratum, not a bigger cluster. The check lives INSIDE the
+    # exploded expression so plan pruning can't skip it (same lazy-engine
+    # caveat as the strict TYPE->highway lookup).
+    n_cells = (ix1 - ix0 + 1).cast("long") * (iy1 - iy0 + 1).cast("long")
+    ix0 = F.when(
+        n_cells > max_cells_per_polygon,
+        F.raise_error(F.concat(
+            F.lit(f"polygon exceeds max_cells_per_polygon="
+                  f"{max_cells_per_polygon} at res={res}: "),
+            F.col(poly_id))).cast("int"),
+    ).otherwise(ix0)
     cells = (
         polygons.select(poly_id, ring_col,
                         F.explode(F.sequence(ix0, ix1)).alias("cx"),

@@ -292,3 +292,27 @@ def test_lsh_bucket_udf_high_dim(spark):
     e = {r.vec_id: r.b for r in b_expr.collect()}
     u = {r.vec_id: r.b for r in b_udf.collect()}
     assert e == u
+
+
+def test_neardup_hot_bucket_cap(spark):
+    """A dense cluster (one hot bucket) is dropped loudly from candidates;
+    pairs still found via other tables' buckets stay."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    base = rng.randn(10, 16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(10)]
+    rows += [(1000 + i, [float(x + 0.01) for x in base[i]]) for i in range(10)]
+    # dense cluster: 200 copies of one direction (hot in EVERY table)
+    hot = np.abs(rng.randn(16))
+    rows += [(5000 + j, [float(x * (1 + j * 1e-6)) for x in hot])
+             for j in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs, obs = similarity.cosine_neardup_pairs(
+        df, dim=16, threshold=0.95, n_tables=8, n_planes=5, max_bucket=50)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    m = obs.get
+    assert m["hot_bucket_rows"] > 0
+    # cluster pairs were capped away; the sparse near-dups survive
+    assert not any(a >= 5000 and b >= 5000 for a, b in got)
+    assert {(i, 1000 + i) for i in range(10)} <= got

@@ -174,3 +174,29 @@ def test_polygon_cell_join_matches_broadcast_pip(spark):
     assert got == want
     assert set(filter(None, got.values())) == {"p1", "p2"}
     assert any(v is None for v in got.values())  # some points in none
+
+
+def test_polygon_cell_join_cell_explosion_guard(spark):
+    """A polygon covering more cells than the cap must fail loudly (the
+    100 TB silent-blowup mode), with the offending polygon id."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from rlis2osm_spark.spatial.joins import polygon_cell_join
+    from rlis2osm_spark.spatial.tiles import TileGrid
+
+    g = TileGrid()
+    pts = spark.createDataFrame(
+        [(0, g.x0 + 10.0, g.y0 + 10.0)], "pid long, x double, y double")
+    giant = spark.createDataFrame(
+        [("pg", [{"x": g.x0, "y": g.y0},
+                 {"x": g.x0 + g.extent, "y": g.y0},
+                 {"x": g.x0 + g.extent, "y": g.y0 + g.extent},
+                 {"x": g.x0, "y": g.y0 + g.extent}])],
+        "polygon_id string, ring array<struct<x double, y double>>")
+    with pytest.raises(SparkRuntimeException, match="max_cells_per_polygon"):
+        polygon_cell_join(pts, giant, res=10,
+                          max_cells_per_polygon=1000).collect()
+    # a generous cap passes
+    out = polygon_cell_join(pts, giant, res=4).collect()
+    assert out[0].polygon_id == "pg"
