@@ -101,3 +101,53 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
         F.sum(F.pmod("th", F.lit(2147483647))).alias("fp_sum"),
         F.count("*").alias("n_tokens"),
     )
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", window: int = 4,
+                        n_keep: int = 8, base: int = 31,
+                        prime: int = 2147483647) -> DataFrame:
+    """Winnowing-style document fingerprint via polynomial rolling hashes.
+
+    Each ``window``-gram of word ids gets the Rabin-Karp polynomial hash
+    ``sum(wid[i+j] * base^(window-1-j)) mod prime`` (computed with lead()
+    columns — vectorized and native; "rolling" reuse is an implementation
+    detail of sequential scanners, not a semantic), and the document's
+    fingerprint is its ``n_keep`` smallest window hashes — a stable sketch:
+    editing one region disturbs only nearby windows, so near-identical
+    documents share most of their min-hashes. This production path derives
+    word ids via xxhash64; the oracle query (x7_rolling_fingerprint) runs
+    the same core over deterministic vocabulary ids DuckDB reproduces."""
+    toks = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "t")
+    ).filter(F.col("t") != "")
+    wid = toks.withColumn("wid", F.pmod(F.xxhash64("t"), F.lit(prime)))
+    return rolling_fingerprint_from_ids(
+        wid, id_col=id_col, window=window, n_keep=n_keep,
+        base=base, prime=prime)
+
+
+def rolling_fingerprint_from_ids(wid_df: DataFrame, id_col: str = "doc_id",
+                                 window: int = 4, n_keep: int = 8,
+                                 base: int = 31,
+                                 prime: int = 2147483647) -> DataFrame:
+    """Core winnowing over an (id_col, pos, wid) frame — shared by the
+    production path (xxhash64 ids) and the oracle path (derived ids)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    terms = []
+    for j in range(window):
+        c = F.col("wid") if j == 0 else F.lead("wid", j).over(w)
+        terms.append(c.cast("long") * (base ** (window - 1 - j)))
+    hash_expr = F.pmod(sum(terms[1:], terms[0]), F.lit(prime))
+    hashes = (
+        wid_df.withColumn("whash", hash_expr)
+        .filter(F.col("whash").isNotNull())  # tail positions lack a full gram
+    )
+    return (
+        hashes.groupBy(id_col)
+        .agg(F.slice(F.array_sort(F.collect_set("whash")), 1, n_keep)
+             .alias("fingerprint"),
+             F.count("*").alias("n_windows"))
+    )

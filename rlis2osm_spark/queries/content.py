@@ -415,3 +415,45 @@ ORACLES = {
     "x1_text_quality": _X1_SQL,
     "x2_fingerprint": _X2_SQL,
 }
+
+
+def x7_rolling_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint (rolling w-gram hashes, min-k sketch) over
+    deterministic vocabulary ids so DuckDB reproduces it exactly; the
+    xxhash64 production twin is operators/textstats.rolling_fingerprint."""
+    from rlis2osm_spark.operators.textstats import rolling_fingerprint_from_ids
+
+    wid = _word_ids(_words(spark, sf_dir, limit=200)).select(
+        "doc_id", "pos", F.col("wid").cast("long").alias("wid"))
+    out = rolling_fingerprint_from_ids(wid, window=4, n_keep=8)
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform("fingerprint",
+                                 lambda h: h.cast("string")), ",")
+        .alias("fingerprint"),
+        "n_windows")
+
+
+_X7_SQL = f"""
+WITH wid AS (SELECT doc_id, pos, wid FROM ({_WORD_IDS_SQL.format(words=_WORDS_SQL.format(where="WHERE doc_id < 200"))})),
+h AS (
+  SELECT doc_id, pos,
+         (wid * {31 ** 3}
+          + LEAD(wid, 1) OVER (PARTITION BY doc_id ORDER BY pos) * {31 ** 2}
+          + LEAD(wid, 2) OVER (PARTITION BY doc_id ORDER BY pos) * 31
+          + LEAD(wid, 3) OVER (PARTITION BY doc_id ORDER BY pos)) % 2147483647 AS whash
+  FROM wid
+),
+k AS (SELECT doc_id, whash FROM h WHERE whash IS NOT NULL),
+fp AS (
+  SELECT doc_id,
+         list_aggregate(list_slice(list_sort(list_distinct(list(whash))), 1, 8),
+                        'string_agg', ',') AS fingerprint,
+         COUNT(*) AS n_windows
+  FROM k GROUP BY doc_id
+)
+SELECT doc_id, fingerprint, n_windows FROM fp
+"""
+
+QUERIES.update({"x7_rolling_fingerprint": x7_rolling_fingerprint})
+ORACLES.update({"x7_rolling_fingerprint": _X7_SQL})

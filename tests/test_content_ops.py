@@ -316,3 +316,21 @@ def test_neardup_hot_bucket_cap(spark):
     # cluster pairs were capped away; the sparse near-dups survive
     assert not any(a >= 5000 and b >= 5000 for a, b in got)
     assert {(i, 1000 + i) for i in range(10)} <= got
+
+
+def test_rolling_fingerprint_stability(spark):
+    """Winnowing property: a local edit changes only nearby windows, so the
+    min-k fingerprints of near-identical docs overlap heavily; unrelated
+    docs share ~nothing."""
+    base_text = " ".join(f"w{i}" for i in range(60))
+    edited = base_text.replace("w30", "EDITED")
+    other = " ".join(f"z{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, base_text), (1, edited), (2, other)], "doc_id long, text string")
+    out = {r.doc_id: set(r.fingerprint)
+           for r in textstats.rolling_fingerprint(docs, n_keep=12).collect()}
+    assert len(out[0] & out[1]) >= 8   # local edit: most min-hashes survive
+    assert len(out[0] & out[2]) == 0   # disjoint vocab: no overlap
+    n_win = {r.doc_id: r.n_windows
+             for r in textstats.rolling_fingerprint(docs).collect()}
+    assert n_win[0] == 57  # 60 tokens, window 4 -> 57 full grams
