@@ -140,3 +140,12 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes",
              F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end"))
         .select("user_id", "n_events", "start", "end")
     )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame,
+                  on: str = "user_id", how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: the static dimension is re-read per
+    micro-batch (picking up slowly-changing updates) and broadcast by
+    Catalyst when small — the standard feature-enrichment shape (events x
+    user profile). No state: the join is per-batch."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -146,3 +146,42 @@ def test_streaming_session_windows_match_batch_islands(spark, stream_src,
         (r.user_id, r.n_events, r.start, r.end)
         for r in batch.collect())
     assert got == want and len(want) > 100
+
+
+def test_stream_static_enrichment(spark, stream_src, tmp_path):
+    dim = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 5).alias("cohort"))
+    stream = stream_ops.read_event_stream(spark, stream_src)
+    enriched = stream_ops.enrich_stream(stream, dim).groupBy("cohort").count()
+    stream_ops.run_available_now(enriched, str(tmp_path / "ck_en"), "stream_en")
+    got = {r.cohort: r["count"]
+           for r in spark.sql("select * from stream_en").collect()}
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {r.cohort: r["count"]
+            for r in ev.join(dim, "user_id", "left")
+            .groupBy("cohort").count().collect()}
+    assert got == want
+
+
+def test_checkpoint_partial_write_not_served(spark, tmp_path):
+    """A data directory without a committed manifest (crash mid-write) must
+    be rebuilt, never served."""
+    import os
+
+    from rlis2osm_spark.plans.checkpoint import Checkpointer
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(9)
+
+    ck = Checkpointer(spark, str(tmp_path), "crash")
+    ck.stage("s", build)
+    assert len(calls) == 1
+    # simulate a crash: data present, manifest gone
+    os.remove(tmp_path / "crash" / "s" / "_manifest.json")
+    out = Checkpointer(spark, str(tmp_path), "crash").stage("s", build)
+    assert len(calls) == 2 and out.count() == 9
