@@ -30,7 +30,6 @@ from xml.sax.saxutils import escape, quoteattr
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from rlis2osm_spark.functions import wkb

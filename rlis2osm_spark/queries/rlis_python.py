@@ -37,7 +37,12 @@ def rlis_basename_expand(spark, sf_dir):
 
 
 def rlis_titlecase_names(spark, sf_dir):
-    """P7: titlecase port over lowered names (pandas UDF)."""
+    """P7: titlecase port (pandas UDF). Oracle-checked since r2 as an
+    expected-output oracle: the derived input domain (TPC-H part-name
+    words + 'ST') contains no titlecase special cases — no small words,
+    apostrophes, Mc-prefixes or mixed-case protections — so the ground
+    truth is per-word initcap; the algorithm's quirks themselves are
+    pinned by tests/test_titlecase.py goldens."""
     ensure_package_on_workers(spark)
     from rlis2osm_spark.functions.expand import make_titlecase_udf
 
@@ -308,3 +313,13 @@ from rlis2osm_spark.queries.util import sql_str_list as _ssl  # noqa: E402
 
 _FTYPE_LIST = _ssl(FTYPES)
 ORACLES["rlis_basename_expand"] = _basename_sql()
+
+_TITLECASE_SQL = """
+SELECT p_partkey,
+       list_aggregate(
+         list_transform(string_split(upper(p_name || ' ST'), ' '),
+                        w -> upper(w[1]) || lower(w[2:])),
+         'string_agg', ' ') AS name
+FROM part
+"""
+ORACLES["rlis_titlecase_names"] = _TITLECASE_SQL

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
 from rlis2osm_spark.queries.util import load
-from rlis2osm_spark.queries.spatial_sql import GRID, RES, _AX, _AY, _EXT
+from rlis2osm_spark.queries.spatial_sql import GRID, _AX, _AY, _EXT
 from rlis2osm_spark.spatial.tiles import (
     explode_ring_coords,
     grid_coords,
