@@ -190,14 +190,26 @@ def rlis_dissolve_cc(spark, sf_dir):
 
 
 def minhash_dedup_xxhash(spark, sf_dir):
-    """Production-path MinHash: shingle hashing via xxhash64 (no global
-    vocabulary rank, scales to 100 TB). Engine-specific hash -> rows-only."""
+    """Production-path MinHash: 3-word-shingle hashing via xxhash64 (no
+    global vocabulary rank, scales to 100 TB). Engine-specific hash ->
+    rows-only. (r2 fix: this hashed single WORDS while claiming shingles —
+    unigram profiles made ~80% of all doc pairs candidates, an all-pairs
+    blowup in disguise; true shingles keep candidates to near-dups.)"""
+    from pyspark.sql import Window as W
+
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    sh = words.withColumn(
-        "h", F.pmod(F.xxhash64(F.col("w")), F.lit(2147483647))
-    ).select("doc_id", "h").distinct()
+    w_ = W.partitionBy("doc_id").orderBy("pos")
+    shingle = F.concat_ws(
+        " ", F.col("w"), F.lead("w", 1).over(w_), F.lead("w", 2).over(w_))
+    sh = (
+        words.withColumn("shingle", shingle)
+        .filter(F.size(F.split("shingle", " ")) == 3)
+        .withColumn("h", F.pmod(F.xxhash64(F.col("shingle")),
+                                F.lit(2147483647)))
+        .select("doc_id", "h").distinct()
+    )
     h = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
