@@ -49,5 +49,8 @@ def to_osm_xml(df: DataFrame, out_dir: str, merged: str | None = None):
     stats = write_osm_xml(repair_and_filter_tags(df), out_dir)
     if merged is None:
         return stats
-    stats.collect()  # materialize the distributed fragment write
-    return merge_fragments(out_dir, merged)
+    rows = stats.collect()  # materialize the distributed fragment write
+    info = merge_fragments(out_dir, merged)
+    # keep the loud-row-loss channel: surface skipped null geometries
+    info["n_null_geoms"] = int(sum(r.n_null_geoms for r in rows))
+    return info

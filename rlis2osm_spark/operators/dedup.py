@@ -128,18 +128,26 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         from pyspark.sql import Observation
 
-        sh = sh.withColumn(
+        wide = sh.withColumn(
             "_df", F.count("*").over(Window.partitionBy("shingle")))
         obs = Observation("ngram_jaccard_hot_shingles")
-        sh = sh.observe(
+        # attach the observation to the SIZES branch only: sh feeds three
+        # subtrees (sizes + both self-join sides), and duplicated observe
+        # nodes under subplan/exchange reuse can leave the surviving
+        # CollectMetrics instance unexecuted (metrics read as zero). The
+        # sizes subtree always executes exactly once.
+        observed_wide = wide.observe(
             obs,
             F.sum((F.col("_df") > max_df).cast("long")).alias("hot_shingle_rows"),
             # DISTINCT aggs are disallowed in observed metrics; HLL is fine
             F.approx_count_distinct(
                 F.when(F.col("_df") > max_df, F.col("shingle"))).alias("hot_shingles"),
         )
-        sh = sh.filter(F.col("_df") <= max_df).drop("_df")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        sizes_src = observed_wide.filter(F.col("_df") <= max_df).drop("_df")
+        sh = wide.filter(F.col("_df") <= max_df).drop("_df")
+    else:
+        sizes_src = sh
+    sizes = sizes_src.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -247,11 +247,17 @@ def dissolve_ways(
         comps = _comps_iterative(nodes, df.select("way_id"))
     elif algorithm == "unionfind":
         comps = _comps_unionfind(nodes, n_parts)
-    else:  # auto: route only degenerate groups to the iterative path
+    else:  # auto: route only degenerate groups to the iterative path.
+        # NOTE: the routing decision needs the group-size distribution, so
+        # "auto" runs ONE planning-time Spark job here (map-side-combined
+        # count + the big-key collect into cache). Plan-only callers that
+        # must stay action-free should pass algorithm="unionfind".
         sizes = df.groupBy("group_key").agg(F.count("*").alias("_gsz"))
         big_keys = sizes.filter(F.col("_gsz") > max_group_rows).select(
-            "group_key")
-        if big_keys.limit(1).count() == 0:
+            "group_key").persist()
+        n_big = big_keys.count()  # materializes the cache for the 3 reuses
+        if n_big == 0:
+            big_keys.unpersist()
             comps = _comps_unionfind(nodes, n_parts)
         else:
             small_n = nodes.join(big_keys, "group_key", "left_anti")

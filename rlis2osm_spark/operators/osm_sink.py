@@ -63,8 +63,17 @@ def write_osm_xml(
     ``tags`` column with ''/null values already dropped (S9 semantics).
     ``reproject=True`` converts EPSG:2913 feet to WGS84 lat/lon (the
     reference's ``ogr2osm -e 2913`` step); False keeps source coordinates
-    (debug only — not valid OSM XML)."""
+    (debug only — not valid OSM XML).
+
+    Pre-existing ``part-*.osm`` fragments in ``out_dir`` are removed first:
+    a rerun with fewer partitions would otherwise leave stale fragments
+    that merge_fragments would silently include (duplicate ways, reused
+    way-id ranges)."""
+    import glob as _glob
+
     os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(os.path.join(out_dir, "part-*.osm")):
+        os.remove(stale)
 
     def serialize(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -87,6 +96,12 @@ def write_osm_xml(
                 for line in wkb.decode_lines(bytes(geom)):
                     for x, y in line:
                         nid = _node_id(float(x), float(y))
+                        prev = nodes.get(nid)
+                        if prev is not None and prev != (float(x), float(y)):
+                            # same loud-collision contract as the merge
+                            raise ValueError(
+                                f"node id collision within fragment: {nid} "
+                                f"for {prev} vs {(float(x), float(y))}")
                         nodes[nid] = (float(x), float(y))
                         refs.append(nid)
                 ways.append((wid, refs, dict(tags)))

@@ -271,19 +271,23 @@ def cosine_neardup_pairs(
         ])).alias("tb"),
     ).select("_id", "v", "tb.tbl", "tb.bucket")
     obs = None
+    left = right = tagged
     if max_bucket is not None:
         from pyspark.sql import Observation
 
-        tagged = tagged.withColumn(
+        wide = tagged.withColumn(
             "_bn", F.count("*").over(
                 Window.partitionBy("tbl", "bucket")))
         obs = Observation("neardup_hot_buckets")
-        tagged = tagged.observe(
+        # observe ONE join side only — duplicated observe nodes under
+        # subplan reuse can report zeros (see dedup.ngram_jaccard_pairs)
+        left = wide.observe(
             obs,
             F.sum((F.col("_bn") > max_bucket).cast("long"))
-            .alias("hot_bucket_rows"))
-        tagged = tagged.filter(F.col("_bn") <= max_bucket).drop("_bn")
-    a, b = tagged.alias("a"), tagged.alias("b")
+            .alias("hot_bucket_rows")
+        ).filter(F.col("_bn") <= max_bucket).drop("_bn")
+        right = wide.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    a, b = left.alias("a"), right.alias("b")
     cands = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                & (F.col("a.bucket") == F.col("b.bucket"))

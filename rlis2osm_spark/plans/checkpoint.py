@@ -68,13 +68,13 @@ class Checkpointer:
             elif os.path.isdir(inp):
                 files = sorted(
                     (os.path.relpath(p, inp), os.path.getsize(p),
-                     int(os.path.getmtime(p)))
+                     os.stat(p).st_mtime_ns)  # ns: same-second rewrites count
                     for p in glob.glob(os.path.join(inp, "**"), recursive=True)
                     if os.path.isfile(p))
                 parts.append(("dir", inp, files))
             elif os.path.isfile(inp):
                 parts.append(("file", inp, os.path.getsize(inp),
-                              int(os.path.getmtime(inp))))
+                              os.stat(inp).st_mtime_ns))
             else:
                 parts.append(("missing", inp))
         return blake2b(

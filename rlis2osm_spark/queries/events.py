@@ -138,11 +138,15 @@ def w5_session_window(spark, sf_dir):
     )
 
 
+# session_window merges at diff <= gap INCLUSIVE, at full microsecond
+# precision (verified empirically: diff == 30min merges, +1us splits) —
+# so the oracle uses an exact interval comparison, NOT the second-floored
+# epoch arithmetic of the w2 islands transcription.
 _W5_SQL = """
 WITH g AS (
   SELECT user_id, ts,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),

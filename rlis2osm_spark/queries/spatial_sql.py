@@ -273,10 +273,10 @@ def s7_polygon_join(spark, sf_dir):
     return out.select("doc_id", "polygon_id")
 
 
-# Ray-cast semantics on an axis-aligned CCW square: strictly inside counts;
-# the even-odd rule with the `px < xint` strict test excludes the right and
-# top edges and includes left/bottom — i.e. the half-open cell
-# [x0, x0+w) x (y0, y0+w]. Oracle transcribes that half-open box directly.
+# Ray-cast semantics on an axis-aligned CCW square (verified empirically):
+# the even-odd rule with the strict `px < xint` / `ey > py` tests includes
+# the left and BOTTOM edges and excludes right and top — the half-open box
+# [x0, x0+w) x [y0, y0+w). Oracle transcribes exactly that.
 _S7_SQL = f"""
 WITH pts AS ({_DOC_POINTS_SQL}),
 sq AS (
@@ -289,7 +289,7 @@ hit AS (
   SELECT p.doc_id, s.polygon_id
   FROM pts p JOIN sq s
     ON p.x >= s.x0 AND p.x < s.x0 + 90000.0
-   AND p.y > s.y0 AND p.y <= s.y0 + 90000.0
+   AND p.y >= s.y0 AND p.y < s.y0 + 90000.0
   WHERE p.doc_id < 2000
 )
 SELECT p.doc_id, MIN(h.polygon_id) AS polygon_id

@@ -124,3 +124,24 @@ def test_projection_roundtrip():
     rl, rp = feet_to_lonlat(*lonlat_to_feet(lons, lats))
     assert np.max(np.abs(rl - lons)) < 1e-9
     assert np.max(np.abs(rp - lats)) < 1e-9
+
+
+def test_rerun_with_fewer_partitions_drops_stale_fragments(spark, synth_dir,
+                                                           tmp_path):
+    """A rerun into the same out_dir with fewer partitions must not leave
+    stale fragments for the merge to silently double-count."""
+    streets = spark.read.parquet(f"{synth_dir}/streets.parquet")
+    trails = spark.read.parquet(f"{synth_dir}/trails.parquet")
+    bikes = spark.read.parquet(f"{synth_dir}/bike_routes.parquet")
+    out = repair_and_filter_tags(combine(streets, trails, bikes))
+    n = out.count()
+    d = str(tmp_path / "osm")
+    write_osm_xml(out.repartition(4), d).collect()
+    assert len(glob.glob(f"{d}/part-*.osm")) == 4
+    write_osm_xml(out.coalesce(2), d).collect()  # rerun, fewer partitions
+    assert len(glob.glob(f"{d}/part-*.osm")) == 2
+
+    from rlis2osm_spark.operators.osm_sink import merge_fragments
+
+    info = merge_fragments(d, str(tmp_path / "rlis.osm"))
+    assert info["n_ways"] == n  # not doubled by stale fragments

@@ -130,9 +130,11 @@ def test_streaming_tile_rollup_matches_batch(spark, tmp_path):
 
 def test_streaming_session_windows_match_batch_islands(spark, stream_src,
                                                        tmp_path):
-    """Native session_window streaming == the w2 gaps-and-islands batch
-    sessionization (same strict-gap boundary), session-by-session."""
-    from rlis2osm_spark.queries.events import w2_sessionization
+    """Native session_window streaming == the batch session_window query
+    (identical microsecond-exact gap semantics), session-by-session. (w2's
+    islands use second-floored epochs — a deliberately different truncation
+    — so w5, not w2, is the correct twin.)"""
+    from rlis2osm_spark.queries.events import w5_session_window
 
     stream = stream_ops.read_event_stream(spark, stream_src)
     sess = stream_ops.session_windows(stream, gap="30 minutes")
@@ -141,7 +143,7 @@ def test_streaming_session_windows_match_batch_islands(spark, stream_src,
         (r.user_id, r.n_events, r.start, r.end)
         for r in spark.sql("select * from stream_sess").collect())
 
-    batch = w2_sessionization(spark, SF_DIR)
+    batch = w5_session_window(spark, SF_DIR)
     want = sorted(
         (r.user_id, r.n_events, r.start, r.end)
         for r in batch.collect())
