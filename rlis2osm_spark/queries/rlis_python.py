@@ -190,47 +190,14 @@ def rlis_dissolve_cc(spark, sf_dir):
 
 
 def minhash_dedup_xxhash(spark, sf_dir):
-    """Production-path MinHash: 3-word-shingle hashing via xxhash64 (no
-    global vocabulary rank, scales to 100 TB). Engine-specific hash ->
-    rows-only. (r2 fix: this hashed single WORDS while claiming shingles —
-    unigram profiles made ~80% of all doc pairs candidates, an all-pairs
-    blowup in disguise; true shingles keep candidates to near-dups.)"""
-    from pyspark.sql import Window as W
+    """Production MinHash at the high-precision configuration (16 hashes x
+    8 bands = 2 rows/band over xxhash64 3-word shingles) — the same engine
+    operator d5 runs at 8x4; two points on the precision/recall curve.
+    Engine-specific hash -> rows-only."""
+    from rlis2osm_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    w_ = W.partitionBy("doc_id").orderBy("pos")
-    shingle = F.concat_ws(
-        " ", F.col("w"), F.lead("w", 1).over(w_), F.lead("w", 2).over(w_))
-    sh = (
-        words.withColumn("shingle", shingle)
-        .filter(F.size(F.split("shingle", " ")) == 3)
-        .withColumn("h", F.pmod(F.xxhash64(F.col("shingle")),
-                                F.lit(2147483647)))
-        .select("doc_id", "h").distinct()
-    )
-    h = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
-        F.col("h"))
-    hv = h.withColumn(
-        "hv", F.pmod((F.lit(2) * F.col("i") + 1) * F.col("h")
-                     + F.col("i") * 40503 + 17, F.lit(2147483647)))
-    sig = hv.groupBy("doc_id", "i").agg(F.min("hv").alias("mh"))
-    band = sig.withColumn("band", F.expr("i div 2"))
-    bkey = band.groupBy("doc_id", "band").agg(
-        F.array_join(F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "mh"))),
-            lambda s: s["mh"].cast("string")), ",").alias("bucket"))
-    a, b = bkey.alias("a"), bkey.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b")).distinct()
-    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(docs, n_hashes=16, n_bands=8)
 
 
 QUERIES = {

@@ -300,3 +300,72 @@ GROUP BY p.doc_id
 
 QUERIES.update({"s7_polygon_join": s7_polygon_join})
 ORACLES.update({"s7_polygon_join": _S7_SQL})
+
+
+def s8_segment_intersection(spark, sf_dir):
+    """Line-segment intersection join (street-crossing detection shape):
+    bbox-cell candidates -> native orientation-test predicate -> pair
+    dedup. Integer-valued coordinates make every cross product exact, so
+    the brute-force SQL transcription is bit-identical; identical results
+    prove the cell candidate generation loses no intersecting pair."""
+    from rlis2osm_spark.spatial.joins import segment_intersection_join
+
+    k = F.col("o_orderkey")
+    left = load(spark, sf_dir, "orders").filter(k % 5 == 0).select(
+        k.alias("lid"),
+        ((k * 37) % 4000).cast("double").alias("lx1"),
+        ((k * 53) % 4000).cast("double").alias("ly1"),
+        ((k * 37) % 4000 + 20 + k % 30).cast("double").alias("lx2"),
+        ((k * 53) % 4000 - 40 + (k * 3) % 80).cast("double").alias("ly2"),
+    )
+    p = F.col("p_partkey")
+    right = load(spark, sf_dir, "part").select(
+        p.alias("rid"),
+        ((p * 41) % 4000).cast("double").alias("rx1"),
+        ((p * 59) % 4000).cast("double").alias("ry1"),
+        ((p * 41) % 4000 + 15 + p % 25).cast("double").alias("rx2"),
+        ((p * 59) % 4000 + 35 - (p * 7) % 70).cast("double").alias("ry2"),
+    )
+    return segment_intersection_join(left, right, res=8, grid=GRID)
+
+
+_S8_SQL = """
+WITH l AS (
+  SELECT o_orderkey AS lid,
+         CAST((o_orderkey * 37) % 4000 AS DOUBLE) AS lx1,
+         CAST((o_orderkey * 53) % 4000 AS DOUBLE) AS ly1,
+         CAST((o_orderkey * 37) % 4000 + 20 + o_orderkey % 30 AS DOUBLE) AS lx2,
+         CAST((o_orderkey * 53) % 4000 - 40 + (o_orderkey * 3) % 80 AS DOUBLE) AS ly2
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+r AS (
+  SELECT p_partkey AS rid,
+         CAST((p_partkey * 41) % 4000 AS DOUBLE) AS rx1,
+         CAST((p_partkey * 59) % 4000 AS DOUBLE) AS ry1,
+         CAST((p_partkey * 41) % 4000 + 15 + p_partkey % 25 AS DOUBLE) AS rx2,
+         CAST((p_partkey * 59) % 4000 + 35 - (p_partkey * 7) % 70 AS DOUBLE) AS ry2
+  FROM part
+),
+o AS (
+  SELECT lid, rid,
+    sign((lx2-lx1)*(ry1-ly1) - (ly2-ly1)*(rx1-lx1)) AS o1,
+    sign((lx2-lx1)*(ry2-ly1) - (ly2-ly1)*(rx2-lx1)) AS o2,
+    sign((rx2-rx1)*(ly1-ry1) - (ry2-ry1)*(lx1-rx1)) AS o3,
+    sign((rx2-rx1)*(ly2-ry1) - (ry2-ry1)*(lx2-rx1)) AS o4,
+    lx1, ly1, lx2, ly2, rx1, ry1, rx2, ry2
+  FROM l, r
+)
+SELECT lid, rid FROM o
+WHERE (o1 * o2 < 0 AND o3 * o4 < 0)
+   OR (o1 = 0 AND rx1 BETWEEN LEAST(lx1,lx2) AND GREATEST(lx1,lx2)
+              AND ry1 BETWEEN LEAST(ly1,ly2) AND GREATEST(ly1,ly2))
+   OR (o2 = 0 AND rx2 BETWEEN LEAST(lx1,lx2) AND GREATEST(lx1,lx2)
+              AND ry2 BETWEEN LEAST(ly1,ly2) AND GREATEST(ly1,ly2))
+   OR (o3 = 0 AND lx1 BETWEEN LEAST(rx1,rx2) AND GREATEST(rx1,rx2)
+              AND ly1 BETWEEN LEAST(ry1,ry2) AND GREATEST(ry1,ry2))
+   OR (o4 = 0 AND lx2 BETWEEN LEAST(rx1,rx2) AND GREATEST(rx1,rx2)
+              AND ly2 BETWEEN LEAST(ry1,ry2) AND GREATEST(ry1,ry2))
+"""
+
+QUERIES.update({"s8_segment_intersection": s8_segment_intersection})
+ORACLES.update({"s8_segment_intersection": _S8_SQL})

@@ -318,3 +318,81 @@ def polygon_cell_join(
         hits.groupBy(*pt_cols)
         .agg(F.min(F.when(F.col("_in"), F.col(poly_id))).alias(poly_id))
     )
+
+
+def _orient(px, py, qx, qy, rx, ry) -> Column:
+    """Sign of the cross product (q-p) x (r-p): +1 ccw, -1 cw, 0 collinear."""
+    return F.signum((qx - px) * (ry - py) - (qy - py) * (rx - px))
+
+
+def segments_intersect(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> Column:
+    """Exact segment-segment intersection predicate — pure native column
+    arithmetic (orientation tests + collinear on-segment checks), endpoint
+    touching counts. With integer-valued coordinates the products are exact
+    doubles, so the predicate is engine-portable bit-for-bit."""
+    o1 = _orient(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = _orient(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = _orient(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = _orient(bx1, by1, bx2, by2, ax2, ay2)
+
+    def onseg(px, py, qx, qy, rx, ry, o):
+        return (
+            (o == 0)
+            & (rx >= F.least(px, qx)) & (rx <= F.greatest(px, qx))
+            & (ry >= F.least(py, qy)) & (ry <= F.greatest(py, qy))
+        )
+
+    general = (o1 * o2 < 0) & (o3 * o4 < 0)
+    return (
+        general
+        | onseg(ax1, ay1, ax2, ay2, bx1, by1, o1)
+        | onseg(ax1, ay1, ax2, ay2, bx2, by2, o2)
+        | onseg(bx1, by1, bx2, by2, ax1, ay1, o3)
+        | onseg(bx1, by1, bx2, by2, ax2, ay2, o4)
+    )
+
+
+def _segment_cells(df: DataFrame, res: int, grid: TileGrid,
+                   prefix: str) -> DataFrame:
+    """Explode a segment frame into its bbox-covering (cx, cy) cells."""
+    size = grid.cell_size(res)
+    x1, y1 = F.col(f"{prefix}x1"), F.col(f"{prefix}y1")
+    x2, y2 = F.col(f"{prefix}x2"), F.col(f"{prefix}y2")
+    ix0 = F.floor((F.least(x1, x2) - grid.x0) / size).cast("int")
+    ix1 = F.floor((F.greatest(x1, x2) - grid.x0) / size).cast("int")
+    iy0 = F.floor((F.least(y1, y2) - grid.y0) / size).cast("int")
+    iy1 = F.floor((F.greatest(y1, y2) - grid.y0) / size).cast("int")
+    return (
+        df.select("*", F.explode(F.sequence(ix0, ix1)).alias("cx"),
+                  iy0.alias("_iy0"), iy1.alias("_iy1"))
+        .select("*", F.explode(F.sequence("_iy0", "_iy1")).alias("cy"))
+        .drop("_iy0", "_iy1")
+    )
+
+
+def segment_intersection_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = 8,
+    grid: TileGrid = TileGrid(),
+    left_id: str = "lid",
+    right_id: str = "rid",
+) -> DataFrame:
+    """Line-segment intersection join (e.g. street x street crossing
+    detection): bbox-cell candidates -> one equi-join on (cx, cy) ->
+    native exact predicate -> pair dedup on a single left-keyed exchange.
+
+    left: (left_id, lx1, ly1, lx2, ly2); right: (right_id, rx1..ry2).
+    Choose ``res`` near the typical segment length so a segment covers
+    O(1..4) cells."""
+    lc = _segment_cells(left, res, grid, "l")
+    rc = _segment_cells(right, res, grid, "r")
+    cands = lc.join(rc, ["cx", "cy"])
+    hit = cands.filter(segments_intersect(
+        F.col("lx1"), F.col("ly1"), F.col("lx2"), F.col("ly2"),
+        F.col("rx1"), F.col("ry1"), F.col("rx2"), F.col("ry2")))
+    return (
+        hit.select(left_id, right_id)
+        .repartition(F.col(left_id))  # one exchange serves the dedup
+        .dropDuplicates([left_id, right_id])
+    )

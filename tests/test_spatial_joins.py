@@ -200,3 +200,30 @@ def test_polygon_cell_join_cell_explosion_guard(spark):
     # a generous cap passes
     out = polygon_cell_join(pts, giant, res=4).collect()
     assert out[0].polygon_id == "pg"
+
+
+def test_segment_intersection_topologies(spark):
+    """Known topologies: crossing, endpoint touch, collinear overlap,
+    collinear disjoint, parallel, far apart."""
+    from rlis2osm_spark.spatial.joins import segment_intersection_join
+    from rlis2osm_spark.spatial.tiles import TileGrid
+
+    g = TileGrid(0.0, 0.0, 400_000.0)
+    left = spark.createDataFrame([
+        (1, 0.0, 0.0, 10.0, 10.0),     # crosses r1
+        (2, 20.0, 0.0, 30.0, 0.0),     # touches r2 at (30, 0)
+        (3, 40.0, 0.0, 50.0, 0.0),     # collinear-overlaps r3
+        (4, 60.0, 0.0, 70.0, 0.0),     # collinear-disjoint from r4
+        (5, 80.0, 0.0, 90.0, 0.0),     # parallel to r5, offset
+        (6, 0.0, 1000.0, 10.0, 1000.0),  # far from everything
+    ], "lid long, lx1 double, ly1 double, lx2 double, ly2 double")
+    right = spark.createDataFrame([
+        (1, 0.0, 10.0, 10.0, 0.0),
+        (2, 30.0, 0.0, 35.0, 5.0),
+        (3, 45.0, 0.0, 55.0, 0.0),
+        (4, 71.0, 0.0, 75.0, 0.0),
+        (5, 80.0, 1.0, 90.0, 1.0),
+    ], "rid long, rx1 double, ry1 double, rx2 double, ry2 double")
+    got = {(r.lid, r.rid)
+           for r in segment_intersection_join(left, right, res=12, grid=g).collect()}
+    assert got == {(1, 1), (2, 2), (3, 3)}
