@@ -40,13 +40,17 @@ def dissolve(combined: DataFrame, fields: list[str] | None = None,
                      algorithm=algorithm, max_group_rows=max_group_rows)
 
 
-def to_osm_xml(df: DataFrame, out_dir: str, merged: str | None = None):
+def to_osm_xml(df: DataFrame, out_dir: str, merged: str | None = None,
+               assemble_tags: bool = True):
     """EP1 stage 6 (main.py:248-257 + repair_keys.py): assemble final tags
     (rename-mangled keys are already full names; ''/null dropped) and write
     distributed WGS84 .osm fragments.  With ``merged=<path>`` also runs the
     single-artifact merge (the reference's one ``rlis.osm``) and returns
-    its stats dict instead of the lazy fragment-stats DataFrame."""
-    stats = write_osm_xml(repair_and_filter_tags(df), out_dir)
+    its stats dict instead of the lazy fragment-stats DataFrame.
+    ``assemble_tags=False`` skips tag assembly for frames that already
+    carry the sink ``tags`` map (e.g. rlis_osm_pipeline output)."""
+    sink_df = repair_and_filter_tags(df) if assemble_tags else df
+    stats = write_osm_xml(sink_df, out_dir)
     if merged is None:
         return stats
     rows = stats.collect()  # materialize the distributed fragment write

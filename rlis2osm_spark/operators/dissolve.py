@@ -253,17 +253,27 @@ def dissolve_ways(
         # count + the big-key collect into cache). Plan-only callers that
         # must stay action-free should pass algorithm="unionfind".
         sizes = df.groupBy("group_key").agg(F.count("*").alias("_gsz"))
-        big_keys = sizes.filter(F.col("_gsz") > max_group_rows).select(
-            "group_key").persist()
-        n_big = big_keys.count()  # materializes the cache for the 3 reuses
-        if n_big == 0:
-            big_keys.unpersist()
+        big_df = sizes.filter(F.col("_gsz") > max_group_rows).select(
+            "group_key")
+        # degenerate groups are by definition FEW (> max_group_rows each),
+        # so the key set collects to the driver and routes via native isin
+        # literals — no cached DataFrame to leak, no per-reuse recompute.
+        # Guard: cap the collect at 100k keys (pathological inputs fail
+        # loudly rather than OOMing the driver).
+        big_keys = [r.group_key
+                    for r in big_df.limit(100_001).collect()]
+        if len(big_keys) > 100_000:
+            raise ValueError(
+                "more than 100k tag-groups exceed max_group_rows="
+                f"{max_group_rows}; raise the threshold or use "
+                "algorithm='iterative'")
+        if not big_keys:
             comps = _comps_unionfind(nodes, n_parts)
         else:
-            small_n = nodes.join(big_keys, "group_key", "left_anti")
-            big_n = nodes.join(big_keys, "group_key", "left_semi")
-            big_ways = df.join(big_keys, "group_key", "left_semi").select(
-                "way_id")
+            is_big = F.col("group_key").isin(big_keys)
+            small_n = nodes.filter(~is_big)
+            big_n = nodes.filter(is_big)
+            big_ways = df.filter(is_big).select("way_id")
             comps = _comps_unionfind(small_n, n_parts).unionByName(
                 _comps_iterative(big_n, big_ways))
 

@@ -65,22 +65,20 @@ def write_osm_xml(
     reference's ``ogr2osm -e 2913`` step); False keeps source coordinates
     (debug only — not valid OSM XML).
 
-    Pre-existing ``part-*.osm`` fragments in ``out_dir`` are removed first:
-    a rerun with fewer partitions would otherwise leave stale fragments
-    that merge_fragments would silently include (duplicate ways, reused
-    way-id ranges)."""
+    Pre-existing ``part-*.osm`` fragments in ``out_dir`` are removed first
+    (a rerun with fewer partitions would otherwise leave stale fragments
+    that merge_fragments would silently include) — but only AFTER the
+    column projection has analyzed, so a malformed input can't destroy the
+    previous deliverable; note the fragment write itself stays lazy until
+    the returned stats frame is materialized."""
     import glob as _glob
-
-    os.makedirs(out_dir, exist_ok=True)
-    for stale in _glob.glob(os.path.join(out_dir, "part-*.osm")):
-        os.remove(stale)
 
     def serialize(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         path = os.path.join(out_dir, f"part-{pid:05d}.osm")
-        nodes: dict[int, tuple[float, float]] = {}  # id -> (x, y) source ft
+        nodes: dict[int, tuple] = {}  # id -> (packed bytes, (x, y) source ft)
         ways: list[tuple[int, list[int], dict]] = []
         n_null = 0
         for pdf in frames:
@@ -96,13 +94,15 @@ def write_osm_xml(
                 for line in wkb.decode_lines(bytes(geom)):
                     for x, y in line:
                         nid = _node_id(float(x), float(y))
+                        key = pack("<2d", float(x), float(y))
                         prev = nodes.get(nid)
-                        if prev is not None and prev != (float(x), float(y)):
-                            # same loud-collision contract as the merge
+                        # byte-level compare = the interning rule (a repeated
+                        # NaN vertex is byte-identical, not a collision)
+                        if prev is not None and prev[0] != key:
                             raise ValueError(
                                 f"node id collision within fragment: {nid} "
-                                f"for {prev} vs {(float(x), float(y))}")
-                        nodes[nid] = (float(x), float(y))
+                                f"for {prev[1]} vs {(float(x), float(y))}")
+                        nodes[nid] = (key, (float(x), float(y)))
                         refs.append(nid)
                 ways.append((wid, refs, dict(tags)))
 
@@ -110,12 +110,12 @@ def write_osm_xml(
         if ids and reproject:
             import numpy as np
 
-            xs = np.fromiter((nodes[i][0] for i in ids), dtype=np.float64)
-            ys = np.fromiter((nodes[i][1] for i in ids), dtype=np.float64)
+            xs = np.fromiter((nodes[i][1][0] for i in ids), dtype=np.float64)
+            ys = np.fromiter((nodes[i][1][1] for i in ids), dtype=np.float64)
             lons, lats = feet_to_lonlat(xs, ys)  # one vectorized batch
         else:
-            lons = [nodes[i][0] for i in ids]
-            lats = [nodes[i][1] for i in ids]
+            lons = [nodes[i][1][0] for i in ids]
+            lats = [nodes[i][1][1] for i in ids]
 
         with open(path, "w", encoding="utf-8") as fh:
             fh.write("<?xml version='1.0' encoding='UTF-8'?>\n")
@@ -136,8 +136,11 @@ def write_osm_xml(
             [(path, len(ways), len(nodes), n_null)],
             columns=["part_file", "n_ways", "n_nodes", "n_null_geoms"])
 
-    cols = [geom_col, tags_col]
-    return df.select(*cols).mapInPandas(serialize, _OUT_SCHEMA)
+    projected = df.select(geom_col, tags_col)  # analyzes (raises on bad input)
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(os.path.join(out_dir, "part-*.osm")):
+        os.remove(stale)
+    return projected.mapInPandas(serialize, _OUT_SCHEMA)
 
 
 def merge_fragments(out_dir: str, dest_path: str) -> dict:

@@ -241,8 +241,10 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
-) -> DataFrame:
+):
     """Embedding-cosine near-duplicate pairs (dedup family, build brief).
+    Returns a DataFrame, or ``(DataFrame, Observation)`` when ``max_bucket``
+    is set.
 
     OR-construction over ``n_tables`` independent random-hyperplane
     signatures: a true near-dup pair (cos -> 1) agrees on all planes of

@@ -65,9 +65,10 @@ def main() -> int:
     if args.osm:
         from rlis2osm_spark import api
 
+        # dissolved already carries the assembled tags map (pipeline.py)
         osm_info = api.to_osm_xml(
             dissolved, os.path.join(args.out, args.run_id, "osm_fragments"),
-            merged=args.osm)
+            merged=args.osm, assemble_tags=False)
 
     print(json.dumps({
         "dissolved_ways": dissolved.count(),
