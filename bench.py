@@ -92,7 +92,7 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
 
     # per-query min over repeats: sandbox host timings swing 2-3x under
     # noisy neighbors; min is the robust estimator of the engine's cost
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     jvm_gc = spark.sparkContext._jvm.System.gc
     t_all = time.time()
     for name in HEADLINE:
