@@ -369,3 +369,70 @@ WHERE (o1 * o2 < 0 AND o3 * o4 < 0)
 
 QUERIES.update({"s8_segment_intersection": s8_segment_intersection})
 ORACLES.update({"s8_segment_intersection": _S8_SQL})
+
+
+def s9_within_distance(spark, sf_dir):
+    """Radius search join: all document points within 5000 ft of derived
+    street segments — ring-cell candidates + native exact point-to-segment
+    distance, no window. (The multiplicative-congruence point/segment
+    lattices are anti-correlated — min pair distance ~4000 ft — so the
+    radius sits just above it for a non-trivial result set.) Integer-derived
+    coordinates keep the distance arithmetic bit-identical across engines;
+    the oracle brute-forces all pairs, so equality also proves ring-candidate
+    completeness."""
+    from rlis2osm_spark.spatial.joins import within_distance_join
+
+    pts = _doc_points(spark, sf_dir).filter(F.col("doc_id") < 1500).select(
+        F.col("doc_id").alias("pid"), "x", "y")
+    p = F.col("p_partkey")
+    segs = load(spark, sf_dir, "part").select(
+        p.alias("sid"),
+        ((p * 61) % 400000).cast("double").alias("x1"),
+        ((p * 83) % 400000).cast("double").alias("y1"),
+        ((p * 61) % 400000 + 400).cast("double").alias("x2"),
+        ((p * 83) % 400000 + 300 - (p % 7) * 100).cast("double").alias("y2"),
+    )
+    out = within_distance_join(pts, segs, radius=5000.0, res=6, grid=GRID,
+                               probe_id="pid", base_id="sid")
+    return out.select("pid", "sid")  # dist2 exact but float -> ids only
+
+
+_S9_SQL = f"""
+WITH pts AS (
+  SELECT doc_id AS pid, x, y FROM ({_DOC_POINTS_SQL}) WHERE doc_id < 1500
+),
+segs AS (
+  SELECT p_partkey AS sid,
+         CAST((p_partkey * 61) % 400000 AS DOUBLE) AS x1,
+         CAST((p_partkey * 83) % 400000 AS DOUBLE) AS y1,
+         CAST((p_partkey * 61) % 400000 + 400 AS DOUBLE) AS x2,
+         CAST((p_partkey * 83) % 400000 + 300 - (p_partkey % 7) * 100 AS DOUBLE) AS y2
+  FROM part
+),
+d AS (
+  SELECT pid, sid,
+    ((x - (x1 + GREATEST(0.0, LEAST(1.0,
+        ((x - x1) * (x2 - x1) + (y - y1) * (y2 - y1))
+        / (CASE WHEN (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) = 0 THEN 1.0
+                ELSE (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) END))) * (x2 - x1)))
+     * (x - (x1 + GREATEST(0.0, LEAST(1.0,
+        ((x - x1) * (x2 - x1) + (y - y1) * (y2 - y1))
+        / (CASE WHEN (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) = 0 THEN 1.0
+                ELSE (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) END))) * (x2 - x1))))
+    +
+    ((y - (y1 + GREATEST(0.0, LEAST(1.0,
+        ((x - x1) * (x2 - x1) + (y - y1) * (y2 - y1))
+        / (CASE WHEN (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) = 0 THEN 1.0
+                ELSE (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) END))) * (y2 - y1)))
+     * (y - (y1 + GREATEST(0.0, LEAST(1.0,
+        ((x - x1) * (x2 - x1) + (y - y1) * (y2 - y1))
+        / (CASE WHEN (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) = 0 THEN 1.0
+                ELSE (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) END))) * (y2 - y1))))
+    AS dist2
+  FROM pts, segs
+)
+SELECT pid, sid FROM d WHERE dist2 <= 25000000.0
+"""  # noqa: E501
+
+QUERIES.update({"s9_within_distance": s9_within_distance})
+ORACLES.update({"s9_within_distance": _S9_SQL})

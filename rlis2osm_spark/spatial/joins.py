@@ -396,3 +396,43 @@ def segment_intersection_join(
         .repartition(F.col(left_id))  # one exchange serves the dedup
         .dropDuplicates([left_id, right_id])
     )
+
+
+def within_distance_join(
+    probe: DataFrame,
+    base: DataFrame,
+    radius: float,
+    res: int,
+    probe_id: str,
+    base_id: str,
+    grid: TileGrid = TileGrid(),
+) -> DataFrame:
+    """Radius search: every (probe, base-segment) pair within ``radius``.
+
+    Same candidate machinery as ``knn_join`` (3x3 ring cell equi-join,
+    native exact distance) but with a distance predicate instead of a
+    ranking window — so it needs NO window at all: candidates -> filter ->
+    one probe-keyed exchange for the pair dedup. ``res`` must be chosen so
+    the cell size is >= radius (ring completeness); violating that raises.
+    """
+    size = grid.cell_size(res)
+    if radius > size:
+        raise ValueError(
+            f"radius {radius} exceeds cell size {size} at res={res}; "
+            "use a coarser res (ring candidates would miss pairs)")
+    bix, biy = grid_coords((F.col("x1") + F.col("x2")) / 2,
+                           (F.col("y1") + F.col("y2")) / 2, res, grid)
+    based = base.withColumns({"cx": bix, "cy": biy})
+    pix, piy = grid_coords(F.col("x"), F.col("y"), res, grid)
+    probed = explode_ring_coords(probe.select(probe_id, "x", "y"), pix, piy)
+    cands = probed.join(based, ["cx", "cy"])
+    d2 = point_segment_dist2(
+        F.col("x"), F.col("y"),
+        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
+    return (
+        cands.withColumn("dist2", d2)
+        .filter(F.col("dist2") <= radius * radius)
+        .select(probe_id, base_id, "dist2")
+        .repartition(F.col(probe_id))
+        .dropDuplicates([probe_id, base_id])
+    )

@@ -227,3 +227,22 @@ def test_segment_intersection_topologies(spark):
     got = {(r.lid, r.rid)
            for r in segment_intersection_join(left, right, res=12, grid=g).collect()}
     assert got == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_within_distance_join_radius_guard(spark):
+    """radius > cell size must fail loudly (ring candidates incomplete)."""
+    from rlis2osm_spark.spatial.joins import within_distance_join
+    from rlis2osm_spark.spatial.tiles import TileGrid
+
+    g = TileGrid(0.0, 0.0, 400_000.0)
+    pts = spark.createDataFrame([(1, 10.0, 10.0)], "pid long, x double, y double")
+    segs = spark.createDataFrame(
+        [(1, 0.0, 0.0, 5.0, 5.0)],
+        "sid long, x1 double, y1 double, x2 double, y2 double")
+    import pytest
+    with pytest.raises(ValueError, match="cell size"):
+        within_distance_join(pts, segs, radius=50_000.0, res=8, grid=g,
+                             probe_id="pid", base_id="sid")
+    out = within_distance_join(pts, segs, radius=100.0, res=8, grid=g,
+                               probe_id="pid", base_id="sid").collect()
+    assert [(r.pid, r.sid) for r in out] == [(1, 1)]
