@@ -11,7 +11,8 @@ driver collect). The flagship tile-assignment throughput (documents/sec —
 the BASELINE.json metric) is reported alongside.
 
 `python bench.py --scaling` additionally runs the flagship job at two
-parallelism levels (local[8] vs local[32]) in fresh JVMs and writes the
+parallelism levels (local[4] vs local[16] — both inside the host's real
+cores, see SCALE_CPUS) in fresh JVMs and writes the
 N->4N efficiency evidence to BENCH/BASELINE.md (sandbox proxy for the
 two-cluster-size criterion).
 """

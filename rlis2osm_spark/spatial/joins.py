@@ -189,15 +189,16 @@ def knn_join(
     expected nearest-neighbor distance).
 
     probe: (probe_id, x, y); base: (base_id, x1, y1, x2, y2).
-    Plan: base keyed by its midpoint cell; probe explodes its k_ring ->
-    cell equi-join -> native exact distance -> per-probe window top-k.
+    Plan: base keyed by its bbox-COVERING cells (not the midpoint — a long
+    segment's midpoint cell can sit outside the probe ring even when the
+    segment passes nearby; covering cells make ring candidacy independent
+    of segment length); probe explodes its k_ring -> cell equi-join ->
+    native exact distance -> per-probe window top-k.
     The window partitions by probe_id (uniform), so the skewed side is the
     candidate join — AQE skew-split applies; for pathological hot cells,
     pre-salt with ``salted_cell``.
     """
-    bix, biy = grid_coords((F.col("x1") + F.col("x2")) / 2,
-                           (F.col("y1") + F.col("y2")) / 2, res, grid)
-    based = base.withColumns({"cx": bix, "cy": biy})
+    based = _segment_cells(base, res, grid, prefix="")
 
     pix, piy = grid_coords(F.col("x"), F.col("y"), res, grid)
     probed = explode_ring_coords(probe.select(probe_id, "x", "y"), pix, piy)
@@ -409,20 +410,21 @@ def within_distance_join(
 ) -> DataFrame:
     """Radius search: every (probe, base-segment) pair within ``radius``.
 
-    Same candidate machinery as ``knn_join`` (3x3 ring cell equi-join,
-    native exact distance) but with a distance predicate instead of a
-    ranking window — so it needs NO window at all: candidates -> filter ->
-    one probe-keyed exchange for the pair dedup. ``res`` must be chosen so
-    the cell size is >= radius (ring completeness); violating that raises.
+    Same candidate machinery as ``knn_join`` (base keyed by bbox-covering
+    cells, probe 3x3 ring, cell equi-join, native exact distance) but with
+    a distance predicate instead of a ranking window — so it needs NO
+    window at all: candidates -> filter -> one probe-keyed exchange for
+    the pair dedup. ``res`` must be chosen so the cell size is >= radius
+    (ring completeness — with covering-cell keying this is sufficient for
+    ANY segment length: the nearest segment point within radius lies in a
+    covering cell at most one cell away); violating it raises.
     """
     size = grid.cell_size(res)
     if radius > size:
         raise ValueError(
             f"radius {radius} exceeds cell size {size} at res={res}; "
             "use a coarser res (ring candidates would miss pairs)")
-    bix, biy = grid_coords((F.col("x1") + F.col("x2")) / 2,
-                           (F.col("y1") + F.col("y2")) / 2, res, grid)
-    based = base.withColumns({"cx": bix, "cy": biy})
+    based = _segment_cells(base, res, grid, prefix="")
     pix, piy = grid_coords(F.col("x"), F.col("y"), res, grid)
     probed = explode_ring_coords(probe.select(probe_id, "x", "y"), pix, piy)
     cands = probed.join(based, ["cx", "cy"])

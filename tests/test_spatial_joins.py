@@ -246,3 +246,23 @@ def test_within_distance_join_radius_guard(spark):
     out = within_distance_join(pts, segs, radius=100.0, res=8, grid=g,
                                probe_id="pid", base_id="sid").collect()
     assert [(r.pid, r.sid) for r in out] == [(1, 1)]
+
+
+def test_long_segment_ring_completeness(spark):
+    """Review regression: a LONG segment whose midpoint cell sits outside
+    the probe ring must still be found (bbox-covering-cell keying)."""
+    from rlis2osm_spark.spatial.joins import knn_join, within_distance_join
+    from rlis2osm_spark.spatial.tiles import TileGrid
+
+    g = TileGrid(0.0, 0.0, 400_000.0)  # res 8 -> cell 1562.5
+    pts = spark.createDataFrame(
+        [(1, 4400.0, 100.0)], "pid long, x double, y double")
+    segs = spark.createDataFrame(
+        [(7, 0.0, 100.0, 3000.0, 100.0)],  # midpoint cell 0, probe cell 2
+        "sid long, x1 double, y1 double, x2 double, y2 double")
+    wd = within_distance_join(pts, segs, radius=1500.0, res=8, grid=g,
+                              probe_id="pid", base_id="sid").collect()
+    assert [(r.pid, r.sid) for r in wd] == [(1, 7)]  # true distance 1400
+    nn = knn_join(pts, segs, k=1, res=8, probe_id="pid", base_id="sid",
+                  grid=g).collect()
+    assert nn and nn[0].sid == 7 and abs(nn[0].dist2 - 1400.0 ** 2) < 1e-6
