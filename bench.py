@@ -47,7 +47,7 @@ HEADLINE = [
     "rlis_dissolve_cc",         # connected-components dissolve
     "w4_asof_enrichment",       # as-of join
     "r1_interval_join",         # interval-overlap join
-    "ann_lsh_topk",             # LSH ANN similarity search
+    "ann_topk",                 # LSH + IVF ANN similarity search
     "m1_media_features",        # multimodal batch plumbing
 ]
 

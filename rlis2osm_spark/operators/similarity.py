@@ -89,25 +89,59 @@ def lsh_bucket_expr(vec: Column, dim: int, n_planes: int = 8,
     return bucket
 
 
+def _table_buckets(vec: Column, dim: int, n_planes: int,
+                   n_tables: int, seed: int) -> Column:
+    """array<struct<tbl, bucket>> — one LSH bucket per table (OR-construction;
+    per-table seeds as in ``cosine_neardup_pairs``)."""
+    return F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket_expr(vec, dim, n_planes,
+                            seed=seed + t * 99991).alias("bucket"))
+        for t in range(n_tables)
+    ])
+
+
 def lsh_ann_topk(
     base: DataFrame,
     probes: DataFrame,
     dim: int,
     k: int = 5,
     n_planes: int = 6,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 1234567,
 ) -> DataFrame:
-    """ANN: bucket equi-join candidates, exact cosine re-rank."""
+    """ANN: bucket equi-join candidates, exact cosine re-rank.
+
+    ``n_tables > 1`` turns on the OR-construction (same pattern as
+    ``cosine_neardup_pairs``): a candidate is any base vector sharing a
+    bucket in ANY table, recall ~ 1 - (1 - p^n_planes)^n_tables. The table
+    id is exploded into the join key — still ONE equi-join, and the
+    candidate set is deduped with a single probe-keyed exchange before the
+    rank window."""
     b = base.select(F.col(id_col).alias("neighbor_id"),
                     as_double_vec(F.col(vec_col)).alias("bv"))
-    b = b.withColumn("bucket", lsh_bucket_expr(F.col("bv"), dim, n_planes))
     p = probes.select(F.col(id_col).alias("probe_id"),
                       as_double_vec(F.col(vec_col)).alias("pv"))
-    p = p.withColumn("bucket", lsh_bucket_expr(F.col("pv"), dim, n_planes))
+    b = b.select("neighbor_id", "bv", F.explode(
+        _table_buckets(F.col("bv"), dim, n_planes, n_tables, seed)).alias("tb")
+    ).select("neighbor_id", "bv", "tb.tbl", "tb.bucket")
+    p = p.select("probe_id", "pv", F.explode(
+        _table_buckets(F.col("pv"), dim, n_planes, n_tables, seed)).alias("tb")
+    ).select("probe_id", "pv", "tb.tbl", "tb.bucket")
 
-    cands = p.join(b, "bucket").filter(
+    cands = p.join(b, ["tbl", "bucket"]).filter(
         F.col("probe_id") != F.col("neighbor_id"))
+    if n_tables > 1:
+        # dedup with ONE probe-keyed exchange; bucket kept deterministically
+        # (min over colliding tables — pv/bv are identical per key)
+        cands = (
+            cands.groupBy("probe_id", "neighbor_id")
+            .agg(F.min("bucket").alias("bucket"),
+                 F.first("pv").alias("pv"), F.first("bv").alias("bv"))
+        )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -223,9 +257,12 @@ def ivf_ann_topk(
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cands.withColumn("cos", cosine(F.col("pv"), F.col("bv")))
-        .repartition(F.col("probe_id"))  # one exchange: dedup + rank
-        .dropDuplicates(["probe_id", "neighbor_id"])
+        # one probe-keyed exchange: dedup + rank; a pair reachable via
+        # multiple probed cells keeps min(bucket) (deterministic — ADVICE r2)
+        cands.groupBy("probe_id", "neighbor_id")
+        .agg(F.min("bucket").alias("bucket"),
+             F.first("pv").alias("pv"), F.first("bv").alias("bv"))
+        .withColumn("cos", cosine(F.col("pv"), F.col("bv")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos", "rank", "bucket")

@@ -21,8 +21,12 @@ from rlis2osm_spark.queries import (
     spatial_sql,
 )
 
-_MODULES = [relational, rlis_cols, rlis_python, spatial_sql, content,
-            content2, events]
+# Order matters: the driver evaluates queries() in insertion order and the
+# r2 CORRECTNESS snapshot covered exactly the first 50 entries, so (a) the
+# registry is consolidated to exactly 50 queries (r3 merges, NOTES.md) and
+# (b) the families that lacked driver rows in r2 (events, content2) lead.
+_MODULES = [events, content2, content, spatial_sql, rlis_python, rlis_cols,
+            relational]
 
 
 def all_queries():

@@ -190,7 +190,7 @@ FROM band a JOIN band b
 """
 
 
-def d4_simhash(spark, sf_dir):
+def _d4_rank16(spark, sf_dir):
     """16-bit SimHash from vocabulary ids (bit votes via modular parity).
     One row per word occurrence: the per-bit vote sums are 16 conditional
     sums in a single groupBy (round 1 exploded 16 rows per word — same
@@ -222,6 +222,40 @@ FROM votes GROUP BY doc_id
 """
 
 
+def d4_simhash(spark, sf_dir):
+    """SimHash signatures, two configurations in one tagged output
+    (r3 merge of the former ``d4_simhash`` + ``x4_simhash_prod``):
+
+    - ``rank16``: 16-bit signature from deterministic vocabulary-rank ids
+      over real documents (<150) — the SQL-transcribable leg;
+    - ``xxh64``: the PRODUCTION path (operators/dedup.simhash_signatures,
+      64-bit xxhash64 token hashes, no global vocabulary state) over the
+      derived corpus — its oracle is an expected-output VALUES relation
+      recomputed by the pure-Python XXH64 twin (queries/derived_docs.py),
+      a fully independent implementation of the same public algorithm.
+    """
+    from rlis2osm_spark.operators.dedup import simhash_signatures
+    from rlis2osm_spark.queries.derived_docs import derived_texts
+
+    toy = _d4_rank16(spark, sf_dir).select(
+        F.lit("rank16").alias("config"), "doc_id", "simhash")
+    prod = simhash_signatures(derived_texts(spark, sf_dir)).select(
+        F.lit("xxh64").alias("config"), "doc_id", "simhash")
+    return toy.unionByName(prod)
+
+
+def _d4_merged_sql() -> str:
+    from rlis2osm_spark.queries.derived_docs import simhash_py
+
+    rows = ", ".join(f"({d}, {s})" for d, s in simhash_py())
+    return f"""
+SELECT 'rank16' AS config, doc_id, simhash FROM ({_D4_SQL})
+UNION ALL
+SELECT 'xxh64' AS config, doc_id, CAST(simhash AS BIGINT) AS simhash
+FROM (VALUES {rows}) AS _v(doc_id, simhash)
+"""
+
+
 def d6_simhash_hamming_k(spark, sf_dir):
     """Hamming-k near-dup pairs: banded candidate generation (4 x 4-bit
     chunks of the 16-bit d4 signature -> equi-join, never all-pairs) +
@@ -230,7 +264,7 @@ def d6_simhash_hamming_k(spark, sf_dir):
     hamming <= n_bands-1)."""
     from rlis2osm_spark.operators.dedup import simhash_hamming_pairs
 
-    sig = d4_simhash(spark, sf_dir)
+    sig = _d4_rank16(spark, sf_dir)
     return simhash_hamming_pairs(
         None, id_col="doc_id", bits=16, n_bands=4, max_hamming=2,
         sig_df=sig)
@@ -304,66 +338,110 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
 
 def x1_text_quality(spark, sf_dir):
-    """Token count, stopword ratio, mean word length, quality score —
-    all native string/array expressions."""
-    docs = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda w: w != "")
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
-    mean_len = (F.length(F.regexp_replace("text", " ", ""))
-                / F.when(n_tok == 0, 1).otherwise(n_tok))
-    quality = F.round(
-        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
-        + (1.0 - n_stop / F.when(n_tok == 0, 1).otherwise(n_tok)) * 0.5, 6)
-    return docs.select(
-        "doc_id", "lang",
-        n_tok.alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        quality.alias("quality"),
-    )
+    """Full text-quality feature set — lang-ID (marker argmax), stopword /
+    punctuation / repetition ratios, subword estimate, composite score; all
+    native expressions (operators/textstats.quality_features). r3: absorbs
+    the former ``x3_quality_features`` (this superset replaces the old
+    4-feature x1)."""
+    from rlis2osm_spark.operators.textstats import quality_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs).drop("text")
 
 
-_X1_SQL = f"""
+def _x1_sql() -> str:
+    """Full SQL transcription of quality_features: same token/stopword/
+    punct/repetition arithmetic in the same fold order, lang argmax with
+    the ascending-key tie-break."""
+    from rlis2osm_spark.operators.textstats import LANG_MARKERS, STOPWORDS_EN
+
+    stop = str(STOPWORDS_EN).replace('"', "'")
+    lang_cols = ",\n         ".join(
+        f"len(list_filter(lotoks, w -> list_contains("
+        f"{str(m).replace(chr(34), chr(39))}, w))) AS s_{lang}"
+        for lang, m in LANG_MARKERS.items())
+    langs = sorted(LANG_MARKERS)
+    guess = " ".join(
+        f"WHEN s_{code} = gmax THEN '{code}'" for code in langs)
+    return rf"""
 WITH t AS (
-  SELECT doc_id, lang,
-         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
-         len(list_filter(string_split(text, ' '),
-             w -> list_contains({str(_STOPWORDS).replace('"', "'")}, w))) AS n_stopwords,
-         length(replace(text, ' ', '')) AS n_chars_nospace
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS lotoks
   FROM documents
+), f AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tok,
+         CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END AS safe_n,
+         len(list_filter(toks, w -> list_contains({stop}, w))) AS n_stop,
+         length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
+         length(text) AS n_chars,
+         len(list_distinct(toks)) AS n_uniq,
+         {lang_cols}
+  FROM t
+), g AS (
+  SELECT *, GREATEST(s_de, s_en, s_es, s_fr) AS gmax,
+         1.0 - n_uniq / safe_n AS rep_ratio
+  FROM f
 )
-SELECT doc_id, lang, n_tokens, n_stopwords,
-       ROUND(n_chars_nospace / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 6) AS mean_word_len,
-       ROUND(LEAST(1.0, n_tokens / 100.0) * 0.5
-             + (1.0 - n_stopwords / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END)) * 0.5, 6) AS quality
-FROM t
+SELECT doc_id,
+       n_tok AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+       ROUND(n_stop / safe_n, 6) AS stopword_ratio,
+       ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+       ROUND(rep_ratio, 6) AS repetition_ratio,
+       CASE WHEN gmax = 0 THEN NULL {guess} END AS lang_guess,
+       ROUND(LEAST(1.0, n_tok / 100.0) * 0.4
+             + (1.0 - LEAST(1.0, n_punct / GREATEST(n_chars, 1) * 5)) * 0.2
+             + (1.0 - rep_ratio) * 0.2
+             + LEAST(1.0, n_stop / safe_n * 5) * 0.2, 6) AS quality
+FROM g
 """
 
 
 def x2_fingerprint(spark, sf_dir):
-    """Order-sensitive document fingerprint over vocabulary ids:
-    positional weighted sum mod P + xor-fold (ints, both engines)."""
+    """Order-sensitive document fingerprint over vocabulary ids (positional
+    weighted sum mod P + xor-fold) joined with the token-counting features
+    (whitespace tokens + BPE-ish subword estimate) — r3: absorbs the former
+    ``x6_subword_tokens``; ints on both engines throughout."""
+    from rlis2osm_spark.operators.textstats import subword_count, token_count
+
     wid = _word_ids(_words(spark, sf_dir))
     # 64-bit terms on both sides: Spark would otherwise fold in int32 (silent
     # overflow at scale) while DuckDB's pos/wid are already BIGINT.
     term_sum = (F.col("pos") + 1).cast("long") * F.col("wid").cast("long")
     term_xor = (F.col("pos") + 13).cast("long") * F.col("wid").cast("long")
-    return (
+    fp = (
         wid.groupBy("doc_id")
         .agg(
             (F.sum(term_sum) % P31).alias("fp_sum"),
             F.bit_xor(term_xor).alias("fp_xor"),
         )
     )
+    counts = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        subword_count(F.col("text")).alias("n_subword_tokens"),
+    )
+    return fp.join(counts, "doc_id")
 
 
-_X2_SQL = f"""
-WITH wid AS ({_WORD_IDS_SQL.format(words=_WORDS_SQL.format(where=""))})
-SELECT doc_id,
-       CAST(SUM((pos + 1) * wid) % {P31} AS BIGINT) AS fp_sum,
-       BIT_XOR((pos + 13) * wid) AS fp_xor
-FROM wid GROUP BY doc_id
+_X2_SQL = rf"""
+WITH wid AS ({_WORD_IDS_SQL.format(words=_WORDS_SQL.format(where=""))}),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM((pos + 1) * wid) % {P31} AS BIGINT) AS fp_sum,
+         BIT_XOR((pos + 13) * wid) AS fp_xor
+  FROM wid GROUP BY doc_id
+),
+counts AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subword_tokens
+  FROM documents
+)
+SELECT fp.doc_id, fp_sum, fp_xor, n_ws_tokens, n_subword_tokens
+FROM fp JOIN counts ON fp.doc_id = counts.doc_id
 """
 
 
@@ -409,10 +487,10 @@ ORACLES = {
     "d1_exact_dedup": _D1_SQL,
     "d2_ngram_jaccard": _D2_SQL,
     "d3_minhash_lsh": _D3_SQL,
-    "d4_simhash": _D4_SQL,
+    "d4_simhash": _d4_merged_sql(),
     "d6_simhash_hamming_k": _D6_SQL,
     "n1_cosine_topk": _N1_SQL,
-    "x1_text_quality": _X1_SQL,
+    "x1_text_quality": _x1_sql(),
     "x2_fingerprint": _X2_SQL,
 }
 

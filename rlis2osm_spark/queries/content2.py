@@ -1,11 +1,20 @@
 """Second batch of driver queries wiring the training-data operator modules
-(operators/dedup.py, similarity.py, textstats.py, multimodal.py) and the
-full combine pipeline. The multimodal plumbing query carries an exact
-oracle (its stub decoder is a pure function of payload length); ANN / prod
-SimHash / quality are rows-only (engine-hash or float-heavy).
+(operators/dedup.py, similarity.py, multimodal.py) and the full combine
+pipeline. Since r3 every entry carries an exact oracle:
+
+- ``ann_topk``   — LSH + IVF ANN over PLANTED exact-angle neighbors
+  (analytic ground truth; the oracle doubles as a recall==1.0 gate);
+- ``d5_minhash_engine`` — the production xxhash64 MinHash-LSH at two
+  configurations over the derived corpus, expected output recomputed by
+  the pure-Python XXH64 twin (queries/derived_docs.py);
+- ``d7_embedding_neardup`` — exact-verify + LSH-engine near-dup variants;
+- ``m1_media_features`` — multimodal decode plumbing;
+- ``rlis_combine_full`` — the EP2 combine pipeline histogram.
 """
 
 from __future__ import annotations
+
+import math
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -18,60 +27,197 @@ from rlis2osm_spark.queries.rlis_cols import (
     BIKETHERES, BIKETYPS, _derived_trails, _T1320_SQL,
 )
 
+# ---------------------------------------------------------------------------
+# ANN: planted exact-angle neighbors -> analytic ground truth
+# ---------------------------------------------------------------------------
 
-def ann_lsh_topk(spark, sf_dir):
-    """LSH ANN over the embeddings table (random-hyperplane buckets +
-    exact cosine re-rank). Rank-only output."""
-    from rlis2osm_spark.operators.similarity import lsh_ann_topk
-
-    emb = load(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 15)
-    base = emb.filter(F.col("vec_id") >= 15)
-    out = lsh_ann_topk(base, probes, dim=64, k=3, n_planes=4)
-    return out.select("probe_id", "neighbor_id", "rank")
+_ANN_THETAS = [0.05, 0.10, 0.15]  # radians; rank r neighbor at angle theta_r
+_N_PROBES = 15
+_ANN_RANK_BASE = 10000  # neighbor_id = rank * base + probe_id
 
 
-def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN over the embeddings table (k-means coarse quantizer,
-    n_probe nearest cells, exact cosine re-rank). Rows-only (iterative
-    training); recall vs brute force asserted in pytest."""
-    from rlis2osm_spark.operators.similarity import ivf_ann_topk
+def _planted_base(spark, sf_dir):
+    """Base set = 3 planted neighbors per probe at EXACT angles (Gram-
+    Schmidt in native expressions: v_r = cos(t_r)*p_hat + sin(t_r)*q_hat
+    with q orthogonal to p), plus real embedding rows as distractors
+    (random 64-dim float cosines concentrate < ~0.55, far under
+    cos(0.15)=0.9888 — so the true top-3 per probe is analytic)."""
+    from rlis2osm_spark.operators.similarity import _dot, _norm, as_double_vec
 
     emb = load(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 15)
-    base = emb.filter(F.col("vec_id") >= 15)
-    out = ivf_ann_topk(base, probes, dim=64, k=3, k_centroids=8, n_probe=3)
-    return out.select("probe_id", "neighbor_id", "rank")
+    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("p"))
+    dim = 64
+    u = F.array(*[F.lit(1.0 if i % 2 == 0 else -1.0) for i in range(dim)])
+    np_ = _norm(F.col("p"))
+    phat = F.transform(F.col("p"), lambda x: x / np_)
+    planted = probes.select("vec_id", phat.alias("phat"))
+    c = _dot(u, F.col("phat"))
+    q = F.zip_with(u, F.col("phat"), lambda a, b: a - c * b)
+    planted = planted.withColumn("q", q)
+    qn = _norm(F.col("q"))
+    qhat = F.transform(F.col("q"), lambda x: x / qn)
+    planted = planted.select("vec_id", "phat", qhat.alias("qhat"))
+    legs = []
+    for r, theta in enumerate(_ANN_THETAS, start=1):
+        ct, st = math.cos(theta), math.sin(theta)
+        legs.append(planted.select(
+            (F.lit(r * _ANN_RANK_BASE) + F.col("vec_id")).alias("vec_id"),
+            F.zip_with("phat", "qhat",
+                       lambda a, b: ct * a + st * b).alias("embedding")))
+    base = legs[0]
+    for leg in legs[1:]:
+        base = base.unionByName(leg)
+    distractors = emb.filter(
+        (F.col("vec_id") >= _N_PROBES) & (F.col("vec_id") < 400)).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("embedding"))
+    return base.unionByName(distractors), probes.select(
+        "vec_id", F.col("p").alias("embedding"))
 
 
-def x3_quality_features(spark, sf_dir):
-    """Full text-quality feature set (lang-ID, ratios, composite score)."""
-    from rlis2osm_spark.operators.textstats import quality_features
+def ann_topk(spark, sf_dir):
+    """Approximate-nearest-neighbor top-3, both engine paths in one tagged
+    output (r3 merge of ``ann_lsh_topk`` + ``ann_ivf_topk``): LSH with
+    8-table OR-construction and IVF (k-means cells, n_probe=3). Run over
+    planted exact-angle neighbors: the analytic oracle pins ids AND ranks,
+    so a green row is simultaneously a recall==1.0 assertion for both
+    candidate generators."""
+    from rlis2osm_spark.operators.similarity import ivf_ann_topk, lsh_ann_topk
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return quality_features(docs).drop("text")
+    base, probes = _planted_base(spark, sf_dir)
+    lsh = lsh_ann_topk(base, probes, dim=64, k=3, n_planes=4, n_tables=8)
+    ivf = ivf_ann_topk(base, probes, dim=64, k=3, k_centroids=8, n_probe=3)
+    return (
+        lsh.select(F.lit("lsh").alias("method"), "probe_id",
+                   "neighbor_id", "rank")
+        .unionByName(
+            ivf.select(F.lit("ivf").alias("method"), "probe_id",
+                       "neighbor_id", "rank"))
+    )
 
 
-def x4_simhash_prod(spark, sf_dir):
-    """Production SimHash (xxhash64 token hashes, 64-bit signatures)."""
-    from rlis2osm_spark.operators.dedup import simhash_signatures
+_ANN_SQL = f"""
+WITH p AS (SELECT vec_id FROM embeddings WHERE vec_id < {_N_PROBES}),
+r AS (SELECT unnest(generate_series(1, {len(_ANN_THETAS)})) AS rank),
+m AS (SELECT unnest(['lsh', 'ivf']) AS method)
+SELECT m.method, p.vec_id AS probe_id,
+       CAST(r.rank * {_ANN_RANK_BASE} + p.vec_id AS BIGINT) AS neighbor_id,
+       CAST(r.rank AS INT) AS rank
+FROM m, p, r
+"""
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_signatures(docs.select("doc_id", "text"))
 
+# ---------------------------------------------------------------------------
+# MinHash engine (xxhash64) at two configurations, expected-output oracle
+# ---------------------------------------------------------------------------
 
 def d5_minhash_engine(spark, sf_dir):
-    """MinHash-LSH via the engine operator (skew-guarded band buckets)."""
+    """Production MinHash-LSH (operators/dedup.minhash_lsh_pairs: xxhash64
+    shingle ids, skew-guarded band buckets) at two precision/recall points —
+    8x4 and 16x8 — over the derived corpus (r3 merge of
+    ``d5_minhash_engine`` + ``minhash_dedup_xxhash``). The oracle is the
+    pure-Python XXH64 twin's expected output (derived_docs.minhash_pairs_py)
+    — an independent CPython implementation of the same public hash."""
     from rlis2osm_spark.operators.dedup import minhash_lsh_pairs
+    from rlis2osm_spark.queries.derived_docs import derived_texts
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_lsh_pairs(docs, n_hashes=8, n_bands=4)
+    texts = derived_texts(spark, sf_dir)
+    a = minhash_lsh_pairs(texts, n_hashes=8, n_bands=4).select(
+        F.lit("8x4").alias("config"), "doc_a", "doc_b")
+    b = minhash_lsh_pairs(texts, n_hashes=16, n_bands=8).select(
+        F.lit("16x8").alias("config"), "doc_a", "doc_b")
+    return a.unionByName(b)
 
+
+def _d5_sql() -> str:
+    from rlis2osm_spark.queries.derived_docs import minhash_pairs_py
+
+    parts = []
+    for cfg, (nh, nb) in (("8x4", (8, 4)), ("16x8", (16, 8))):
+        rows = ", ".join(f"({a}, {b})" for a, b in minhash_pairs_py(nh, nb))
+        parts.append(
+            f"SELECT '{cfg}' AS config, CAST(doc_a AS BIGINT) AS doc_a, "
+            f"CAST(doc_b AS BIGINT) AS doc_b "
+            f"FROM (VALUES {rows}) AS _v{cfg}(doc_a, doc_b)")
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: exact-verify + LSH-engine variants
+# ---------------------------------------------------------------------------
+
+def d7_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, both paths tagged (r3 merge of
+    ``d7_embedding_neardup`` + ``neardup_lsh_engine``). Raw embeddings are
+    random (max pairwise cos ~0.5), so near-dup structure is DERIVED
+    deterministically in-query.
+
+    - ``exact``: brute-force verify join over base + (+0.02)-shifted +
+      negated copies; pairs far from the 0.9 threshold on both sides, so
+      cross-engine float fold order cannot flip one.
+    - ``lsh``: the production path (operators/similarity.
+      cosine_neardup_pairs, 6-table OR-construction + exact verify) over
+      base + shifted; the analytic ground truth (every (i, 1000+i) pair,
+      nothing else) doubles as a standing recall==1.0 assertion."""
+    from rlis2osm_spark.operators.similarity import cosine, cosine_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    shifted = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("v", lambda x: x + 0.02).alias("v"))
+    negated = base.select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.transform("v", lambda x: -x).alias("v"))
+    allv = base.unionByName(shifted).unionByName(negated)
+
+    a = allv.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    b = allv.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    exact = (
+        a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.9)
+        .select(F.lit("exact").alias("variant"), "doc_a", "doc_b")
+    )
+
+    two = base.unionByName(shifted).withColumnRenamed("v", "embedding")
+    lsh = cosine_neardup_pairs(two, dim=64, threshold=0.9,
+                               n_tables=6, n_planes=6).select(
+        F.lit("lsh").alias("variant"), "doc_a", "doc_b")
+    return exact.unionByName(lsh)
+
+
+_D7_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 120
+),
+allv AS (
+  SELECT vec_id, v FROM base
+  UNION ALL SELECT vec_id + 1000, list_transform(v, x -> x + 0.02) FROM base
+  UNION ALL SELECT vec_id + 2000, list_transform(v, x -> -x) FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT 'exact' AS variant, doc_a, doc_b FROM pairs WHERE cos >= 0.9
+UNION ALL
+SELECT 'lsh' AS variant, vec_id AS doc_a, vec_id + 1000 AS doc_b
+FROM embeddings WHERE vec_id < 120
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal + combine pipeline
+# ---------------------------------------------------------------------------
 
 def m1_media_features(spark, sf_dir):
     """Multimodal plumbing over derived binary payloads (text bytes stand
     in for image blobs): mapInPandas batch decode -> typed features. The
-    stub decoder is a pure function of byte length, so DuckDB can predict
+    stub decoder is a pure function of payload length, so DuckDB can predict
     width/height/n_bytes exactly."""
     ensure_package_on_workers(spark)
     from rlis2osm_spark.operators.multimodal import extract_image_features
@@ -194,182 +340,17 @@ ORDER BY src_table, highway
 
 
 QUERIES = {
-    "ann_lsh_topk": ann_lsh_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "x3_quality_features": x3_quality_features,
-    "x4_simhash_prod": x4_simhash_prod,
+    "ann_topk": ann_topk,
     "d5_minhash_engine": d5_minhash_engine,
+    "d7_embedding_neardup": d7_embedding_neardup,
     "m1_media_features": m1_media_features,
     "rlis_combine_full": rlis_combine_full,
 }
 
 ORACLES = {
+    "ann_topk": _ANN_SQL,
+    "d5_minhash_engine": _d5_sql(),
+    "d7_embedding_neardup": _D7_SQL,
     "m1_media_features": _M1_SQL,
     "rlis_combine_full": _combine_full_sql(),
 }
-
-
-def d7_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup (dedup family): the exact verification
-    join, oracle-checked. The raw embeddings are random (max pairwise cos
-    ~0.44), so near-dup structure is DERIVED deterministically in-query:
-    each base vector gets a +0.02-shifted copy (cos ~0.998) and a negated
-    copy (cos -1). Output = (doc_a, doc_b) int pairs only — cosine values
-    sit at ~0.998 vs <0.5, far from the 0.9 threshold, so cross-engine
-    float fold-order cannot flip a pair."""
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
-    base = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    shifted = base.select(
-        (F.col("vec_id") + 1000).alias("vec_id"),
-        F.transform("v", lambda x: x + 0.02).alias("v"))
-    negated = base.select(
-        (F.col("vec_id") + 2000).alias("vec_id"),
-        F.transform("v", lambda x: -x).alias("v"))
-    allv = base.unionByName(shifted).unionByName(negated)
-
-    from rlis2osm_spark.operators.similarity import cosine
-
-    a = allv.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
-    b = allv.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
-    return (
-        a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.9)
-        .select("doc_a", "doc_b")
-    )
-
-
-_D7_SQL = """
-WITH base AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings WHERE vec_id < 120
-),
-allv AS (
-  SELECT vec_id, v FROM base
-  UNION ALL SELECT vec_id + 1000, list_transform(v, x -> x + 0.02) FROM base
-  UNION ALL SELECT vec_id + 2000, list_transform(v, x -> -x) FROM base
-),
-pairs AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-         list_cosine_similarity(a.v, b.v) AS cos
-  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
-)
-SELECT doc_a, doc_b FROM pairs WHERE cos >= 0.9
-"""
-
-
-def x6_subword_tokens(spark, sf_dir):
-    """BPE-ish token counting (build brief): whitespace tokens vs regex
-    subword estimate ([A-Za-z]+|[0-9]+|punct) — native regexp on both
-    engines."""
-    from rlis2osm_spark.operators.textstats import (
-        TOKEN_RX, subword_count, token_count)
-
-    docs = load(spark, sf_dir, "documents")
-    _ = TOKEN_RX
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_ws_tokens"),
-        subword_count(F.col("text")).alias("n_subword_tokens"),
-    )
-
-
-_X6_SQL = r"""
-SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subword_tokens
-FROM documents
-"""
-
-
-def neardup_lsh_engine(spark, sf_dir):
-    """Production near-dup path: multi-table LSH OR-construction + exact
-    cosine verify (operators/similarity.py). The derived input's ground
-    truth is analytic — every (i, 1000+i) shifted pair has cos ~0.998,
-    every cross pair < 0.5 — and the whole path is deterministic (seeded
-    LCG hyperplanes), so the expected-output oracle doubles as a standing
-    recall==1.0 assertion at the driver's gate."""
-    from rlis2osm_spark.operators.similarity import cosine_neardup_pairs
-
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
-    base = emb.select("vec_id", "embedding")
-    shifted = base.select(
-        (F.col("vec_id") + 1000).alias("vec_id"),
-        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"))
-    allv = base.unionByName(shifted)
-    out = cosine_neardup_pairs(allv, dim=64, threshold=0.9,
-                               n_tables=6, n_planes=6)
-    return out.select("doc_a", "doc_b")
-
-
-QUERIES.update({
-    "d7_embedding_neardup": d7_embedding_neardup,
-    "x6_subword_tokens": x6_subword_tokens,
-    "neardup_lsh_engine": neardup_lsh_engine,
-})
-ORACLES.update({
-    "d7_embedding_neardup": _D7_SQL,
-    "x6_subword_tokens": _X6_SQL,
-})
-
-
-def _x3_sql() -> str:
-    """Full SQL transcription of quality_features (moves x3 from rows-only
-    to oracle): same token/stopword/punct/repetition arithmetic in the same
-    fold order, lang argmax with the ascending-key tie-break."""
-    from rlis2osm_spark.operators.textstats import LANG_MARKERS, STOPWORDS_EN
-
-    stop = str(STOPWORDS_EN).replace('"', "'")
-    lang_cols = ",\n         ".join(
-        f"len(list_filter(lotoks, w -> list_contains("
-        f"{str(m).replace(chr(34), chr(39))}, w))) AS s_{lang}"
-        for lang, m in LANG_MARKERS.items())
-    # argmax, ties broken by ascending language code
-    langs = sorted(LANG_MARKERS)
-    guess = " ".join(
-        f"WHEN s_{code} = gmax THEN '{code}'" for code in langs)
-    return rf"""
-WITH t AS (
-  SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks,
-         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS lotoks
-  FROM documents
-), f AS (
-  SELECT doc_id, text, toks,
-         len(toks) AS n_tok,
-         CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END AS safe_n,
-         len(list_filter(toks, w -> list_contains({stop}, w))) AS n_stop,
-         length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
-         length(text) AS n_chars,
-         len(list_distinct(toks)) AS n_uniq,
-         {lang_cols}
-  FROM t
-), g AS (
-  SELECT *, GREATEST(s_de, s_en, s_es, s_fr) AS gmax,
-         1.0 - n_uniq / safe_n AS rep_ratio
-  FROM f
-)
-SELECT doc_id,
-       n_tok AS n_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
-       ROUND(n_stop / safe_n, 6) AS stopword_ratio,
-       ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
-       ROUND(rep_ratio, 6) AS repetition_ratio,
-       CASE WHEN gmax = 0 THEN NULL {guess} END AS lang_guess,
-       ROUND(LEAST(1.0, n_tok / 100.0) * 0.4
-             + (1.0 - LEAST(1.0, n_punct / GREATEST(n_chars, 1) * 5)) * 0.2
-             + (1.0 - rep_ratio) * 0.2
-             + LEAST(1.0, n_stop / safe_n * 5) * 0.2, 6) AS quality
-FROM g
-"""
-
-
-ORACLES.update({"x3_quality_features": _x3_sql()})
-
-
-_NEARDUP_SQL = """
-SELECT vec_id AS doc_a, vec_id + 1000 AS doc_b
-FROM embeddings WHERE vec_id < 120
-"""
-ORACLES.update({"neardup_lsh_engine": _NEARDUP_SQL})

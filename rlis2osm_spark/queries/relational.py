@@ -29,12 +29,15 @@ _REV_SQL = f"CAST(l_extendedprice AS {P}) * (CAST(1 AS {R}) - CAST(l_discount AS
 
 def q01_pricing_summary(spark, sf_dir):
     """TPC-H Q1 flavor: map-side partial agg -> single shuffle on tiny key
-    space; all sums exact (scales 2/4/6, no rounding anywhere)."""
+    space; all sums exact (scales 2/4/6, no rounding anywhere). r3: grouped
+    by ROLLUP (absorbs the former ``g1_rollup`` — hierarchical grouping
+    sets, which Catalyst expands for free; the reference has none,
+    SURVEY §2.5)."""
     li = load(spark, sf_dir, "lineitem")
     charge = _revenue() * (F.lit(1).cast(R) + F.col("l_tax").cast(R))  # (22,6)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast(P)).cast("decimal(38,2)")
             .cast("string").alias("sum_qty"),
@@ -63,7 +66,7 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
@@ -131,24 +134,32 @@ GROUP BY n_name
 
 def a5_group_collect(spark, sf_dir):
     """A5/A6: groupBy + deterministic ordered collect (reference: bike
-    collect-list build side, translate.py:439,492)."""
+    collect-list build side, translate.py:439,492), broadcast-enriched with
+    the nation dim and emitted through the O1 schema-level column sort
+    (main.py:58) — r3: absorbs the former ``o1_sorted_projection``."""
     cust = load(spark, sf_dir, "customer")
-    return (
+    nation = load(spark, sf_dir, "nation")
+    agg = (
         cust.filter(F.col("c_custkey") < 200)
         .groupBy("c_nationkey")
         .agg(
             F.array_join(F.sort_array(F.collect_list("c_name")), "|").alias("names"),
             F.count("*").alias("n"),
         )
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
     )
+    return agg.select(*sorted(agg.columns))  # O1: sorted projection
 
 
 _A5_SQL = """
-SELECT c_nationkey,
-       STRING_AGG(c_name, '|' ORDER BY c_name) AS names,
-       COUNT(*) AS n
-FROM customer WHERE c_custkey < 200
-GROUP BY c_nationkey
+SELECT c_nationkey, n, n_name, n_nationkey, n_regionkey, names FROM (
+  SELECT c_nationkey,
+         STRING_AGG(c_name, '|' ORDER BY c_name) AS names,
+         COUNT(*) AS n
+  FROM customer WHERE c_custkey < 200
+  GROUP BY c_nationkey
+) JOIN nation ON c_nationkey = n_nationkey
 """
 
 
@@ -186,15 +197,6 @@ SELECT doc_id, i - 1 AS pos, words[i] AS word
 FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 50),
      LATERAL (SELECT unnest(generate_series(1, len(words))) AS i)
 """
-
-
-def o1_sorted_projection(spark, sf_dir):
-    """O1: schema-level column sort (main.py:58)."""
-    nation = load(spark, sf_dir, "nation")
-    return nation.select(*sorted(nation.columns))
-
-
-_O1_SQL = "SELECT n_name, n_nationkey, n_regionkey FROM nation"
 
 
 def s1_scan_pushdown(spark, sf_dir):
@@ -272,25 +274,6 @@ FROM (
 """
 
 
-def g1_rollup(spark, sf_dir):
-    """Hierarchical grouping (ROLLUP) — the reference has no grouping sets
-    (SURVEY §2.5); Catalyst expands them for free."""
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"),
-             F.sum(F.col("l_quantity").cast(P)).cast("decimal(38,2)")
-             .cast("string").alias("qty"))
-    )
-
-
-_G1_SQL = f"""
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       CAST(CAST(SUM(CAST(l_quantity AS {P})) AS DECIMAL(38,2)) AS VARCHAR) AS qty
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
 def r1_interval_join(spark, sf_dir):
     """Interval-overlap join via bucketed candidates
     (operators/rangejoin.py); oracle is DuckDB's native inequality join."""
@@ -344,13 +327,11 @@ QUERIES = {
     "r1_interval_join": r1_interval_join,
     "q06_forecast_revenue": q06_forecast_revenue,
     "w3_rank_orders_per_customer": w3_rank_orders_per_customer,
-    "g1_rollup": g1_rollup,
     "q03_top_orders": q03_top_orders,
     "q05_nation_revenue": q05_nation_revenue,
     "a5_group_collect": a5_group_collect,
     "u1_union_by_name": u1_union_by_name,
     "e2_posexplode_words": e2_posexplode_words,
-    "o1_sorted_projection": o1_sorted_projection,
     "s1_scan_pushdown": s1_scan_pushdown,
 }
 
@@ -358,58 +339,58 @@ ORACLES = {
     "q01_pricing_summary": _Q01_SQL,
     "q06_forecast_revenue": _Q06_SQL,
     "w3_rank_orders_per_customer": _W3_SQL,
-    "g1_rollup": _G1_SQL,
     "r1_interval_join": _R1_SQL,
     "q03_top_orders": _Q03_SQL,
     "q05_nation_revenue": _Q05_SQL,
     "a5_group_collect": _A5_SQL,
     "u1_union_by_name": _U1_SQL,
     "e2_posexplode_words": _E2_SQL,
-    "o1_sorted_projection": _O1_SQL,
     "s1_scan_pushdown": _S1_SQL,
 }
 
 
-def q04_semi_join(spark, sf_dir):
-    """EXISTS semi-join (TPC-H Q4 flavor): orders with at least one
-    late-shipping lineitem, counted per priority. Catalyst plans a
-    LeftSemi broadcast/SMJ — no fan-out, no distinct needed."""
+def q04_semi_anti_join(spark, sf_dir):
+    """Existence joins, both polarities in one tagged output (r3 merge of
+    ``q04_semi_join`` + ``q16_anti_join``):
+
+    - ``semi``: EXISTS (TPC-H Q4 flavor) — orders with at least one
+      late-shipping lineitem, counted per priority (Catalyst plans a
+      LeftSemi broadcast/SMJ — no fan-out, no distinct needed);
+    - ``anti``: NOT EXISTS (Q16 flavor) — customers with no orders above a
+      price threshold, counted per nation."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
     late = li.filter(F.col("l_shipdate") > F.lit("2000-01-01"))
-    return (
+    semi = (
         orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("semi").alias("join_kind"),
+                F.col("o_orderpriority").alias("grp_key"), "n")
     )
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    anti = (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("anti").alias("join_kind"),
+                F.col("c_nationkey").cast("string").alias("grp_key"), "n")
+    )
+    return semi.unionByName(anti)
 
 
 _Q04_SQL = """
-SELECT o_orderpriority, COUNT(*) AS order_count
+SELECT 'semi' AS join_kind, o_orderpriority AS grp_key, COUNT(*) AS n
 FROM orders
 WHERE EXISTS (
   SELECT 1 FROM lineitem
   WHERE l_orderkey = o_orderkey
     AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY o_orderpriority
-"""
-
-
-def q16_anti_join(spark, sf_dir):
-    """NOT EXISTS anti-join (TPC-H Q16 flavor): customers with no orders
-    above a price threshold, counted per nation."""
-    cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    big = orders.filter(F.col("o_totalprice") > 300000)
-    return (
-        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
-        .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_quiet_customers"))
-    )
-
-
-_Q16_SQL = """
-SELECT c_nationkey, COUNT(*) AS n_quiet_customers
+UNION ALL
+SELECT 'anti' AS join_kind, CAST(c_nationkey AS VARCHAR) AS grp_key,
+       COUNT(*) AS n
 FROM customer
 WHERE NOT EXISTS (
   SELECT 1 FROM orders
@@ -467,14 +448,12 @@ HAVING SUM(CAST(l_quantity AS {P})) > 150
 
 
 QUERIES.update({
-    "q04_semi_join": q04_semi_join,
+    "q04_semi_anti_join": q04_semi_anti_join,
     "q13_outer_count": q13_outer_count,
-    "q16_anti_join": q16_anti_join,
     "q18_having": q18_having,
 })
 ORACLES.update({
-    "q04_semi_join": _Q04_SQL,
+    "q04_semi_anti_join": _Q04_SQL,
     "q13_outer_count": _Q13_SQL,
-    "q16_anti_join": _Q16_SQL,
     "q18_having": _Q18_SQL,
 })

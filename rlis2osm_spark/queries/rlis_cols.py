@@ -100,46 +100,20 @@ FROM d
 # ---------------------------------------------------------------------------
 
 def t_code_maps(spark, sf_dir):
+    """T1-T5 code maps + T6-T9 name concat / unnamed-null / residential
+    downgrade / link-description rules, all in ONE projection over a single
+    part scan (r3: absorbs the former ``t6_t9_names`` — same source table,
+    zero extra shuffle)."""
     part = load(spark, sf_dir, "part")
-    t = pick_int(TYPES, 1 + F.col("p_partkey") % len(TYPES))
-    df = part.select("p_partkey", t.alias("type"))
-    return df.select(
-        "p_partkey", "type",
-        F.element_at(spark_int_map(ACCESS_BY_TYPE), F.col("type")).alias("access"),
-        F.element_at(spark_int_map(HIGHWAY_BY_TYPE), F.col("type")).alias("highway"),
-        F.element_at(spark_int_map(SERVICE_BY_TYPE), F.col("type")).alias("service"),
-        F.element_at(spark_int_map(SURFACE_BY_TYPE), F.col("type")).alias("surface"),
-    )
-
-
-_TCODE_SQL = f"""
-WITH d AS (
-  SELECT p_partkey, {sql_int_list(TYPES)}[1 + p_partkey % {len(TYPES)}] AS type FROM part
-)
-SELECT p_partkey, type,
-  {case_int_map(ACCESS_BY_TYPE, "type")} AS access,
-  {case_int_map(HIGHWAY_BY_TYPE, "type")} AS highway,
-  {case_int_map(SERVICE_BY_TYPE, "type")} AS service,
-  {case_int_map(SURFACE_BY_TYPE, "type")} AS surface
-FROM d
-"""
-
-
-# ---------------------------------------------------------------------------
-# T6-T9: name concat + unnamed/downgrade/link rules (no titlecase — that
-# path is pandas-UDF and covered by pytest goldens)
-# ---------------------------------------------------------------------------
-
-def t6_t9_names(spark, sf_dir):
-    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    t = pick_int(TYPES, 1 + k % len(TYPES))
     df = part.select(
-        "p_partkey",
-        pick(DIRS, 1 + F.col("p_partkey") % 13).alias("prefix"),
-        F.when(F.col("p_partkey") % 17 == 0, F.lit("UNNAMED"))
-        .when(F.col("p_partkey") % 19 == 0, F.lit(None).cast("string"))
+        "p_partkey", t.alias("type"),
+        pick(DIRS, 1 + k % 13).alias("prefix"),
+        F.when(k % 17 == 0, F.lit("UNNAMED"))
+        .when(k % 19 == 0, F.lit(None).cast("string"))
         .otherwise(F.upper(F.col("p_name"))).alias("streetname"),
-        pick(FTYPES, 1 + F.col("p_partkey") % 11).alias("ftype"),
-        pick_int(TYPES, 1 + F.col("p_partkey") % len(TYPES)).alias("type"),
+        pick(FTYPES, 1 + k % 11).alias("ftype"),
     )
     name0 = F.when(
         F.col("streetname").isNull() | (F.lower(F.col("streetname")) == "unnamed"),
@@ -149,25 +123,29 @@ def t6_t9_names(spark, sf_dir):
                            ("prefix", "streetname", "ftype")])
     )
     hw0 = F.element_at(spark_int_map(HIGHWAY_BY_TYPE), F.col("type"))
-    hw = F.when((hw0 == "residential") & name0.isNull(), F.lit("service")).otherwise(hw0)
+    hw = F.when((hw0 == "residential") & name0.isNull(),
+                F.lit("service")).otherwise(hw0)
     is_link = hw0.contains("_link")
     return df.select(
-        "p_partkey",
+        "p_partkey", "type",
+        F.element_at(spark_int_map(ACCESS_BY_TYPE), F.col("type")).alias("access"),
+        F.element_at(spark_int_map(SERVICE_BY_TYPE), F.col("type")).alias("service"),
+        F.element_at(spark_int_map(SURFACE_BY_TYPE), F.col("type")).alias("surface"),
         F.when(is_link, F.lit(None).cast("string")).otherwise(name0).alias("name"),
         F.when(is_link, name0).alias("description"),
         hw.alias("highway"),
     )
 
 
-_T69_SQL = f"""
+_TCODE_SQL = f"""
 WITH d AS (
   SELECT p_partkey,
+         {sql_int_list(TYPES)}[1 + p_partkey % {len(TYPES)}] AS type,
          {sql_str_list(DIRS)}[1 + p_partkey % 13] AS prefix,
          CASE WHEN p_partkey % 17 = 0 THEN 'UNNAMED'
               WHEN p_partkey % 19 = 0 THEN NULL
               ELSE UPPER(p_name) END AS streetname,
-         {sql_str_list(FTYPES)}[1 + p_partkey % 11] AS ftype,
-         {sql_int_list(TYPES)}[1 + p_partkey % {len(TYPES)}] AS type
+         {sql_str_list(FTYPES)}[1 + p_partkey % 11] AS ftype
   FROM part
 ), n AS (
   SELECT *,
@@ -177,7 +155,10 @@ WITH d AS (
     {case_int_map(HIGHWAY_BY_TYPE, "type")} AS hw0
   FROM d
 )
-SELECT p_partkey,
+SELECT p_partkey, type,
+  {case_int_map(ACCESS_BY_TYPE, "type")} AS access,
+  {case_int_map(SERVICE_BY_TYPE, "type")} AS service,
+  {case_int_map(SURFACE_BY_TYPE, "type")} AS surface,
   CASE WHEN hw0 LIKE '%\\_link%' ESCAPE '\\' THEN NULL ELSE name0 END AS name,
   CASE WHEN hw0 LIKE '%\\_link%' ESCAPE '\\' THEN name0 END AS description,
   CASE WHEN hw0 = 'residential' AND name0 IS NULL THEN 'service' ELSE hw0 END AS highway
@@ -538,7 +519,6 @@ FROM nodes GROUP BY node HAVING COUNT(*) >= 2
 QUERIES = {
     "p1_p2_expand": p1_p2_expand,
     "t_code_maps": t_code_maps,
-    "t6_t9_names": t6_t9_names,
     "t10_layer": t10_layer,
     "t13_t20_trails": t13_t20_trails,
     "t21_bike_tags": t21_bike_tags,
@@ -549,7 +529,6 @@ QUERIES = {
 ORACLES = {
     "p1_p2_expand": _P12_SQL,
     "t_code_maps": _TCODE_SQL,
-    "t6_t9_names": _T69_SQL,
     "t10_layer": _T10_SQL,
     "t13_t20_trails": _T1320_SQL,
     "t21_bike_tags": _T21_SQL,

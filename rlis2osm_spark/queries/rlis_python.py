@@ -62,16 +62,22 @@ def _point_wkb(xs: pd.Series, ys: pd.Series) -> pd.Series:
 
 def s2_tile_assignment_wkb(spark, sf_dir):
     """Flagship WKB path: identical coordinates packed as WKB points, run
-    through the *real* geometry->midpoint->cell pipeline. Must produce the
-    exact cells of the arithmetic path — it shares s2's oracle."""
+    through the *real* geometry->midpoint->cell pipeline, emitted alongside
+    the pure-arithmetic Morton cell (r3: absorbs the former
+    ``s2_tile_assignment`` — ``cell_native`` must equal ``cell`` row by
+    row, so the shared oracle pins WKB-path == arithmetic-path parity
+    inside one result)."""
     ensure_package_on_workers(spark)
-    from rlis2osm_spark.spatial.tiles import with_tile
+    from rlis2osm_spark.spatial.tiles import grid_coords, morton_cell, with_tile
 
     pts = spatial_sql._doc_points(spark, sf_dir)
-    geo = pts.select("doc_id", _point_wkb("x", "y").alias("geometry"))
+    ixn, iyn = grid_coords(F.col("x"), F.col("y"),
+                           spatial_sql.RES, spatial_sql.GRID)
+    geo = pts.select("doc_id", morton_cell(ixn, iyn).alias("cell_native"),
+                     _point_wkb("x", "y").alias("geometry"))
     tiled = with_tile(geo, spatial_sql.RES, grid=spatial_sql.GRID)
     return tiled.select(
-        "doc_id", "ix", "iy", "cell",
+        "doc_id", "ix", "iy", "cell", "cell_native",
         F.shiftright("cell", 2).alias("parent_cell"))
 
 
@@ -189,24 +195,12 @@ def rlis_dissolve_cc(spark, sf_dir):
     )
 
 
-def minhash_dedup_xxhash(spark, sf_dir):
-    """Production MinHash at the high-precision configuration (16 hashes x
-    8 bands = 2 rows/band over xxhash64 3-word shingles) — the same engine
-    operator d5 runs at 8x4; two points on the precision/recall curve.
-    Engine-specific hash -> rows-only."""
-    from rlis2osm_spark.operators.dedup import minhash_lsh_pairs
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_lsh_pairs(docs, n_hashes=16, n_bands=8)
-
-
 QUERIES = {
     "rlis_basename_expand": rlis_basename_expand,
     "rlis_titlecase_names": rlis_titlecase_names,
     "s2_tile_assignment_wkb": s2_tile_assignment_wkb,
     "rlis_street_pipeline": rlis_street_pipeline,
     "rlis_dissolve_cc": rlis_dissolve_cc,
-    "minhash_dedup_xxhash": minhash_dedup_xxhash,
 }
 
 # ground truth of the derived chain topology: p_partkey//4 chains, one
@@ -219,8 +213,14 @@ SELECT cnt AS n_members, COUNT(*) AS n_groups FROM (
 
 # the WKB tile path must agree with the arithmetic oracle exactly; the
 # street-pipeline histogram is TYPE/z-level-determined -> SQL-transcribable
+# the WKB oracle re-emits the arithmetic cell as cell_native (must be equal)
+_S2_WKB_SQL = f"""
+SELECT doc_id, ix, iy, cell, cell AS cell_native, parent_cell
+FROM ({spatial_sql._S2_SQL})
+"""
+
 ORACLES = {
-    "s2_tile_assignment_wkb": spatial_sql._S2_SQL,
+    "s2_tile_assignment_wkb": _S2_WKB_SQL,
     "rlis_street_pipeline": _street_pipeline_sql(),
     "rlis_dissolve_cc": _DISSOLVE_SQL,
 }

@@ -225,7 +225,6 @@ GROUP BY elevation
 
 
 QUERIES = {
-    "s2_tile_assignment": s2_tile_assignment,
     "s3_tile_rollup": s3_tile_rollup,
     "s4_point_in_polygon": s4_point_in_polygon,
     "s5_knn_points": s5_knn_points,
@@ -233,7 +232,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "s2_tile_assignment": _S2_SQL,
     "s3_tile_rollup": _S3_SQL,
     "s4_point_in_polygon": _S4_SQL,
     "s5_knn_points": _S5_SQL,
@@ -367,8 +365,7 @@ WHERE (o1 * o2 < 0 AND o3 * o4 < 0)
               AND ly2 BETWEEN LEAST(ry1,ry2) AND GREATEST(ry1,ry2))
 """
 
-QUERIES.update({"s8_segment_intersection": s8_segment_intersection})
-ORACLES.update({"s8_segment_intersection": _S8_SQL})
+
 
 
 def s9_within_distance(spark, sf_dir):
@@ -434,5 +431,26 @@ d AS (
 SELECT pid, sid FROM d WHERE dist2 <= 25000000.0
 """  # noqa: E501
 
-QUERIES.update({"s9_within_distance": s9_within_distance})
-ORACLES.update({"s9_within_distance": _S9_SQL})
+def s8_proximity_joins(spark, sf_dir):
+    """Both spatial pair-join shapes in one tagged output (r3 merge of
+    ``s8_segment_intersection`` + ``s9_within_distance``): segment-segment
+    intersection pairs and point-to-segment radius pairs, each via cell
+    candidates + exact native predicates; identical results vs the
+    brute-force oracles prove candidate completeness for both."""
+    inter = s8_segment_intersection(spark, sf_dir).select(
+        F.lit("intersect").alias("kind"),
+        F.col("lid").alias("a"), F.col("rid").alias("b"))
+    radius = s9_within_distance(spark, sf_dir).select(
+        F.lit("radius").alias("kind"),
+        F.col("pid").alias("a"), F.col("sid").alias("b"))
+    return inter.unionByName(radius)
+
+
+_S8S9_SQL = f"""
+SELECT 'intersect' AS kind, lid AS a, rid AS b FROM ({_S8_SQL})
+UNION ALL
+SELECT 'radius' AS kind, pid AS a, sid AS b FROM ({_S9_SQL})
+"""
+
+QUERIES.update({"s8_proximity_joins": s8_proximity_joins})
+ORACLES.update({"s8_proximity_joins": _S8S9_SQL})

@@ -49,7 +49,9 @@ def test_translate_no_rowwise_python(spark):
 
 
 def test_tile_assignment_is_native_after_arrow(spark):
-    df = Q["s2_tile_assignment"](spark, SF)
+    from rlis2osm_spark.queries.spatial_sql import s2_tile_assignment
+
+    df = s2_tile_assignment(spark, SF)
     plan = _plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
@@ -104,11 +106,11 @@ def test_knn_single_probe_exchange(spark):
 
 
 def test_semi_anti_join_plan_forms(spark):
-    """q04/q16 must plan as real semi/anti joins (no fan-out + distinct)."""
-    p04 = _plan(Q["q04_semi_join"](spark, SF))
+    """The merged q04 must plan BOTH a real semi and a real anti join
+    (no fan-out + distinct)."""
+    p04 = _plan(Q["q04_semi_anti_join"](spark, SF))
     assert "LeftSemi" in p04, p04
-    p16 = _plan(Q["q16_anti_join"](spark, SF))
-    assert "LeftAnti" in p16, p16
+    assert "LeftAnti" in p04, p04
     # both keep the partial-aggregation split on the count
     assert "partial_count" in p04 or "HashAggregate" in p04
 
