@@ -2,11 +2,15 @@
 payloads with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing is real and tested — schemas, the media join, batch
-shapes, partitioning, the UDF signatures. The codec step is STUBBED: the
-sandbox has no image/audio libraries, so ``decode_stub=True`` (default)
-runs a deterministic fake decoder over the raw bytes, and
-``decode_stub=False`` raises ``NotImplementedError`` at the exact seam
-where a real decoder (PIL / torchaudio / pyav) plugs in.
+shapes, partitioning, the UDF signatures. The codec step:
+
+- ``decode_stub=True`` (default) runs a deterministic fake decoder over the
+  raw bytes (no codec needed);
+- ``decode_stub=False`` REALLY decodes PNG (stdlib zlib/struct) and WAV
+  (struct over RIFF) via functions/codecs.py — r3, VERDICT r2 #3; formats
+  with no stdlib decoder (jpeg/gif/video) still raise
+  ``NotImplementedError`` at the exact seam where PIL / torchaudio / pyav
+  plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -35,6 +39,7 @@ IMAGE_FEATURE_SCHEMA = StructType([
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
     StructField("feature", ArrayType(FloatType())),
+    StructField("px_sum", LongType()),  # real decode only (exact int)
 ])
 
 _MAGIC = {
@@ -77,15 +82,30 @@ def extract_image_features(
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 if payload is None:
-                    rows.append((ref, 0, None, None, None, None))
+                    rows.append((ref, 0, None, None, None, None, None))
                     continue
                 b = bytes(payload)
-                if not decode_stub:
+                fmt = _sniff(b)
+                if decode_stub:
+                    w, h, feat = _fake_decode(b, feat_dim)
+                    rows.append((ref, len(b), fmt, w, h, feat.tolist(), None))
+                    continue
+                if fmt != "png":
                     raise NotImplementedError(
-                        "real image decoding requires an image codec "
-                        "library; plug PIL/pyav in here")
-                w, h, feat = _fake_decode(b, feat_dim)
-                rows.append((ref, len(b), _sniff(b), w, h, feat.tolist()))
+                        f"real image decoding for {fmt!r} requires an image "
+                        "codec library; plug PIL/pyav in here (png decodes "
+                        "natively via functions/codecs.py)")
+                from rlis2osm_spark.functions.codecs import decode_png
+
+                w, h, px = decode_png(b)
+                arr = np.frombuffer(px, dtype=np.uint8)
+                hist = np.bincount(arr % feat_dim,
+                                   minlength=feat_dim).astype("float32")
+                total = hist.sum()
+                if total > 0:
+                    hist /= total
+                rows.append((ref, len(b), fmt, w, h, hist.tolist(),
+                             int(arr.sum())))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
 
@@ -146,6 +166,10 @@ AUDIO_FEATURE_SCHEMA = StructType([
     StructField("n_windows", IntegerType()),
     StructField("rms", ArrayType(FloatType())),       # per-window energy
     StructField("zero_crossings", LongType()),
+    # real decode only (exact ints over decoded PCM16 samples)
+    StructField("n_samples", LongType()),
+    StructField("abs_sum", LongType()),
+    StructField("peak", IntegerType()),
 ])
 
 
@@ -165,14 +189,26 @@ def extract_audio_features(
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 if payload is None:
-                    rows.append((ref, 0, None, None, None))
+                    rows.append((ref, 0, None, None, None, None, None, None))
                     continue
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real audio decoding requires a codec library; "
-                        "plug soundfile/torchaudio in here")
                 b = bytes(payload)
-                sig = np.frombuffer(b, dtype=np.int8).astype("float32")
+                extra = (None, None, None)
+                if decode_stub:
+                    sig = np.frombuffer(b, dtype=np.int8).astype("float32")
+                else:
+                    if b[:4] != b"RIFF":
+                        raise NotImplementedError(
+                            "real audio decoding for non-WAV payloads "
+                            "requires a codec library; plug soundfile/"
+                            "torchaudio in here (16-bit PCM WAV decodes "
+                            "natively via functions/codecs.py)")
+                    from rlis2osm_spark.functions.codecs import decode_wav
+
+                    _, samples = decode_wav(b)
+                    s = np.asarray(samples, dtype=np.int64)
+                    extra = (len(s), int(np.abs(s).sum()),
+                             int(np.abs(s).max()) if len(s) else 0)
+                    sig = s.astype("float32")
                 n_win = min(max(len(sig) // window, 1), max_windows)
                 used = sig[: n_win * window] if len(sig) >= window else sig
                 if len(used) >= window:
@@ -184,7 +220,7 @@ def extract_audio_features(
                     n_win = 1
                 zc = int(np.count_nonzero(np.diff(np.signbit(sig))))
                 rows.append((ref, len(b), n_win,
-                             [float(x) for x in rms], zc))
+                             [float(x) for x in rms], zc, *extra))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
 

