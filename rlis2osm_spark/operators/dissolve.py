@@ -189,6 +189,7 @@ def dissolve_ways(
     geom_col: str = "geometry",
     algorithm: str = "auto",
     max_group_rows: int = 250_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """EP3: dissolve connected, identically-tagged ways into merged geometries.
 
@@ -205,6 +206,12 @@ def dissolve_ways(
     whole extent — to the iterative large-star/small-star CC, everything
     else to the per-partition union-find. "unionfind"/"iterative" force one
     path (tests, known-shaped inputs).
+
+    ``approx_rows`` (r3, VERDICT r2 #5) short-circuits the auto planning
+    job: when the caller knows a total-row upper bound <= max_group_rows
+    (parquet footer metadata, an Iceberg snapshot's record count — free at
+    any scale), NO group can exceed the cap, so auto routes straight to
+    union-find without the extra count job.
     """
     tag_fields = [c for c in COMBINED_FIELDS if c in combined.columns]
     dissolve_fields = _define_filter_fields(tag_fields, fields, exclude)
@@ -243,23 +250,30 @@ def dissolve_ways(
     )
 
     n_parts = max(spark_partitions(combined), 8)
+    if approx_rows is not None:
+        # size the CC shuffle to the data: ~50k node rows per partition,
+        # never above the session parallelism (tiny inputs stop paying
+        # 64-task overhead; 100 TB inputs still spread fully)
+        n_parts = max(8, min(n_parts, approx_rows // 50_000 + 1))
     if algorithm == "iterative":
         comps = _comps_iterative(nodes, df.select("way_id"))
     elif algorithm == "unionfind":
         comps = _comps_unionfind(nodes, n_parts)
+    elif approx_rows is not None and approx_rows <= max_group_rows:
+        # auto short-circuit: total rows bound <= per-group cap means no
+        # group can be degenerate — skip the planning job entirely
+        comps = _comps_unionfind(nodes, n_parts)
     else:  # auto: route only degenerate groups to the iterative path.
         # NOTE: the routing decision needs the group-size distribution, so
         # "auto" runs ONE planning-time Spark job here (map-side-combined
-        # count + the big-key collect into cache). Plan-only callers that
-        # must stay action-free should pass algorithm="unionfind".
+        # count + the big-key collect). Plan-only callers that must stay
+        # action-free should pass algorithm="unionfind" or approx_rows.
         sizes = df.groupBy("group_key").agg(F.count("*").alias("_gsz"))
         big_df = sizes.filter(F.col("_gsz") > max_group_rows).select(
             "group_key")
         # degenerate groups are by definition FEW (> max_group_rows each),
-        # so the key set collects to the driver and routes via native isin
-        # literals — no cached DataFrame to leak, no per-reuse recompute.
-        # Guard: cap the collect at 100k keys (pathological inputs fail
-        # loudly rather than OOMing the driver).
+        # so the key set collects to the driver once. Guard: cap the collect
+        # at 100k keys (pathological inputs fail loudly, not driver-OOM).
         big_keys = [r.group_key
                     for r in big_df.limit(100_001).collect()]
         if len(big_keys) > 100_000:
@@ -270,10 +284,15 @@ def dissolve_ways(
         if not big_keys:
             comps = _comps_unionfind(nodes, n_parts)
         else:
-            is_big = F.col("group_key").isin(big_keys)
-            small_n = nodes.filter(~is_big)
-            big_n = nodes.filter(is_big)
-            big_ways = df.filter(is_big).select("way_id")
+            # route via a broadcast-joined key frame, NOT isin literals:
+            # 100k literals would inflate every downstream plan and task
+            # closure (ADVICE r2); a local-list DataFrame broadcasts once.
+            spark = combined.sparkSession
+            bk = F.broadcast(spark.createDataFrame(
+                [(k,) for k in big_keys], "group_key long"))
+            small_n = nodes.join(bk, "group_key", "left_anti")
+            big_n = nodes.join(bk, "group_key", "left_semi")
+            big_ways = df.join(bk, "group_key", "left_semi").select("way_id")
             comps = _comps_unionfind(small_n, n_parts).unionByName(
                 _comps_iterative(big_n, big_ways))
 

@@ -102,6 +102,36 @@ def _table_buckets(vec: Column, dim: int, n_planes: int,
     ])
 
 
+def lsh_table_buckets_udf(dim: int, n_planes: int, n_tables: int,
+                          seed: int = 1234567):
+    """All ``n_tables`` LSH buckets in ONE numpy matmul per Arrow batch
+    (returns ``array<long>``, one bucket per table). Same LCG hyperplanes /
+    per-table seeds as ``_table_buckets`` — the expression path unrolls
+    n_tables*n_planes*dim literal terms, which blows up codegen compile
+    time well before the data costs anything (see ``lsh_bucket_udf``)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    W = np.array(
+        [_lcg_weights(p, dim, seed + t * 99991)
+         for t in range(n_tables) for p in range(n_planes)],
+        dtype=np.float64).T  # (dim, n_tables*n_planes)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs):
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = (M @ W) > 0                     # (batch, n_tables*n_planes)
+        per_tbl = proj.reshape(len(M), n_tables, n_planes) @ powers
+        return pd.Series(list(per_tbl))
+
+    return buckets
+
+
 def lsh_ann_topk(
     base: DataFrame,
     probes: DataFrame,
@@ -112,6 +142,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 1234567,
+    bucket_udf: bool | None = None,
 ) -> DataFrame:
     """ANN: bucket equi-join candidates, exact cosine re-rank.
 
@@ -120,17 +151,34 @@ def lsh_ann_topk(
     bucket in ANY table, recall ~ 1 - (1 - p^n_planes)^n_tables. The table
     id is exploded into the join key — still ONE equi-join, and the
     candidate set is deduped with a single probe-keyed exchange before the
-    rank window."""
+    rank window.
+
+    ``bucket_udf`` picks the signature implementation: plan-time literal
+    expressions (pure codegen — best at small plane*dim products) vs one
+    numpy matmul per Arrow batch (``lsh_table_buckets_udf`` — best when
+    n_tables*n_planes*dim would bloat codegen). Default: auto by size.
+    The two agree except on projections within float rounding of zero."""
+    if bucket_udf is None:
+        bucket_udf = n_tables * n_planes * dim >= 1024
     b = base.select(F.col(id_col).alias("neighbor_id"),
                     as_double_vec(F.col(vec_col)).alias("bv"))
     p = probes.select(F.col(id_col).alias("probe_id"),
                       as_double_vec(F.col(vec_col)).alias("pv"))
-    b = b.select("neighbor_id", "bv", F.explode(
-        _table_buckets(F.col("bv"), dim, n_planes, n_tables, seed)).alias("tb")
-    ).select("neighbor_id", "bv", "tb.tbl", "tb.bucket")
-    p = p.select("probe_id", "pv", F.explode(
-        _table_buckets(F.col("pv"), dim, n_planes, n_tables, seed)).alias("tb")
-    ).select("probe_id", "pv", "tb.tbl", "tb.bucket")
+    if bucket_udf:
+        bu = lsh_table_buckets_udf(dim, n_planes, n_tables, seed)
+        b = b.select(
+            "neighbor_id", "bv",
+            F.posexplode(bu(F.col("bv"))).alias("tbl", "bucket"))
+        p = p.select(
+            "probe_id", "pv",
+            F.posexplode(bu(F.col("pv"))).alias("tbl", "bucket"))
+    else:
+        b = b.select("neighbor_id", "bv", F.explode(
+            _table_buckets(F.col("bv"), dim, n_planes, n_tables, seed)
+        ).alias("tb")).select("neighbor_id", "bv", "tb.tbl", "tb.bucket")
+        p = p.select("probe_id", "pv", F.explode(
+            _table_buckets(F.col("pv"), dim, n_planes, n_tables, seed)
+        ).alias("tb")).select("probe_id", "pv", "tb.tbl", "tb.bucket")
 
     cands = p.join(b, ["tbl", "bucket"]).filter(
         F.col("probe_id") != F.col("neighbor_id"))
@@ -216,6 +264,7 @@ def ivf_ann_topk(
     centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 5,
 ) -> DataFrame:
     """IVF ANN: k-means cells as the candidate generator (VERDICT r1 #10).
 
@@ -226,7 +275,8 @@ def ivf_ann_topk(
     LSH lacks (its buckets are fixed by the plane count).
     """
     cents = centroids if centroids is not None else ivf_train_centroids(
-        base, dim, k_centroids, id_col=id_col, vec_col=vec_col)
+        base, dim, k_centroids, n_iter=n_iter, id_col=id_col,
+        vec_col=vec_col)
     spark = base.sparkSession
     cdf = spark.createDataFrame(
         list(enumerate(cents)), "cid int, c array<double>")

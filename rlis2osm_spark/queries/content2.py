@@ -71,8 +71,11 @@ def _planted_base(spark, sf_dir):
     distractors = emb.filter(
         (F.col("vec_id") >= _N_PROBES) & (F.col("vec_id") < 400)).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("embedding"))
-    return base.unionByName(distractors), probes.select(
-        "vec_id", F.col("p").alias("embedding"))
+    # eager localCheckpoint: the Gram-Schmidt chain is deep codegen that
+    # BOTH ANN legs (and every k-means iteration) would otherwise recompile
+    # and recompute per job; the materialized set is ~430 tiny rows
+    full = base.unionByName(distractors).localCheckpoint(eager=True)
+    return full, probes.select("vec_id", F.col("p").alias("embedding"))
 
 
 def ann_topk(spark, sf_dir):
@@ -86,7 +89,8 @@ def ann_topk(spark, sf_dir):
 
     base, probes = _planted_base(spark, sf_dir)
     lsh = lsh_ann_topk(base, probes, dim=64, k=3, n_planes=4, n_tables=8)
-    ivf = ivf_ann_topk(base, probes, dim=64, k=3, k_centroids=8, n_probe=3)
+    ivf = ivf_ann_topk(base, probes, dim=64, k=3, k_centroids=8, n_probe=3,
+                       n_iter=1)
     return (
         lsh.select(F.lit("lsh").alias("method"), "probe_id",
                    "neighbor_id", "rank")

@@ -187,7 +187,12 @@ def rlis_dissolve_cc(spark, sf_dir):
     streets = _derived_streets(spark, sf_dir)
     osm = translate_streets(expand_street_names(streets)).withColumns(
         {"src_table": F.lit("streets"), "part_idx": F.lit(0)})
-    dissolved = dissolve_ways(osm)
+    # row bound from the parquet footer (free; at scale: Iceberg snapshot
+    # record count) lets auto skip its group-size planning job (VERDICT r2 #5)
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    dissolved = dissolve_ways(osm, approx_rows=n_rows)
     return (
         dissolved.groupBy("n_members")
         .agg(F.count("*").alias("n_groups"))

@@ -153,9 +153,11 @@ def s5_knn_points(spark, sf_dir):
     based = base.withColumns({"cx": bix, "cy": biy})
 
     pix, piy = grid_coords(F.col("x"), F.col("y"), RES, GRID)
-    cands = explode_ring_coords(
+    # the ring-exploded probe set is tiny (60 probes x 9 cells) — pin the
+    # broadcast so the 20k-row base never shuffles (r3, VERDICT r2 #4)
+    cands = F.broadcast(explode_ring_coords(
         probes.select("doc_id", "x", "y"), pix, piy
-    ).join(based, ["cx", "cy"])
+    )).join(based, ["cx", "cy"])
 
     d2 = point_segment_dist2(
         F.col("x"), F.col("y"), F.col("bx"), F.col("by"),
