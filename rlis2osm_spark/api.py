@@ -50,11 +50,11 @@ def to_osm_xml(df: DataFrame, out_dir: str, merged: str | None = None,
     ``assemble_tags=False`` skips tag assembly for frames that already
     carry the sink ``tags`` map (e.g. rlis_osm_pipeline output)."""
     sink_df = repair_and_filter_tags(df) if assemble_tags else df
-    stats = write_osm_xml(sink_df, out_dir)
+    stats = write_osm_xml(sink_df, out_dir)  # eager staged write (r3)
     if merged is None:
         return stats
-    rows = stats.collect()  # materialize the distributed fragment write
-    info = merge_fragments(out_dir, merged)
+    rows = stats.collect()
+    info = merge_fragments(out_dir, merged, expect_fragments=len(rows))
     # keep the loud-row-loss channel: surface skipped null geometries
     info["n_null_geoms"] = int(sum(r.n_null_geoms for r in rows))
     return info

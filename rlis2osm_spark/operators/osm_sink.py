@@ -65,19 +65,20 @@ def write_osm_xml(
     reference's ``ogr2osm -e 2913`` step); False keeps source coordinates
     (debug only — not valid OSM XML).
 
-    Pre-existing ``part-*.osm`` fragments in ``out_dir`` are removed first
-    (a rerun with fewer partitions would otherwise leave stale fragments
-    that merge_fragments would silently include) — but only AFTER the
-    column projection has analyzed, so a malformed input can't destroy the
-    previous deliverable; note the fragment write itself stays lazy until
-    the returned stats frame is materialized."""
+    Staged write (ADVICE r2): tasks emit ``part-*.osm.tmp``, the action
+    runs EAGERLY here, and only after it succeeds are the previous
+    ``part-*.osm`` fragments removed and the staging files atomically
+    promoted — a failed or never-materialized run can no longer destroy
+    the prior deliverable or leave a partial fragment set that
+    merge_fragments would silently include. Returns the per-partition
+    stats as a small local DataFrame (already materialized)."""
     import glob as _glob
 
     def serialize(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        path = os.path.join(out_dir, f"part-{pid:05d}.osm")
+        path = os.path.join(out_dir, f"part-{pid:05d}.osm.tmp")
         nodes: dict[int, tuple] = {}  # id -> (packed bytes, (x, y) source ft)
         ways: list[tuple[int, list[int], dict]] = []
         n_null = 0
@@ -138,12 +139,27 @@ def write_osm_xml(
 
     projected = df.select(geom_col, tags_col)  # analyzes (raises on bad input)
     os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(os.path.join(out_dir, "part-*.osm.tmp")):
+        os.remove(stale)
+    rows = projected.mapInPandas(serialize, _OUT_SCHEMA).collect()
+    # the action succeeded: swap staging in (remove stale fragments from a
+    # previous run with more partitions, then atomic per-file rename)
     for stale in _glob.glob(os.path.join(out_dir, "part-*.osm")):
         os.remove(stale)
-    return projected.mapInPandas(serialize, _OUT_SCHEMA)
+    final_rows = []
+    for r in rows:
+        dest = r.part_file[:-len(".tmp")]
+        os.replace(r.part_file, dest)
+        final_rows.append((dest, r.n_ways, r.n_nodes, r.n_null_geoms))
+    return df.sparkSession.createDataFrame(final_rows, _OUT_SCHEMA)
 
 
-def merge_fragments(out_dir: str, dest_path: str) -> dict:
+_FRAGMENT_HEADER = ("<?xml version='1.0' encoding='UTF-8'?>\n",
+                    "<osm version='0.6' generator='rlis2osm_spark'>\n")
+
+
+def merge_fragments(out_dir: str, dest_path: str,
+                    expect_fragments: int | None = None) -> dict:
     """Merge ``part-*.osm`` fragments into one artifact (reference
     main.py:248-257 emits a single ``rlis.osm``).
 
@@ -153,12 +169,27 @@ def merge_fragments(out_dir: str, dest_path: str) -> dict:
     at cluster scale the fragments themselves are the parallel output and
     this runs on the driver/edge node, like the reference's ogr2osm step.
 
+    Guards (ADVICE r2): every fragment must carry write_osm_xml's exact
+    header (a foreign or hand-edited part-*.osm would be mis-parsed by the
+    line-prefix scan, so it is rejected loudly), and ``expect_fragments``
+    cross-checks the fragment count against the writer's stats rows.
     Raises ValueError if two distinct coordinates produced the same node
     id (hash collision) instead of silently corrupting way geometry.
     """
     import glob
 
     frags = sorted(glob.glob(os.path.join(out_dir, "part-*.osm")))
+    if expect_fragments is not None and len(frags) != expect_fragments:
+        raise ValueError(
+            f"fragment count mismatch: writer reported {expect_fragments} "
+            f"fragments but {out_dir} holds {len(frags)}")
+    for f in frags:
+        with open(f, encoding="utf-8") as fh:
+            head = (fh.readline(), fh.readline())
+        if head != _FRAGMENT_HEADER:
+            raise ValueError(
+                f"{f} was not written by write_osm_xml (unexpected header "
+                f"{head!r}); refusing to merge foreign fragments")
     seen: dict[str, str] = {}
     n_ways = 0
     with open(dest_path, "w", encoding="utf-8") as out:

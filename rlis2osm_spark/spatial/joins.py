@@ -295,8 +295,20 @@ def polygon_cell_join(
                 F.explode(F.sequence("_iy0", "_iy1")).alias("cy"))
     )
 
+    pt_cols = list(points.columns)
+    reserved = {poly_id, ring_col, "cx", "cy", "_in", "_pt_uid"}
+    clash = reserved & set(pt_cols)
+    if clash:
+        raise ValueError(
+            f"points columns {sorted(clash)} collide with reserved names; "
+            "rename them before polygon_cell_join")
+
     pix, piy = grid_coords(F.col(x_col), F.col(y_col), res, grid)
-    pts = points.withColumns({"cx": pix, "cy": piy})
+    # per-row surrogate uid: the final regroup must preserve duplicate
+    # input rows (ADVICE r2 — grouping by the raw point columns collapsed
+    # them), and it must never group by a fat geometry column
+    pts = points.withColumn("_pt_uid", F.monotonically_increasing_id()) \
+        .withColumns({"cx": pix, "cy": piy})
 
     @F.pandas_udf(BooleanType())
     def inside(xs_s: pd.Series, ys_s: pd.Series, rings: pd.Series) -> pd.Series:
@@ -314,10 +326,11 @@ def polygon_cell_join(
     cands = pts.join(cells, ["cx", "cy"], "left")
     hits = cands.withColumn(
         "_in", inside(F.col(x_col), F.col(y_col), F.col(ring_col)))
-    pt_cols = [c for c in points.columns]
     return (
-        hits.groupBy(*pt_cols)
-        .agg(F.min(F.when(F.col("_in"), F.col(poly_id))).alias(poly_id))
+        hits.groupBy("_pt_uid")
+        .agg(*[F.first(c).alias(c) for c in pt_cols],
+             F.min(F.when(F.col("_in"), F.col(poly_id))).alias(poly_id))
+        .drop("_pt_uid")
     )
 
 

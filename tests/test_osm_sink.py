@@ -100,7 +100,8 @@ def test_merge_detects_node_id_collision(tmp_path):
 
     d = tmp_path / "frags"
     d.mkdir()
-    head = "<?xml version='1.0' encoding='UTF-8'?>\n<osm version='0.6'>\n"
+    head = ("<?xml version='1.0' encoding='UTF-8'?>\n"
+            "<osm version='0.6' generator='rlis2osm_spark'>\n")
     (d / "part-00000.osm").write_text(
         head + "  <node id='-5' visible='true' lat='45.1' lon='-122.2' />\n</osm>\n")
     (d / "part-00001.osm").write_text(
@@ -108,6 +109,28 @@ def test_merge_detects_node_id_collision(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="collision"):
         merge_fragments(str(d), str(tmp_path / "out.osm"))
+
+
+def test_merge_rejects_foreign_fragments(tmp_path):
+    """ADVICE r2: a hand-edited / foreign part-*.osm must be rejected, not
+    silently mis-parsed by the line-prefix scan."""
+    from rlis2osm_spark.operators.osm_sink import merge_fragments
+
+    d = tmp_path / "frags"
+    d.mkdir()
+    (d / "part-00000.osm").write_text(
+        "<?xml version='1.0'?>\n<osm generator='JOSM'>\n"
+        "<node id='-5' lat='45.1' lon='-122.2' />\n</osm>\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="foreign"):
+        merge_fragments(str(d), str(tmp_path / "out.osm"))
+    # fragment-count cross-check (writer stats vs directory contents)
+    head = ("<?xml version='1.0' encoding='UTF-8'?>\n"
+            "<osm version='0.6' generator='rlis2osm_spark'>\n")
+    (d / "part-00000.osm").write_text(head + "</osm>\n")
+    with _pytest.raises(ValueError, match="count mismatch"):
+        merge_fragments(str(d), str(tmp_path / "out.osm"),
+                        expect_fragments=2)
 
 
 def test_projection_roundtrip():

@@ -266,3 +266,30 @@ def test_long_segment_ring_completeness(spark):
     nn = knn_join(pts, segs, k=1, res=8, probe_id="pid", base_id="sid",
                   grid=g).collect()
     assert nn and nn[0].sid == 7 and abs(nn[0].dist2 - 1400.0 ** 2) < 1e-6
+
+
+def test_polygon_cell_join_preserves_duplicates_and_guards_names(spark):
+    """ADVICE r2: duplicate input points must survive the regroup (row count
+    preserved), and a reserved-name clash fails loudly."""
+    import pytest
+
+    from rlis2osm_spark.spatial.joins import polygon_cell_join
+    from rlis2osm_spark.spatial.tiles import TileGrid
+
+    g = TileGrid(0.0, 0.0, 400_000.0)
+    ring = [{"x": 0.0, "y": 0.0}, {"x": 10_000.0, "y": 0.0},
+            {"x": 10_000.0, "y": 10_000.0}, {"x": 0.0, "y": 10_000.0}]
+    polys = spark.createDataFrame(
+        [(1, ring)], "polygon_id long, ring array<struct<x:double,y:double>>")
+    pts = spark.createDataFrame(
+        [(7, 5_000.0, 5_000.0), (7, 5_000.0, 5_000.0),  # exact duplicates
+         (8, 50_000.0, 50_000.0)],
+        "pid long, x double, y double")
+    out = polygon_cell_join(pts, polys, res=6, grid=g).collect()
+    assert len(out) == 3  # both duplicate rows kept
+    assert sorted((r.pid, r.polygon_id) for r in out) == [
+        (7, 1), (7, 1), (8, None)]
+
+    clash = pts.withColumnRenamed("pid", "polygon_id")
+    with pytest.raises(ValueError, match="reserved"):
+        polygon_cell_join(clash, polys, res=6, grid=g)
