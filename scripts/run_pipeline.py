@@ -31,6 +31,17 @@ def main() -> int:
     ap.add_argument("--osm", default=None, metavar="PATH",
                     help="also write the single merged OSM XML artifact "
                          "(reference main.py:248-257 emits one rlis.osm)")
+    # reference CLI parity (main.py:171-206): -r refresh + -q/-v log control
+    ap.add_argument("-r", "--refresh", action="store_true",
+                    help="regenerate source data, overwriting existing files,"
+                         " and invalidate checkpoint snapshots (reference"
+                         " main.py:180-185)")
+    log_group = ap.add_mutually_exclusive_group()
+    log_group.add_argument("-q", "--quiet", action="store_true",
+                           help="suppress all non-error messages")
+    log_group.add_argument("-v", "--verbose", action="store_true",
+                           help="display all messages describing the"
+                                " conversion process")
     args = ap.parse_args()
 
     from rlis2osm_spark.datagen import ensure_dataset
@@ -40,12 +51,15 @@ def main() -> int:
     from rlis2osm_spark.plans.checkpoint import Checkpointer
     from rlis2osm_spark.session import build_session
 
-    ensure_dataset(args.data_dir)
+    ensure_dataset(args.data_dir, refresh=args.refresh)
     spark = build_session(app_name="rlis2osm_spark-pipeline")
     ensure_package_on_workers(spark)
+    spark.sparkContext.setLogLevel(
+        "ERROR" if args.quiet else "INFO" if args.verbose else "WARN")
 
     ck = Checkpointer(spark, args.out, args.run_id)
-    if args.no_resume:
+    if args.no_resume or args.refresh:
+        # refreshed inputs make every snapshot stale by definition
         for stage in ("combined", "dissolved", "tiled"):
             ck.invalidate(stage)
 
@@ -70,13 +84,15 @@ def main() -> int:
             dissolved, os.path.join(args.out, args.run_id, "osm_fragments"),
             merged=args.osm, assemble_tags=False)
 
-    print(json.dumps({
+    summary = {
         "dissolved_ways": dissolved.count(),
         "tiled_docs": tiled.count(),
         "cells": rollup.count(),
         "osm": osm_info,
-        "lineage": ck.report(),
-    }, indent=1, default=str))
+    }
+    if not args.quiet:  # -q keeps only the result line, like the reference
+        summary["lineage"] = ck.report()
+    print(json.dumps(summary, indent=1, default=str))
     spark.stop()
     return 0
 
