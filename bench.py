@@ -149,15 +149,26 @@ _SCALING_CONF = {
 os.makedirs("/dev/shm/spark-local", exist_ok=True)
 
 
+DOC_SCALE_MULT = int(os.environ.get("SPARK_GRAFT_DOC_SCALE_MULT", "256"))
+DOC_SCALE_DIR = os.path.join(REPO, ".synth", "scaling_docs")
+
+
 def _scaling_child(cpus: str) -> dict:
-    """Run the flagship scaling workload in this process (fresh JVM per
-    parallelism level); min over SCALE_REPEATS iterations to suppress
-    noisy-neighbor variance."""
+    """Run the scaling workloads in this process (fresh JVM per parallelism
+    level); min over SCALE_REPEATS iterations to suppress noisy-neighbor
+    variance. Two rows: the kNN-heavy flagship AND the pure-document span
+    path (explode -> shuffle-reassemble -> signature verify) so the
+    documents/sec metric is also measured on the invariant-carrying table
+    itself (VERDICT r2 #8) — the doc probe run doubles as a span-sequence
+    invariant check over every document."""
+    from rlis2osm_spark.datagen import ensure_dataset
     from rlis2osm_spark.driver_support import ensure_package_on_workers
-    from rlis2osm_spark.queries.scaling import scaling_flagship
+    from rlis2osm_spark.queries.scaling import (
+        scaling_documents, scaling_flagship)
     from rlis2osm_spark.session import build_session
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    ensure_dataset(DOC_SCALE_DIR, n_streets=4000, n_trails=800)
     spark = build_session(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
@@ -165,8 +176,9 @@ def _scaling_child(cpus: str) -> dict:
         extra_conf=_SCALING_CONF,
     )
     ensure_package_on_workers(spark)
-    # warm-up: small multiple, same code path
+    # warm-up: small multiple, same code paths
     _materialize(scaling_flagship(spark, SF_DIR, mult=8))
+    _materialize(scaling_documents(spark, DOC_SCALE_DIR, mult=4))
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * SCALE_MULT
     best = None
     for _ in range(SCALE_REPEATS):
@@ -174,10 +186,30 @@ def _scaling_child(cpus: str) -> dict:
         _materialize(scaling_flagship(spark, SF_DIR, mult=SCALE_MULT))
         elapsed = time.time() - t0
         best = elapsed if best is None else min(best, elapsed)
+
+    n_span_docs = spark.read.parquet(
+        f"{DOC_SCALE_DIR}/documents_rlis.parquet").count() * DOC_SCALE_MULT
+    doc_best = None
+    mismatches = None
+    for _ in range(SCALE_REPEATS):
+        t0 = time.time()
+        rows = scaling_documents(
+            spark, DOC_SCALE_DIR, mult=DOC_SCALE_MULT).collect()
+        elapsed = time.time() - t0
+        doc_best = elapsed if doc_best is None else min(doc_best, elapsed)
+        mismatches = int(sum(r.n_mismatch for r in rows))
+        assert sum(r.n_docs for r in rows) == n_span_docs
+    if mismatches:
+        raise AssertionError(
+            f"span-sequence invariant violated on {mismatches} documents")
     spark.stop()
     return {"cpus": int(cpus), "sec": round(best, 3),
             "docs_per_sec": round(n_docs / best, 1),
-            "n_docs": n_docs, "repeats": SCALE_REPEATS}
+            "n_docs": n_docs, "repeats": SCALE_REPEATS,
+            "doc_path": {"sec": round(doc_best, 3),
+                         "docs_per_sec": round(n_span_docs / doc_best, 1),
+                         "n_docs": n_span_docs,
+                         "span_sig_mismatches": mismatches}}
 
 
 def run_scaling() -> dict:
@@ -197,9 +229,12 @@ def run_scaling() -> dict:
     rn, r4n = results
     speedup = rn["sec"] / r4n["sec"]
     efficiency = round(speedup / 4.0, 3)
+    doc_speedup = rn["doc_path"]["sec"] / r4n["doc_path"]["sec"]
     report = {
         "n_parallelism": rn, "4n_parallelism": r4n,
         "speedup": round(speedup, 3), "scaling_efficiency": efficiency,
+        "doc_path_speedup": round(doc_speedup, 3),
+        "doc_path_scaling_efficiency": round(doc_speedup / 4.0, 3),
     }
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/scaling.json", "w") as fh:
@@ -216,6 +251,19 @@ def run_scaling() -> dict:
             f"| local[{r4n['cpus']}] (4N) | {r4n['sec']} | {r4n['docs_per_sec']} |\n\n"
             f"speedup N->4N: **{report['speedup']}x**; scaling efficiency "
             f"(speedup/4): **{efficiency}** (target >= 0.8)\n\n"
+            "Second row — PURE-DOCUMENT span path (spans in, spans out, "
+            "span-sequence signature verified per document in the same "
+            "run; 0 mismatches asserted):\n\n"
+            "| parallelism | wall sec | docs/sec |\n|---|---|---|\n"
+            f"| local[{rn['cpus']}] (N) | {rn['doc_path']['sec']} | "
+            f"{rn['doc_path']['docs_per_sec']} |\n"
+            f"| local[{r4n['cpus']}] (4N) | {r4n['doc_path']['sec']} | "
+            f"{r4n['doc_path']['docs_per_sec']} |\n\n"
+            f"doc-path speedup N->4N: **{report['doc_path_speedup']}x**; "
+            f"efficiency: **{report['doc_path_scaling_efficiency']}** "
+            f"({rn['doc_path']['n_docs']:,} span documents, explode -> "
+            "shuffle-reassemble -> signature verify + native text-span "
+            "expansion)\n\n"
             f"Workload: flagship H3-style pipeline over {rn['n_docs']:,} "
             f"interleaved documents (deterministic x{SCALE_MULT} expansion "
             f"of sf dir `{SF_DIR}`): WKB media encode -> Arrow midpoint "

@@ -103,3 +103,64 @@ def scaling_flagship(spark, sf_dir: str, mult: int = 64):
              F.sum(F.col("nn.d2").cast("long")).alias("sum_d2"),
              F.sum("n_cands").alias("n_matches"))
     )
+
+
+def expanded_documents(spark, data_dir: str, mult: int):
+    """mult replicas of the interleaved span documents (doc_id string,
+    spans array<struct<kind,text,media_ref,offset>>), shuffle-free: the
+    replica range drives partitioning, the small doc set broadcasts."""
+    docs = spark.read.parquet(f"{data_dir}/documents_rlis.parquet")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    reps = spark.range(0, mult, numPartitions=min(mult, n * 2)).select(
+        F.col("id").alias("rep"))
+    return reps.join(F.broadcast(docs), how="cross").select(
+        F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "spans")
+
+
+def scaling_documents(spark, data_dir: str, mult: int = 256):
+    """Pure-document scaling probe (VERDICT r2 #8): spans in, spans out,
+    span-sequence invariant VERIFIED in-flow on the invariant-carrying
+    table itself.
+
+    Work: explode every span (posexplode), shuffle-regroup + offset-order
+    reassembly (the §1.4 re-assembly contract — the one real shuffle),
+    re-derive the (kind, text, media_ref, order) signature and compare to
+    the pre-shuffle signature per document, plus a native text-span
+    expansion pass (order-invariant transform) counted for throughput.
+    Output: one macro-rollup row per doc_id bucket with the mismatch count
+    — the caller asserts SUM(n_mismatch) == 0, so every benchmark run is
+    also a span-invariant proof over every document."""
+    from rlis2osm_spark.functions.expand import expand_direction
+    from rlis2osm_spark.sources.documents import (
+        explode_spans, reassemble_spans, span_signature,
+        transform_text_spans)
+
+    docs = expanded_documents(spark, data_dir, mult)
+    orig = docs.select(
+        "doc_id", span_signature(F.col("spans")).alias("sig_in"),
+        F.size("spans").alias("n_spans_in"))
+    round_tripped = reassemble_spans(explode_spans(docs))
+    # native text transform over the round-tripped spans: order/kind/ref
+    # untouched (the order half of the invariant), text rewritten in place
+    transformed = transform_text_spans(round_tripped, expand_direction)
+    out = transformed.select(
+        "doc_id",
+        span_signature(F.col("spans")).alias("sig_out_txt"),
+        # the invariant compare uses the UNtransformed text: recompute the
+        # signature from the round trip only
+        F.size("spans").alias("n_spans_out"),
+    )
+    rt_sig = round_tripped.select(
+        "doc_id", span_signature(F.col("spans")).alias("sig_rt"))
+    joined = (
+        orig.join(rt_sig, "doc_id").join(out, "doc_id")
+        .withColumn("mismatch",
+                    (F.col("sig_in") != F.col("sig_rt"))
+                    | (F.col("n_spans_in") != F.col("n_spans_out")))
+    )
+    return (
+        joined.groupBy(F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("bucket"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("mismatch").cast("long")).alias("n_mismatch"),
+             F.sum("n_spans_in").alias("n_spans"))
+    )
