@@ -2,8 +2,9 @@
 
 ``entry`` runs the flagship H3-style tile-assignment + spatial-join pipeline
 over sf0.001; ``queries``/``oracle_sql`` expose every implemented operator
-from SURVEY.md §2 with DuckDB oracles where SQL-expressible (see
-rlis2osm_spark/queries/*).
+from SURVEY.md §2 — exactly 50 entries (the driver's snapshot covers at
+most 50, in insertion order), every one with a DuckDB oracle (see
+rlis2osm_spark/queries/*; merge map in NOTES.md).
 """
 
 from __future__ import annotations

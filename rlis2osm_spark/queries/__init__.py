@@ -5,8 +5,9 @@ and ``ORACLES: dict[name -> ANSI SQL]`` (DuckDB-runnable over the
 pre-registered views). SQL strings are generated from the same Python
 constants the Spark implementations use, so the two sides cannot drift.
 
-Names without an oracle entry are non-SQL-expressible operators (iterative
-CC, pandas-UDF expansions, WKB paths) and get the driver's rows-only check.
+Since r3 every name has an oracle entry (50/50): non-SQL-expressible hot
+paths are pinned by independent SQL transcriptions, analytic ground truths
+of derived inputs, or pure-Python expected-output engines (derived_docs).
 """
 
 from __future__ import annotations

@@ -1,8 +1,12 @@
-"""Rows-only queries: operators whose hot path is an Arrow-batched pandas
-UDF or an iterative/stateful algorithm — not ANSI-SQL-expressible, so the
-driver records rows-only checks (their correctness gates live in pytest
-goldens instead). One exception: the WKB tile path re-derives the exact
-cells of ``s2_tile_assignment``, so it *does* carry that oracle.
+"""Pandas-UDF / iterative-path queries. Every entry carries an exact
+oracle since r2/r3: the Arrow or iterative hot path itself is not
+ANSI-SQL-expressible, but each query's RESULT is pinned either by an
+independent SQL transcription of the semantics (basename expansion,
+street pipeline histogram), an expected-output derivation (titlecase over
+a special-case-free domain), an analytic ground truth of the derived
+topology (dissolve chain histogram), or the arithmetic twin of the WKB
+path (s2_tile_assignment_wkb emits cell AND cell_native against one
+oracle).
 """
 
 from __future__ import annotations
