@@ -62,6 +62,11 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     from rlis2osm_spark.session import build_session
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    # MB-sized bench inputs: give scans the task count a TB input would
+    # naturally have (otherwise every single-file scan runs one task and
+    # interpreted higher-order projections serialize on one core)
+    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                          str(4 * 1024 * 1024))
     spark = build_session(
         app_name="rlis2osm_spark-bench",
         master=f"local[{cpus}]",

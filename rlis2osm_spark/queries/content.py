@@ -346,7 +346,12 @@ def x1_text_quality(spark, sf_dir):
     from rlis2osm_spark.operators.textstats import quality_features
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return quality_features(docs).drop("text")
+    # higher-order-function projects are codegen-fallback (interpreted), so
+    # per-row cost dominates — spread the single-file scan across cores
+    # (at real scale the scan is already multi-split; this is the
+    # small-file equalizer)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return quality_features(docs.repartition(n)).drop("text")
 
 
 def _x1_sql() -> str:
