@@ -75,10 +75,12 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         pos += 12 + length
         if tag == b"IHDR":
             width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
-            if depth != 8 or ctype != 0:
+            interlace = body[12]
+            if depth != 8 or ctype != 0 or interlace != 0:
                 raise NotImplementedError(
-                    f"decode_png supports 8-bit grayscale only "
-                    f"(got depth={depth}, color_type={ctype})")
+                    f"decode_png supports non-interlaced 8-bit grayscale "
+                    f"only (got depth={depth}, color_type={ctype}, "
+                    f"interlace={interlace})")
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":

@@ -142,15 +142,23 @@ def write_osm_xml(
     for stale in _glob.glob(os.path.join(out_dir, "part-*.osm.tmp")):
         os.remove(stale)
     rows = projected.mapInPandas(serialize, _OUT_SCHEMA).collect()
-    # the action succeeded: swap staging in (remove stale fragments from a
-    # previous run with more partitions, then atomic per-file rename)
-    for stale in _glob.glob(os.path.join(out_dir, "part-*.osm")):
-        os.remove(stale)
+    # the action succeeded: promote FIRST (os.replace atomically overwrites
+    # a same-named old fragment), THEN drop only the stale old fragments
+    # outside the new set — a failure mid-promotion leaves every
+    # not-yet-promoted old fragment intact (review r3: deleting the old set
+    # up front reopened the destroyed-deliverable window staging closed)
     final_rows = []
+    seen: set[str] = set()
     for r in rows:
         dest = r.part_file[:-len(".tmp")]
+        if dest in seen:  # duplicate stats row from a retried task
+            continue
+        seen.add(dest)
         os.replace(r.part_file, dest)
         final_rows.append((dest, r.n_ways, r.n_nodes, r.n_null_geoms))
+    for old in _glob.glob(os.path.join(out_dir, "part-*.osm")):
+        if old not in seen:
+            os.remove(old)
     return df.sparkSession.createDataFrame(final_rows, _OUT_SCHEMA)
 
 

@@ -118,16 +118,29 @@ def lsh_table_buckets_udf(dim: int, n_planes: int, n_tables: int,
         dtype=np.float64).T  # (dim, n_tables*n_planes)
     powers = (1 << np.arange(n_planes)).astype(np.int64)
 
+    zeros = np.zeros(n_tables, dtype=np.int64)
+
     @F.pandas_udf(ArrayType(LongType()))
     def buckets(vecs):
         import pandas as pd
 
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        proj = (M @ W) > 0                     # (batch, n_tables*n_planes)
-        per_tbl = proj.reshape(len(M), n_tables, n_planes) @ powers
-        return pd.Series(list(per_tbl))
+        # null / wrong-length vectors get all-zero buckets — the same
+        # outcome as the expression path (null projections fold to 0),
+        # instead of a ragged-ndarray ValueError (review r3)
+        rows, good_idx = [], []
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == dim:
+                rows.append(np.asarray(v, dtype=np.float64))
+                good_idx.append(i)
+        out = [zeros] * len(vecs)
+        if rows:
+            proj = (np.array(rows) @ W) > 0    # (n_good, n_tables*n_planes)
+            per_tbl = proj.reshape(len(rows), n_tables, n_planes) @ powers
+            for i, b in zip(good_idx, per_tbl):
+                out[i] = b
+        return pd.Series(out)
 
     return buckets
 

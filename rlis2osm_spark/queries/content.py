@@ -347,11 +347,13 @@ def x1_text_quality(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # higher-order-function projects are codegen-fallback (interpreted), so
-    # per-row cost dominates — spread the single-file scan across cores
-    # (at real scale the scan is already multi-split; this is the
-    # small-file equalizer)
+    # per-row cost dominates — spread the scan across cores ONLY when the
+    # file layout under-splits it (a TB-scale table is already multi-split
+    # and must not pay a full-corpus shuffle for this)
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return quality_features(docs.repartition(n)).drop("text")
+    if docs.rdd.getNumPartitions() < n:
+        docs = docs.repartition(n)
+    return quality_features(docs).drop("text")
 
 
 def _x1_sql() -> str:

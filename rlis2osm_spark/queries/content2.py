@@ -134,15 +134,15 @@ def d5_minhash_engine(spark, sf_dir):
 
 
 def _d5_sql() -> str:
-    from rlis2osm_spark.queries.derived_docs import minhash_pairs_py
+    from rlis2osm_spark.queries.derived_docs import (
+        minhash_pairs_py, sql_pair_values)
 
     parts = []
     for cfg, (nh, nb) in (("8x4", (8, 4)), ("16x8", (16, 8))):
-        rows = ", ".join(f"({a}, {b})" for a, b in minhash_pairs_py(nh, nb))
+        rel = sql_pair_values(minhash_pairs_py(nh, nb))
         parts.append(
             f"SELECT '{cfg}' AS config, CAST(doc_a AS BIGINT) AS doc_a, "
-            f"CAST(doc_b AS BIGINT) AS doc_b "
-            f"FROM (VALUES {rows}) AS _v{cfg}(doc_a, doc_b)")
+            f"CAST(doc_b AS BIGINT) AS doc_b FROM {rel} _r{cfg}")
     return " UNION ALL ".join(parts)
 
 

@@ -131,7 +131,7 @@ def simhash_py(bits: int = 64) -> list[tuple[int, int]]:
 def sql_pair_values(pairs, cols=("doc_a", "doc_b")) -> str:
     """[(a, b), ...] -> DuckDB VALUES relation string."""
     if not pairs:
-        return (f"SELECT CAST(NULL AS BIGINT) AS {cols[0]}, "
-                f"CAST(NULL AS BIGINT) AS {cols[1]} WHERE FALSE")
+        return (f"(SELECT CAST(NULL AS BIGINT) AS {cols[0]}, "
+                f"CAST(NULL AS BIGINT) AS {cols[1]} WHERE FALSE)")
     rows = ", ".join(f"({a}, {b})" for a, b in pairs)
     return f"(SELECT * FROM (VALUES {rows}) AS _v({cols[0]}, {cols[1]}))"

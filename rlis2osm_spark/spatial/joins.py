@@ -249,6 +249,7 @@ def polygon_cell_join(
     poly_id: str = "polygon_id",
     ring_col: str = "ring",
     max_cells_per_polygon: int = 100_000,
+    point_uid: str | None = None,
 ) -> DataFrame:
     """Distributed point-in-polygon JOIN — the scale path when the polygon
     layer is itself a big DataFrame (``point_in_polygon`` takes a small
@@ -304,11 +305,22 @@ def polygon_cell_join(
             "rename them before polygon_cell_join")
 
     pix, piy = grid_coords(F.col(x_col), F.col(y_col), res, grid)
-    # per-row surrogate uid: the final regroup must preserve duplicate
-    # input rows (ADVICE r2 — grouping by the raw point columns collapsed
-    # them), and it must never group by a fat geometry column
-    pts = points.withColumn("_pt_uid", F.monotonically_increasing_id()) \
-        .withColumns({"cx": pix, "cy": piy})
+    # per-row uid: the final regroup must preserve duplicate input rows
+    # (ADVICE r2 — grouping by the raw point columns collapsed them) and
+    # must never group by a fat geometry column. Prefer a caller-supplied
+    # unique key (point_uid) — fully retry-stable; the surrogate fallback
+    # uses monotonically_increasing_id, whose values can shift if the
+    # points lineage is recomputed after task loss mid-job (uid is consumed
+    # within this one job, but supply point_uid for strict exactly-once
+    # accounting at cluster scale).
+    if point_uid is not None:
+        if point_uid not in pt_cols:
+            raise ValueError(f"point_uid column {point_uid!r} not in points")
+        pts = points.withColumn("_pt_uid", F.col(point_uid)) \
+            .withColumns({"cx": pix, "cy": piy})
+    else:
+        pts = points.withColumn("_pt_uid", F.monotonically_increasing_id()) \
+            .withColumns({"cx": pix, "cy": piy})
 
     @F.pandas_udf(BooleanType())
     def inside(xs_s: pd.Series, ys_s: pd.Series, rings: pd.Series) -> pd.Series:
