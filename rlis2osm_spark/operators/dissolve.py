@@ -11,7 +11,9 @@ single-path BFS (dissolve.py:51-160) — the documented scalability wall. Here:
   and the whole index pass stays inside WholeStageCodegen.
 - **J4 grouping = true connected components per tag-group**, not the
   reference's greedy BFS: CC is deterministic and parallel; the two coincide
-  on fork-free topologies (SURVEY §7.3 hazard — goldens use those).
+  on fork-free topologies (SURVEY §7.3 hazard — goldens use those). An
+  exact greedy-BFS emulation (``algorithm="greedy"``, r3) covers users who
+  need byte-parity with reference output on forked topologies.
   Components are computed with a per-group union-find in ``applyInPandas``:
   a tag-group (one street name + identical tags) is city-sized, so a pandas
   group fits comfortably; the shuffle key is the tag-group hash, which is
@@ -160,6 +162,72 @@ def _comps_unionfind(nodes: DataFrame, n_parts: int) -> DataFrame:
     )
 
 
+def _greedy_components(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact emulation of the reference's greedy single-path BFS
+    (/root/reference/rlis2osm/dissolve.py:51-160) over (group_key, order_key,
+    way_id, node) edge rows — the r3 compat mode for users diffing against a
+    real rlis2osm run on forked/cyclic topologies (VERDICT r2 "missing" #5).
+
+    Faithful semantics: ways visited in source-fid order (order_key); the
+    frontier is a LIFO of group end nodes; popping a node scans its connected
+    ways in fid order and extends the group with the FIRST unassigned
+    same-tag way only (break), adding that way's non-shared endpoints. The
+    global algorithm decomposes exactly per tag-group (cross-tag ways are
+    skipped by the tag-equality check), so whole groups parallelize across
+    partitions while each group replays the reference's traversal."""
+    out_ways: list[int] = []
+    out_comps: list[int] = []
+    for _gk, g in pdf.groupby("group_key", sort=False):
+        tagged: dict[int, list[tuple[int, bytes]]] = {}
+        order: dict[int, int] = {}
+        for way_id, okey, nidx, node in zip(
+            g["way_id"].to_numpy(), g["order_key"].to_numpy(),
+            g["node_idx"].to_numpy(), g["node"]
+        ):
+            w = int(way_id)
+            tagged.setdefault(w, []).append((int(nidx), bytes(node)))
+            order[w] = int(okey)
+        per_way = {w: [n for _, n in sorted(pairs)]
+                   for w, pairs in tagged.items()}
+        fids = sorted(per_way, key=lambda w: (order[w], w))
+        node_way: dict[bytes, list[int]] = {}
+        for w in fids:  # insertion in fid order = reference map order
+            for n in per_way[w]:
+                node_way.setdefault(n, []).append(w)
+        assigned: set[int] = set()
+        for seed in fids:
+            if seed in assigned:
+                continue
+            comp = seed
+            assigned.add(seed)
+            members = [seed]
+            frontier = list(per_way[seed])
+            while frontier:
+                n = frontier.pop()
+                for cand in node_way[n]:
+                    if cand in assigned:
+                        continue
+                    assigned.add(cand)
+                    members.append(cand)
+                    frontier.extend(cn for cn in per_way[cand] if cn != n)
+                    break
+            out_ways.extend(members)
+            out_comps.extend([comp] * len(members))
+    return pd.DataFrame({"way_id": out_ways, "component_id": out_comps})
+
+
+def _comps_greedy(nodes: DataFrame) -> DataFrame:
+    """Reference-greedy grouping: whole tag-groups shuffled to workers by
+    the applyInPandas grouping itself (same distribution contract as the
+    union-find path — a tag-group is city-sized)."""
+    return (
+        nodes.select("group_key", "order_key", "way_id", "node_idx", "node")
+        .groupBy("group_key")
+        .applyInPandas(
+            lambda _key, pdf: _greedy_components(pdf), _CC_SCHEMA)
+    )
+
+
 def _comps_iterative(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     """O(log^2 n) large-star/small-star CC over DataFrame self-joins — the
     path for groups too large for one worker (cc_iterative.py). ``ways``
@@ -207,6 +275,13 @@ def dissolve_ways(
     else to the per-partition union-find. "unionfind"/"iterative" force one
     path (tests, known-shaped inputs).
 
+    ``algorithm="greedy"`` (r3) is the reference-compat mode: it replays
+    the reference's greedy single-path BFS exactly — including on forked /
+    cyclic topologies where true CC merges more aggressively — so a user
+    diffing against a real rlis2osm run gets identical grouping
+    (differential-pinned in tests/test_dissolve_differential.py). Whole
+    tag-groups still parallelize across workers.
+
     ``approx_rows`` (r3, VERDICT r2 #5) short-circuits the auto planning
     job: when the caller knows a total-row upper bound <= max_group_rows
     (parquet footer metadata, an Iceberg snapshot's record count — free at
@@ -248,6 +323,21 @@ def dissolve_ways(
     nodes = endpoint_nodes(df, geom_col).join(
         df.select("way_id", "group_key"), "way_id"
     )
+
+    if algorithm == "greedy":
+        # source-fid visit order, the reference's ways.items() iteration;
+        # node_idx pins the (f, t) frontier order, which the shuffle would
+        # otherwise scramble (greedy traversal is order-SENSITIVE, unlike
+        # the union-find)
+        order_key = (F.col("fid").cast("long") * 1_000_000
+                     + F.coalesce(F.col("part_idx"), F.lit(0)))
+        f_node = F.expr(f"substring({geom_col}, 10, 16)")
+        t_node = F.expr(f"substring({geom_col}, length({geom_col}) - 15, 16)")
+        greedy_nodes = df.select(
+            "way_id", "group_key", order_key.alias("order_key"),
+            F.posexplode(F.array(f_node, t_node)).alias("node_idx", "node"))
+        comps = _comps_greedy(greedy_nodes)
+        return _merge_components(df, comps, dissolve_fields, geom_col)
 
     n_parts = max(spark_partitions(combined), 8)
     if approx_rows is not None:
@@ -296,6 +386,14 @@ def dissolve_ways(
             comps = _comps_unionfind(small_n, n_parts).unionByName(
                 _comps_iterative(big_n, big_ways))
 
+    return _merge_components(df, comps, dissolve_fields, geom_col)
+
+
+def _merge_components(df: DataFrame, comps: DataFrame,
+                      dissolve_fields: list[str],
+                      geom_col: str) -> DataFrame:
+    """A1/A2: per-component fid-ordered collect + Arrow linemerge + first-row
+    tags (equal within group by construction, reference dissolve.py:81-82)."""
     with_comp = df.join(comps, "way_id")
 
     @F.pandas_udf(BinaryType())
@@ -303,7 +401,7 @@ def dissolve_ways(
         return geom_lists.map(
             lambda gl: wkb.linemerge_wkb([bytes(g) for g in gl]))
 
-    merged = (
+    return (
         with_comp.groupBy("component_id")
         .agg(
             *[F.first(F.col(f"`{c}`")).alias(c) for c in dissolve_fields],
@@ -318,4 +416,3 @@ def dissolve_ways(
         )
         .drop("_members")
     )
-    return merged
