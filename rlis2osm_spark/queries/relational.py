@@ -28,27 +28,59 @@ _REV_SQL = f"CAST(l_extendedprice AS {P}) * (CAST(1 AS {R}) - CAST(l_discount AS
 
 
 def q01_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 flavor: map-side partial agg -> single shuffle on tiny key
-    space; all sums exact (scales 2/4/6, no rounding anywhere). r3: grouped
-    by ROLLUP (absorbs the former ``g1_rollup`` — hierarchical grouping
-    sets, which Catalyst expands for free; the reference has none,
-    SURVEY §2.5)."""
+    """TPC-H Q1 flavor with ROLLUP output (absorbs the former ``g1_rollup``
+    — hierarchical grouping sets; the reference has none, SURVEY §2.5).
+
+    NOT expressed as ``.rollup()``: Catalyst's Expand would scan-multiply
+    the fact table x3 (one replica per grouping set) before the partial
+    aggregate — 3x the shuffle input at any scale. Over a low-cardinality
+    key space the scalable plan is leaf-aggregate once (ONE pass + ONE
+    shuffle over lineitem) and re-aggregate the handful of leaf rows for
+    the subtotal levels; all decimal sums stay exact (scales 2/4/6, no
+    intermediate rounding), so the result is bit-identical to the
+    GROUP BY ROLLUP oracle."""
     li = load(spark, sf_dir, "lineitem")
     charge = _revenue() * (F.lit(1).cast(R) + F.col("l_tax").cast(R))  # (22,6)
-    return (
+    leaf = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .rollup("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(P)).cast("decimal(38,2)")
-            .cast("string").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(P)).cast("decimal(38,2)")
-            .cast("string").alias("sum_base_price"),
-            F.sum(_revenue()).cast("decimal(38,4)").cast("string")
-            .alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").cast("string")
-            .alias("sum_charge"),
-            F.count("*").alias("count_order"),
+            F.sum(F.col("l_quantity").cast(P)).alias("_qty"),
+            F.sum(F.col("l_extendedprice").cast(P)).alias("_base"),
+            F.sum(_revenue()).alias("_disc"),
+            F.sum(charge).alias("_charge"),
+            F.count("*").alias("_n"),
         )
+    )
+
+    def _reagg(df, keys: list[str]):
+        null_keys = [F.lit(None).cast("string").alias(c)
+                     for c in ("l_returnflag", "l_linestatus")
+                     if c not in keys]
+        aggs = [F.sum("_qty").alias("_qty"), F.sum("_base").alias("_base"),
+                F.sum("_disc").alias("_disc"),
+                F.sum("_charge").alias("_charge"), F.sum("_n").alias("_n")]
+        out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        return out.select(
+            *[F.col(c) for c in keys], *null_keys,
+            "_qty", "_base", "_disc", "_charge", "_n")
+
+    all_levels = (
+        leaf.select("l_returnflag", "l_linestatus",
+                    "_qty", "_base", "_disc", "_charge", "_n")
+        .unionByName(_reagg(leaf, ["l_returnflag"]))
+        .unionByName(_reagg(leaf, []))
+    )
+    return all_levels.select(
+        "l_returnflag", "l_linestatus",
+        F.col("_qty").cast("decimal(38,2)").cast("string").alias("sum_qty"),
+        F.col("_base").cast("decimal(38,2)").cast("string")
+        .alias("sum_base_price"),
+        F.col("_disc").cast("decimal(38,4)").cast("string")
+        .alias("sum_disc_price"),
+        F.col("_charge").cast("decimal(38,6)").cast("string")
+        .alias("sum_charge"),
+        F.col("_n").alias("count_order"),
     )
 
 
