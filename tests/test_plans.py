@@ -138,15 +138,16 @@ def test_polygon_cell_join_is_cell_equijoin(spark):
     assert plan.count("ArrowEvalPython") == 1  # ray cast only
 
 
-def test_scaling_doc_probe_single_reassembly_exchange(spark):
+def test_scaling_doc_probe_single_reassembly_exchange(spark, synth_dir):
     """The doc-path scaling probe must keep its single-exchange shape:
     one shuffle for the span reassembly, one for the 64-bucket rollup —
     and NO verification self-joins (the 3-way SMJ variant measured 0.52
-    N->4N efficiency; review r3)."""
+    N->4N efficiency; review r3). (The expansion cross join is a
+    BroadcastNestedLoopJoin — expected and allowed.)"""
     from rlis2osm_spark.queries.scaling import scaling_documents
 
-    df = scaling_documents(spark, "/root/repo/.synth/verify_demo", mult=2)
+    df = scaling_documents(spark, synth_dir, mult=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2, plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan.replace(
-        "BroadcastNestedLoopJoin", ""), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
