@@ -80,3 +80,50 @@ def test_wav_rejects_unsupported():
     data = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(NotImplementedError):
         decode_wav(data)
+
+
+# ---------------------------------------------------------------------------
+# property-based round trips (hypothesis, derandomized like test_properties)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=24),
+    ft=st.sampled_from([0, 1, 2]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, ft, seed):
+    px = bytes((seed * 31 + k * 7919) % 256 for k in range(w * h))
+    assert decode_png(encode_png(w, h, px, ft)) == (w, h, px)
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767),
+                     min_size=0, max_size=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    got_rate, got = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate and got == samples
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(data=st.binary(min_size=0, max_size=200),
+       seed=st.sampled_from([0, 42, 123456789]))
+def test_xxh64_matches_streamed_identity(data, seed):
+    """Pure-Python XXH64 structural properties: stable under re-call,
+    signed view round-trips, and the 32-byte stripe boundary behaves
+    (values around the n>=32 branch differ from their neighbors)."""
+    from rlis2osm_spark.functions.xxh64 import xxh64, xxh64_signed
+
+    h1, h2 = xxh64(data, seed), xxh64(data, seed)
+    assert h1 == h2 and 0 <= h1 < (1 << 64)
+    s = xxh64_signed(data, seed)
+    assert s % (1 << 64) == h1
+    if data:
+        assert xxh64(data[:-1], seed) != h1  # suffix sensitivity
