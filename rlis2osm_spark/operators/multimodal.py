@@ -6,11 +6,11 @@ shapes, partitioning, the UDF signatures. The codec step:
 
 - ``decode_stub=True`` (default) runs a deterministic fake decoder over the
   raw bytes (no codec needed);
-- ``decode_stub=False`` REALLY decodes PNG (stdlib zlib/struct) and WAV
-  (struct over RIFF) via functions/codecs.py — r3, VERDICT r2 #3; formats
-  with no stdlib decoder (jpeg/gif/video) still raise
-  ``NotImplementedError`` at the exact seam where PIL / torchaudio / pyav
-  plug in.
+- ``decode_stub=False`` REALLY decodes PNG (stdlib zlib/struct), GIF
+  (pure-Python LZW, r4) and WAV (struct over RIFF) via
+  functions/codecs.py; formats with no stdlib decoder (jpeg/video) still
+  raise ``NotImplementedError`` at the exact seam where PIL / torchaudio /
+  pyav plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -90,14 +90,15 @@ def extract_image_features(
                     w, h, feat = _fake_decode(b, feat_dim)
                     rows.append((ref, len(b), fmt, w, h, feat.tolist(), None))
                     continue
-                if fmt != "png":
+                if fmt not in ("png", "gif"):
                     raise NotImplementedError(
                         f"real image decoding for {fmt!r} requires an image "
-                        "codec library; plug PIL/pyav in here (png decodes "
-                        "natively via functions/codecs.py)")
-                from rlis2osm_spark.functions.codecs import decode_png
+                        "codec library; plug PIL/pyav in here (png and gif "
+                        "decode natively via functions/codecs.py)")
+                from rlis2osm_spark.functions.codecs import (
+                    decode_gif, decode_png)
 
-                w, h, px = decode_png(b)
+                w, h, px = (decode_png if fmt == "png" else decode_gif)(b)
                 arr = np.frombuffer(px, dtype=np.uint8)
                 hist = np.bincount(arr % feat_dim,
                                    minlength=feat_dim).astype("float32")
@@ -196,7 +197,10 @@ def extract_audio_features(
                 if decode_stub:
                     sig = np.frombuffer(b, dtype=np.int8).astype("float32")
                 else:
-                    if b[:4] != b"RIFF":
+                    # check the full RIFF/WAVE signature: a RIFF container
+                    # that is not WAVE (e.g. RIFF/AVI) must hit this seam,
+                    # not a mid-job ValueError from decode_wav (ADVICE r3)
+                    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
                         raise NotImplementedError(
                             "real audio decoding for non-WAV payloads "
                             "requires a codec library; plug soundfile/"

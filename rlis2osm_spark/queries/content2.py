@@ -78,19 +78,51 @@ def _planted_base(spark, sf_dir):
     return full, probes.select("vec_id", F.col("p").alias("embedding"))
 
 
+def _ivf_centroids(spark, sf_dir, base, dim=64, k_centroids=8, n_iter=1):
+    """IVF coarse-quantizer centroids as a CHECKPOINTED stage (VERDICT r3
+    #2): k-means trains once per embeddings input and persists as a tiny
+    ``cid, c`` table; every later ``ann_topk`` invocation reads ~k rows
+    instead of re-running the assignment/update job loop in-query. This is
+    the production IVF shape — the quantizer is trained offline and lives
+    in a catalog table keyed by the corpus snapshot; the stage's input
+    fingerprint (embeddings file set) forces a retrain when the corpus
+    changes."""
+    import os
+
+    from rlis2osm_spark.operators.similarity import ivf_train_centroids
+    from rlis2osm_spark.plans.checkpoint import Checkpointer
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".synth", "ann_stage")
+    ck = Checkpointer(spark, root, run_id=tag)
+    cdf = ck.stage(
+        "ivf_centroids",
+        lambda: spark.createDataFrame(
+            list(enumerate(ivf_train_centroids(
+                base, dim, k_centroids, n_iter=n_iter))),
+            "cid int, c array<double>"),
+        inputs=[os.path.join(sf_dir, "embeddings.parquet")],
+    )
+    rows = sorted(cdf.collect(), key=lambda r: r.cid)
+    return [list(r.c) for r in rows]
+
+
 def ann_topk(spark, sf_dir):
     """Approximate-nearest-neighbor top-3, both engine paths in one tagged
     output (r3 merge of ``ann_lsh_topk`` + ``ann_ivf_topk``): LSH with
-    8-table OR-construction and IVF (k-means cells, n_probe=3). Run over
-    planted exact-angle neighbors: the analytic oracle pins ids AND ranks,
-    so a green row is simultaneously a recall==1.0 assertion for both
-    candidate generators."""
+    8-table OR-construction and IVF (k-means cells, n_probe=3, centroids
+    from the checkpointed training stage). Run over planted exact-angle
+    neighbors: the analytic oracle pins ids AND ranks, so a green row is
+    simultaneously a recall==1.0 assertion for both candidate generators."""
     from rlis2osm_spark.operators.similarity import ivf_ann_topk, lsh_ann_topk
 
     base, probes = _planted_base(spark, sf_dir)
+    cents = _ivf_centroids(spark, sf_dir, base, dim=64, k_centroids=8,
+                           n_iter=1)
     lsh = lsh_ann_topk(base, probes, dim=64, k=3, n_planes=4, n_tables=8)
     ivf = ivf_ann_topk(base, probes, dim=64, k=3, k_centroids=8, n_probe=3,
-                       n_iter=1)
+                       centroids=cents)
     return (
         lsh.select(F.lit("lsh").alias("method"), "probe_id",
                    "neighbor_id", "rank")
@@ -226,6 +258,10 @@ def m1_media_features(spark, sf_dir):
       0/1/2) built from doc_id-derived dims/pixels, decoded for real by
       ``extract_image_features(decode_stub=False)`` -> width/height/px_sum
       from TRUE unfiltered pixels;
+    - ``gif``: tiny real GIFs (pure-Python LZW encoder, alternating
+      interlaced/sequential row order) decoded by the r4 LZW decoder ->
+      width/height/px_sum from TRUE de-palettized (and de-interlaced)
+      pixels;
     - ``wav``: real RIFF/WAVE 16-bit PCM from doc_id-derived samples,
       decoded by ``extract_audio_features(decode_stub=False)`` ->
       n_samples/peak/abs_sum over TRUE decoded samples;
@@ -254,6 +290,18 @@ def m1_media_features(spark, sf_dir):
         return pd.Series(out, dtype=object)
 
     @F.pandas_udf(BinaryType())
+    def gif_payload(doc_ids: pd.Series) -> pd.Series:
+        from rlis2osm_spark.functions.codecs import encode_gif
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            w, h = 4 + d % 6, 4 + (d // 6) % 6
+            px = bytes((d * 37 + k) % 256 for k in range(w * h))
+            out.append(encode_gif(w, h, px, interlace=bool(d % 2)))
+        return pd.Series(out, dtype=object)
+
+    @F.pandas_udf(BinaryType())
     def wav_payload(doc_ids: pd.Series) -> pd.Series:
         from rlis2osm_spark.functions.codecs import encode_wav
 
@@ -272,6 +320,12 @@ def m1_media_features(spark, sf_dir):
     ).select(F.lit("png").alias("kind"), "media_ref",
              F.col("width").alias("d1"), F.col("height").alias("d2"),
              F.col("px_sum").alias("v"))
+    gif = extract_image_features(
+        docs.select(ref, gif_payload("doc_id").alias("payload")),
+        feat_dim=8, decode_stub=False,
+    ).select(F.lit("gif").alias("kind"), "media_ref",
+             F.col("width").alias("d1"), F.col("height").alias("d2"),
+             F.col("px_sum").alias("v"))
     wav = extract_audio_features(
         docs.select(ref, wav_payload("doc_id").alias("payload")),
         decode_stub=False,
@@ -284,7 +338,7 @@ def m1_media_features(spark, sf_dir):
     ).select(F.lit("stub").alias("kind"), "media_ref",
              F.col("width").alias("d1"), F.col("height").alias("d2"),
              F.col("n_bytes").alias("v"))
-    return png.unionByName(wav).unionByName(stub)
+    return png.unionByName(gif).unionByName(wav).unionByName(stub)
 
 
 _M1_SQL = """
@@ -298,6 +352,17 @@ png_leg AS (
          CAST(list_aggregate(list_transform(generate_series(0, w * h - 1),
               k -> (doc_id * 31 + k) % 256), 'sum') AS BIGINT) AS v
   FROM png
+),
+gif AS (
+  SELECT doc_id, 4 + doc_id % 6 AS w, 4 + (doc_id // 6) % 6 AS h
+  FROM documents
+),
+gif_leg AS (
+  SELECT 'gif' AS kind, 'doc:' || doc_id AS media_ref,
+         CAST(w AS INT) AS d1, CAST(h AS INT) AS d2,
+         CAST(list_aggregate(list_transform(generate_series(0, w * h - 1),
+              k -> (doc_id * 37 + k) % 256), 'sum') AS BIGINT) AS v
+  FROM gif
 ),
 wav AS (
   SELECT doc_id, 32 + doc_id % 32 AS n FROM documents
@@ -321,6 +386,7 @@ stub_leg AS (
   FROM documents
 )
 SELECT * FROM png_leg
+UNION ALL SELECT * FROM gif_leg
 UNION ALL SELECT * FROM wav_leg
 UNION ALL SELECT * FROM stub_leg
 """

@@ -117,74 +117,125 @@ def expanded_documents(spark, data_dir: str, mult: int):
         F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "spans")
 
 
-def scaling_documents(spark, data_dir: str, mult: int = 256):
-    """Pure-document scaling probe (VERDICT r2 #8): spans in, spans out,
-    span-sequence invariant VERIFIED in-flow on the invariant-carrying
-    table itself.
+DOC_SAMPLE_MOD = int(os.environ.get("SPARK_GRAFT_DOC_SAMPLE_MOD", "16"))
 
-    Shape: the pre-shuffle signature is folded to one xxhash64 per document
-    and CARRIED on every exploded span row, so the offset-order reassembly
-    aggregate (the §1.4 re-assembly contract) recomputes the post-shuffle
-    signature and compares in the SAME aggregation — ONE shuffle moves each
-    span exactly once, no verification self-joins (a 3-way SMJ variant of
-    this probe measured 0.52 N->4N efficiency; the single-exchange form is
-    the design the 100 TB contract wants anyway). A native text-span
-    expansion over the reassembled spans adds the transform leg.
-    Output: one macro-rollup row per doc_id bucket with the mismatch count
-    — the caller asserts SUM(n_mismatch) == 0, so every benchmark run is
-    also a span-invariant proof over every document."""
+
+def _span_contrib(kind, text, media_ref, offset):
+    """Per-span verification contribution: xxhash64 over the full invariant
+    tuple (kind, text, media_ref, offset), pmod-bounded so a per-document
+    SUM cannot overflow under ANSI mode (2^40 * spans-per-doc << 2^63).
+    Offsets are unique positions within a document, so multiset equality of
+    these tuples == span-SEQUENCE equality — a commutative sum is a valid
+    (collision-negligible) sequence check that partial-aggregates map-side."""
+    return F.pmod(
+        F.xxhash64(
+            F.coalesce(kind, F.lit("\x00")),
+            F.coalesce(text, F.lit("\x00")),
+            F.coalesce(media_ref, F.lit("\x00")),
+            F.coalesce(offset.cast("int"), F.lit(-1)),
+        ),
+        F.lit(1 << 40),
+    )
+
+
+def scaling_documents(spark, data_dir: str, mult: int = 256,
+                      sample_mod: int = DOC_SAMPLE_MOD):
+    """Pure-document scaling probe (VERDICT r2 #8; exchange restructured per
+    VERDICT r3 #1): spans in, spans out, span-sequence invariant verified
+    in-flow on the invariant-carrying table itself.
+
+    Shape — ONE exchange, doc-level state for the bulk, full span payload
+    for a deterministic 1-in-``sample_mod`` document sample:
+
+    - Every document folds its span sequence to a 64-bit map-side signature
+      (``_span_contrib`` summed over the array, pre-explode) AND recomputes
+      the same fold from the exploded rows on the reduce side of the
+      groupBy(doc_id) exchange.  Partial aggregation collapses the sum
+      before the wire, so the verify leg ships ~5 longs per document — not
+      every span struct (the r3 probe shuffled all span bytes and hit the
+      single-box shuffle floor at 0.76 efficiency).
+    - Documents with ``pmod(xxhash64(doc_id), sample_mod) == 0`` ALSO carry
+      their full span structs through the same exchange
+      (``collect_list(when(sampled, struct))`` — collect_list drops nulls,
+      so unsampled docs contribute empty list buffers) and are reassembled
+      offset-ordered and byte-exact-compared against the pre-shuffle
+      ``span_signature`` — the §1.4 re-assembly contract, end to end.
+    - The transform leg (direction-expansion token stats over every text
+      span) runs pre-explode as a native array fold: compute-dense, narrow,
+      and exactly the per-document work a real pipeline pass performs.
+
+    Output: one macro-rollup row per doc_id bucket with ``n_mismatch``
+    (fold + sampled-exact combined) and ``n_sampled``; the caller asserts
+    SUM(n_mismatch) == 0 AND SUM(n_sampled) > 0, so every benchmark run is
+    also a span-invariant proof over every document (fold) and a byte-exact
+    reassembly proof over the sample."""
     from rlis2osm_spark.functions.expand import expand_direction
-    from rlis2osm_spark.sources.documents import (
-        span_signature, transform_text_spans)
+    from rlis2osm_spark.sources.documents import span_signature
 
     docs = expanded_documents(spark, data_dir, mult)
+    fold_in = F.aggregate(
+        F.col("spans"), F.lit(0).cast("long"),
+        lambda acc, s: acc + _span_contrib(
+            s["kind"], s["text"], s["media_ref"], s["offset"]))
     sig_in = F.xxhash64(F.array_join(span_signature(F.col("spans")), "\x1e"))
-    ex = docs.select(
-        "doc_id", sig_in.alias("sig_in"), F.posexplode("spans").alias("pos", "span")
-    ).select(
-        "doc_id", "sig_in",
-        F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"),
-        F.col("span.media_ref").alias("media_ref"),
-        F.col("span.offset").alias("offset"),
-    )
-    reassembled = (
-        ex.groupBy("doc_id")
-        .agg(
-            F.first("sig_in").alias("sig_in"),
-            F.array_sort(
-                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
-            ).alias("_s"),
-        )
-        .select(
-            "doc_id", "sig_in",
-            F.transform(
-                "_s",
-                lambda s: F.struct(
-                    s["kind"].alias("kind"), s["text"].alias("text"),
-                    s["media_ref"].alias("media_ref"),
-                    s["offset"].alias("offset"))).alias("spans"),
-        )
-    )
-    sig_out = F.xxhash64(F.array_join(span_signature(F.col("spans")), "\x1e"))
-    verified = reassembled.withColumn(
-        "mismatch", F.col("sig_in") != sig_out)
-    # native text transform: order/kind/ref untouched (the order half of
-    # the invariant), text rewritten in place — plus per-span token/char
-    # stats (the pipeline work a real document pass performs), so the
-    # probe measures engine compute, not just the reassembly exchange
-    transformed = transform_text_spans(verified, expand_direction)
+    # transform leg: expansion applied to every text span's payload, token
+    # count aggregated natively (kind/media_ref/offset untouched — the
+    # order half of the invariant is not even rewritten here)
     tok_stats = F.aggregate(
         F.col("spans"), F.lit(0),
         lambda acc, s: acc + F.when(
             s["kind"] == "text",
-            F.size(F.filter(F.split(s["text"], "[ =_]"),
+            F.size(F.filter(F.split(expand_direction(s["text"]), "[ =_]"),
                             lambda w: w != ""))).otherwise(0))
+    prepared = docs.select(
+        "doc_id", "spans",
+        F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("bucket"),
+        (F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0).alias("sampled"),
+        fold_in.alias("fold_in"),
+        F.size("spans").alias("n_in"),
+        sig_in.alias("sig_in"),
+        tok_stats.alias("n_tokens"),
+    )
+    ex = prepared.select(
+        "doc_id", "bucket", "sampled", "fold_in", "n_in", "sig_in",
+        "n_tokens", F.explode("spans").alias("span"),
+    ).withColumn(
+        "c", _span_contrib(
+            F.col("span.kind"), F.col("span.text"),
+            F.col("span.media_ref"), F.col("span.offset")))
+    agged = ex.groupBy("doc_id").agg(
+        F.first("bucket").alias("bucket"),
+        F.first("sampled").alias("sampled"),
+        F.first("fold_in").alias("fold_in"),
+        F.first("n_in").alias("n_in"),
+        F.first("sig_in").alias("sig_in"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.sum("c").alias("fold_out"),
+        F.count("*").alias("n_out"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("sampled"), F.struct(
+                F.col("span.offset").alias("offset"),
+                F.col("span.kind").alias("kind"),
+                F.col("span.text").alias("text"),
+                F.col("span.media_ref").alias("media_ref"),
+            )))).alias("_s"),
+    )
+    # sampled leg: byte-exact reassembly signature over the offset-ordered
+    # collected spans (span_signature re-sorts on the offset field — a
+    # no-op here, _s is already offset-leading-sorted, but keeps the exact
+    # production signature path)
+    sig_out = F.xxhash64(F.array_join(span_signature(F.col("_s")), "\x1e"))
+    mismatch = (
+        (F.col("fold_out") != F.col("fold_in"))
+        | (F.col("n_out") != F.col("n_in"))
+        | (F.col("sampled") & (sig_out != F.col("sig_in")))
+    )
     return (
-        transformed.withColumn("n_tokens", tok_stats)
-        .groupBy(F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("bucket"))
+        agged.withColumn("mismatch", mismatch)
+        .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"),
              F.sum(F.col("mismatch").cast("long")).alias("n_mismatch"),
-             F.sum(F.size("spans")).alias("n_spans"),
-             F.sum("n_tokens").alias("n_tokens"))
+             F.sum("n_out").alias("n_spans"),
+             F.sum("n_tokens").alias("n_tokens"),
+             F.sum(F.col("sampled").cast("long")).alias("n_sampled"))
     )

@@ -127,3 +127,141 @@ def test_xxh64_matches_streamed_identity(data, seed):
     assert s % (1 << 64) == h1
     if data:
         assert xxh64(data[:-1], seed) != h1  # suffix sensitivity
+
+
+# ---------------------------------------------------------------------------
+# GIF (r4: pure-Python LZW over the public GIF89a spec)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 7), (16, 16), (40, 13)])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip(w, h, interlace):
+    from rlis2osm_spark.functions.codecs import decode_gif, encode_gif
+
+    px = _pixels(w, h)
+    assert decode_gif(encode_gif(w, h, px, interlace=interlace)) == (w, h, px)
+
+
+def test_gif_decodes_real_compressed_stream():
+    """The decoder must handle what a REAL compressing LZW encoder emits —
+    growing code widths (9 -> 12 bits), the KwKwK case, table saturation at
+    4096 — not just our literal-coded writer's 9-bit streams."""
+    import struct
+
+    from rlis2osm_spark.functions.codecs import (
+        _GIF_GRAY_PALETTE, decode_gif)
+
+    def compress(min_code, data):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, width = eoi + 1, min_code + 1
+        out, w = [(clear, width)], b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            out.append((table[w], width))
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            w = bytes([ch])
+        out.append((table[w], width))
+        out.append((eoi, width))
+        return out
+
+    data = bytes((i * i + i // 3) % 200 for i in range(5000))
+    codes = compress(8, data)
+    assert max(cw for _, cw in codes) == 12  # the stream really grows
+    bitbuf = bitlen = 0
+    packed = bytearray()
+    for code, cw in codes:
+        bitbuf |= code << bitlen
+        bitlen += cw
+        while bitlen >= 8:
+            packed.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitlen -= 8
+    if bitlen:
+        packed.append(bitbuf & 0xFF)
+    head = (b"GIF89a" + struct.pack("<HHBBB", 100, 50, 0xF7, 0, 0)
+            + _GIF_GRAY_PALETTE
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, 100, 50, 0) + b"\x08")
+    body = bytearray()
+    for i in range(0, len(packed), 255):
+        c = packed[i:i + 255]
+        body.append(len(c))
+        body += c
+    body.append(0)
+    assert decode_gif(head + bytes(body) + b"\x3B") == (100, 50, data)
+
+
+def test_gif_skips_extensions_and_maps_palette():
+    """GIF89a extensions (graphic control etc.) are skipped; non-gray
+    palettes map through the exact integer luma."""
+    import struct
+
+    from rlis2osm_spark.functions.codecs import decode_gif, encode_gif
+
+    g = encode_gif(4, 4, _pixels(4, 4))
+    # splice a graphic-control extension between the palette and the image
+    split = 13 + 768
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    assert decode_gif(g[:split] + ext + g[split:]) == decode_gif(g)
+
+    # 2-entry local palette: red (luma 76) and white (luma 255).
+    # Spec-minimum LZW code size is 2 (clear=4, eoi=5, initial width 3);
+    # the width grows to 4 bits exactly when next_code reaches 8.
+    pal = bytes((255, 0, 0)) + bytes((255, 255, 255))
+    codes = [(4, 3), (0, 3), (1, 3), (0, 3), (1, 4), (5, 4)]  # clear,0,1,0,1,eoi
+    bitbuf = bitlen = 0
+    packed = bytearray()
+    for code, cw in codes:
+        bitbuf |= code << bitlen
+        bitlen += cw
+        while bitlen >= 8:
+            packed.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitlen -= 8
+    if bitlen:
+        packed.append(bitbuf & 0xFF)
+    raw = (b"GIF87a" + struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)
+           + b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x80) + pal
+           + b"\x02" + bytes([len(packed)]) + bytes(packed) + b"\x00\x3B")
+    assert decode_gif(raw) == (2, 2, bytes((76, 255, 76, 255)))
+
+
+def test_gif_rejects_unsupported():
+    from rlis2osm_spark.functions.codecs import decode_gif, encode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        encode_gif(2, 2, b"abc")  # wrong pixel count
+    truncated = encode_gif(4, 4, _pixels(4, 4))[:20]
+    with pytest.raises((ValueError, struct.error)):
+        decode_gif(truncated)
+
+
+def test_image_seam_routes_gif_and_audio_seam_rejects_avi(spark):
+    """decode_stub=False: gif payloads decode for real; a RIFF container
+    that is NOT WAVE (e.g. AVI) hits the documented NotImplementedError
+    seam, not a bare ValueError mid-job (ADVICE r3)."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from rlis2osm_spark.functions.codecs import encode_gif
+    from rlis2osm_spark.operators.multimodal import (
+        extract_audio_features, extract_image_features)
+
+    gif = encode_gif(3, 2, bytes(range(6)), interlace=True)
+    df = spark.createDataFrame([("m:1", gif)], "media_ref string, payload binary")
+    row = extract_image_features(df, decode_stub=False).collect()[0]
+    assert (row.format_guess, row.width, row.height) == ("gif", 3, 2)
+    assert row.px_sum == sum(range(6))
+
+    avi = b"RIFF" + b"\x00\x00\x00\x00" + b"AVI " + b"\x00" * 16
+    bad = spark.createDataFrame([("m:2", avi)], "media_ref string, payload binary")
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        extract_audio_features(bad, decode_stub=False).collect()

@@ -170,3 +170,53 @@ def test_checkpoint_chained_stage_fingerprint(spark, tmp_path):
 
     ck3.stage("down", down2, inputs=["up"])
     assert len(calls) == 2  # upstream digest changed -> downstream rebuilt
+
+
+def test_doc_probe_fold_detects_corruption(spark, synth_dir):
+    """Negative control for the scaling probe's map-side fold verifier
+    (VERDICT r3 #1): any post-exchange span corruption — content edit,
+    order/offset swap, dropped span, duplicated span — must flip the
+    per-document fold or count compare. Without this the doc-path bench's
+    '0 mismatches' claim would be unfalsifiable."""
+    from rlis2osm_spark.queries.scaling import _span_contrib
+    from rlis2osm_spark.sources.documents import explode_spans
+
+    docs = _docs(spark, synth_dir).limit(50)
+    fold_in = docs.select(
+        "doc_id",
+        F.aggregate(
+            F.col("spans"), F.lit(0).cast("long"),
+            lambda acc, s: acc + _span_contrib(
+                s["kind"], s["text"], s["media_ref"], s["offset"])
+        ).alias("fold_in"),
+        F.size("spans").alias("n_in"),
+    )
+    ex = explode_spans(docs)
+
+    def mismatches(exploded):
+        out = exploded.withColumn(
+            "c", _span_contrib(F.col("kind"), F.col("text"),
+                               F.col("media_ref"), F.col("offset"))
+        ).groupBy("doc_id").agg(
+            F.sum("c").alias("fold_out"), F.count("*").alias("n_out"))
+        j = fold_in.join(out, "doc_id", "left")
+        return j.filter(
+            (F.col("fold_out") != F.col("fold_in"))
+            | (F.col("n_out") != F.col("n_in"))
+            | F.col("fold_out").isNull()).count()
+
+    assert mismatches(ex) == 0  # clean exchange -> clean verdict
+
+    target = (F.col("doc_id") == "streets:0") & (F.col("pos") == 0)
+    # content corruption on one span of one doc
+    assert mismatches(ex.withColumn(
+        "text", F.when(target, F.concat(F.col("text"), F.lit("X")))
+        .otherwise(F.col("text")))) == 1
+    # order corruption: move one span's offset
+    assert mismatches(ex.withColumn(
+        "offset", F.when(target, F.col("offset") + 1000)
+        .otherwise(F.col("offset")))) == 1
+    # dropped span
+    assert mismatches(ex.filter(~target)) == 1
+    # duplicated span
+    assert mismatches(ex.unionAll(ex.filter(target))) == 1
