@@ -117,10 +117,9 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     # timed separately, with the checkpointed-centroid stage hoisted out
     # (it is trained/cached before either leg is timed — production shape).
     from rlis2osm_spark.operators.similarity import ivf_ann_topk, lsh_ann_topk
-    from rlis2osm_spark.queries.content2 import _ivf_centroids, _planted_base
+    from rlis2osm_spark.queries.content2 import _ann_artifacts
 
-    ann_base, ann_probes = _planted_base(spark, sf_dir)
-    cents = _ivf_centroids(spark, sf_dir, ann_base)
+    ann_base, ann_probes, cents = _ann_artifacts(spark, sf_dir)
     ann_legs = {}
     for leg, thunk in (
         ("lsh", lambda: lsh_ann_topk(ann_base, ann_probes, dim=64, k=3,

@@ -34,16 +34,20 @@ def expand_translate_combine(spark: SparkSession, catalog: Catalog) -> DataFrame
 def dissolve(combined: DataFrame, fields: list[str] | None = None,
              exclude: bool = False, algorithm: str = "auto",
              max_group_rows: int = 250_000,
-             approx_rows: int | None = None) -> DataFrame:
+             approx_rows: int | None = None,
+             ordered: bool = False) -> DataFrame:
     """EP3 (dissolve.py:21-49): merge connected identically-tagged ways.
     Degenerate tag-groups auto-route to the iterative CC (skew guard);
     ``algorithm="greedy"`` replays the reference's traversal exactly
     (byte-parity grouping on forked topologies); ``approx_rows`` (a free
     Iceberg-snapshot/parquet-footer row bound) skips the auto planning
-    job when no group can exceed ``max_group_rows``."""
+    job when no group can exceed ``max_group_rows``; ``ordered=True``
+    totally orders the output for byte-stable sink files (one extra sort
+    exchange — the reference's output order is deterministic by
+    construction)."""
     return _dissolve(combined, fields=fields, exclude=exclude,
                      algorithm=algorithm, max_group_rows=max_group_rows,
-                     approx_rows=approx_rows)
+                     approx_rows=approx_rows, ordered=ordered)
 
 
 def to_osm_xml(df: DataFrame, out_dir: str, merged: str | None = None,

@@ -290,6 +290,7 @@ def dissolve_ways(
     algorithm: str = "auto",
     max_group_rows: int = 250_000,
     approx_rows: int | None = None,
+    ordered: bool = False,
 ) -> DataFrame:
     """EP3: dissolve connected, identically-tagged ways into merged geometries.
 
@@ -319,6 +320,14 @@ def dissolve_ways(
     (parquet footer metadata, an Iceberg snapshot's record count — free at
     any scale), NO group can exceed the cap, so auto routes straight to
     union-find without the extra count job.
+
+    ``ordered=True`` (r4, VERDICT r3 #4) totally orders the output by
+    ``component_id`` (unique per row, deterministic — min way_id of the
+    component, itself a pure hash of source lineage), so two identical runs
+    produce byte-identical sink files for display/diff consumers — the
+    reference's output is deterministic by construction
+    (/root/reference/rlis2osm/main.py:76-138). Costs one extra range-sort
+    exchange; leave False for set-semantics pipelines.
     """
     tag_fields = [c for c in COMBINED_FIELDS if c in combined.columns]
     dissolve_fields = _define_filter_fields(tag_fields, fields, exclude)
@@ -362,18 +371,33 @@ def dissolve_ways(
         # ways.items() iteration (fids can COLLIDE across source tables in
         # the combined frame, so the table name leads the key); node_idx
         # pins the (f, t) frontier order, which the shuffle would otherwise
-        # scramble (greedy traversal is order-SENSITIVE, unlike union-find)
+        # scramble (greedy traversal is order-SENSITIVE, unlike union-find).
+        # The lpad encoding is only order-preserving for 0 <= fid < 10^12
+        # (and 0 <= part_idx < 10^6) — outside that range the string sort
+        # would silently drift from the numeric visit order, so guard
+        # loudly (ADVICE r3).
+        fid_ok = (F.col("fid") >= 0) & (F.col("fid") < F.lit(10 ** 12))
+        part_ok = (F.coalesce(F.col("part_idx"), F.lit(0)) >= 0) & (
+            F.coalesce(F.col("part_idx"), F.lit(0)) < F.lit(10 ** 6))
         order_key = F.concat_ws(
             "\x00",
             F.coalesce(F.col("src_table"), F.lit("?")),
-            F.lpad(F.col("fid").cast("string"), 12, "0"),
-            F.lpad(F.coalesce(F.col("part_idx"), F.lit(0)).cast("string"),
-                   6, "0"))
+            F.when(fid_ok, F.lpad(F.col("fid").cast("string"), 12, "0"))
+            .otherwise(F.raise_error(F.lit(
+                "greedy dissolve: fid outside [0, 10^12) breaks the "
+                "reference visit-order encoding"))),
+            F.when(part_ok,
+                   F.lpad(F.coalesce(F.col("part_idx"), F.lit(0))
+                          .cast("string"), 6, "0"))
+            .otherwise(F.raise_error(F.lit(
+                "greedy dissolve: part_idx outside [0, 10^6) breaks the "
+                "reference visit-order encoding"))))
         greedy_nodes = endpoint_nodes(
             df.withColumn("order_key", order_key), geom_col,
             with_idx=True, extra_cols=["group_key", "order_key"])
         comps = _comps_greedy(greedy_nodes, max_group_rows)
-        return _merge_components(df, comps, dissolve_fields, geom_col)
+        return _merge_components(df, comps, dissolve_fields, geom_col,
+                                 ordered=ordered)
 
     nodes = endpoint_nodes(df, geom_col).join(
         df.select("way_id", "group_key"), "way_id"
@@ -426,12 +450,13 @@ def dissolve_ways(
             comps = _comps_unionfind(small_n, n_parts).unionByName(
                 _comps_iterative(big_n, big_ways))
 
-    return _merge_components(df, comps, dissolve_fields, geom_col)
+    return _merge_components(df, comps, dissolve_fields, geom_col,
+                             ordered=ordered)
 
 
 def _merge_components(df: DataFrame, comps: DataFrame,
                       dissolve_fields: list[str],
-                      geom_col: str) -> DataFrame:
+                      geom_col: str, ordered: bool = False) -> DataFrame:
     """A1/A2: per-component fid-ordered collect + Arrow linemerge + first-row
     tags (equal within group by construction, reference dissolve.py:81-82)."""
     with_comp = df.join(comps, "way_id")
@@ -441,7 +466,7 @@ def _merge_components(df: DataFrame, comps: DataFrame,
         return geom_lists.map(
             lambda gl: wkb.linemerge_wkb([bytes(g) for g in gl]))
 
-    return (
+    out = (
         with_comp.groupBy("component_id")
         .agg(
             *[F.first(F.col(f"`{c}`")).alias(c) for c in dissolve_fields],
@@ -456,3 +481,6 @@ def _merge_components(df: DataFrame, comps: DataFrame,
         )
         .drop("_members")
     )
+    # component_id is unique per output row and a pure hash of source
+    # lineage, so this total order is identical across runs (VERDICT r3 #4)
+    return out.orderBy("component_id") if ordered else out

@@ -71,7 +71,17 @@ def write_osm_xml(
     promoted — a failed or never-materialized run can no longer destroy
     the prior deliverable or leave a partial fragment set that
     merge_fragments would silently include. Returns the per-partition
-    stats as a small local DataFrame (already materialized)."""
+    stats as a small local DataFrame (already materialized).
+
+    **Filesystem contract** (ADVICE r3): tasks write fragments and the
+    driver promotes them, so ``out_dir`` must be a filesystem BOTH see —
+    local mode (one machine) or a shared mount (NFS/FUSE-mounted object
+    store) on a cluster; a driver-invisible executor-local path fails
+    loudly at promotion, not silently. The expected fragment set is
+    recorded in ``_fragments.json`` BEFORE promotion begins, so a crash
+    mid-promotion leaves a manifest that ``merge_fragments`` validates
+    against by default — a mixed-generation directory is rejected, never
+    silently merged (ADVICE r3)."""
     import glob as _glob
 
     def serialize(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,24 +152,50 @@ def write_osm_xml(
     for stale in _glob.glob(os.path.join(out_dir, "part-*.osm.tmp")):
         os.remove(stale)
     rows = projected.mapInPandas(serialize, _OUT_SCHEMA).collect()
-    # the action succeeded: promote FIRST (os.replace atomically overwrites
-    # a same-named old fragment), THEN drop only the stale old fragments
-    # outside the new set — a failure mid-promotion leaves every
-    # not-yet-promoted old fragment intact (review r3: deleting the old set
-    # up front reopened the destroyed-deliverable window staging closed)
-    final_rows = []
+    # the action succeeded: record the expected fragment set FIRST (the
+    # manifest makes any later partial state detectable), then promote
+    # (os.replace atomically overwrites a same-named old fragment), THEN
+    # drop only the stale old fragments outside the new set — a failure
+    # mid-promotion leaves every not-yet-promoted old fragment intact
+    # (review r3) and a manifest that merge_fragments rejects the mix with
+    staged = []
     seen: set[str] = set()
     for r in rows:
         dest = r.part_file[:-len(".tmp")]
         if dest in seen:  # duplicate stats row from a retried task
             continue
         seen.add(dest)
-        os.replace(r.part_file, dest)
-        final_rows.append((dest, r.n_ways, r.n_nodes, r.n_null_geoms))
+        staged.append((r.part_file, dest, r.n_ways, r.n_nodes,
+                       r.n_null_geoms))
+    _write_fragment_manifest(out_dir, sorted(os.path.basename(d)
+                                             for _, d, *_ in staged))
+    final_rows = []
+    for tmp, dest, n_ways, n_nodes, n_null in staged:
+        try:
+            os.replace(tmp, dest)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"fragment {tmp} is not visible to the driver: write_osm_xml "
+                "requires out_dir on a filesystem shared by driver and "
+                "executors (local mode or an NFS/object-store mount) — see "
+                "the docstring's filesystem contract") from None
+        final_rows.append((dest, n_ways, n_nodes, n_null))
     for old in _glob.glob(os.path.join(out_dir, "part-*.osm")):
         if old not in seen:
             os.remove(old)
     return df.sparkSession.createDataFrame(final_rows, _OUT_SCHEMA)
+
+
+_FRAG_MANIFEST = "_fragments.json"
+
+
+def _write_fragment_manifest(out_dir: str, basenames: list[str]) -> None:
+    import json
+
+    tmp = os.path.join(out_dir, _FRAG_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"fragments": basenames}, fh)
+    os.replace(tmp, os.path.join(out_dir, _FRAG_MANIFEST))
 
 
 _FRAGMENT_HEADER = ("<?xml version='1.0' encoding='UTF-8'?>\n",
@@ -177,16 +213,30 @@ def merge_fragments(out_dir: str, dest_path: str,
     at cluster scale the fragments themselves are the parallel output and
     this runs on the driver/edge node, like the reference's ogr2osm step.
 
-    Guards (ADVICE r2): every fragment must carry write_osm_xml's exact
-    header (a foreign or hand-edited part-*.osm would be mis-parsed by the
-    line-prefix scan, so it is rejected loudly), and ``expect_fragments``
-    cross-checks the fragment count against the writer's stats rows.
-    Raises ValueError if two distinct coordinates produced the same node
-    id (hash collision) instead of silently corrupting way geometry.
+    Guards (ADVICE r2/r3): the writer's ``_fragments.json`` manifest is
+    validated BY DEFAULT — the on-disk fragment set must equal the set the
+    writer promoted, so a crash mid-promotion (mixed old/new generations)
+    or a foreign part-*.osm is rejected, never silently merged. Every
+    fragment must also carry write_osm_xml's exact header, and
+    ``expect_fragments`` cross-checks the count against the writer's stats
+    rows. Raises ValueError if two distinct coordinates produced the same
+    node id (hash collision) instead of silently corrupting way geometry.
     """
     import glob
+    import json
 
     frags = sorted(glob.glob(os.path.join(out_dir, "part-*.osm")))
+    manifest_path = os.path.join(out_dir, _FRAG_MANIFEST)
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            expected = set(json.load(fh)["fragments"])
+        actual = {os.path.basename(f) for f in frags}
+        if actual != expected:
+            raise ValueError(
+                f"fragment set does not match the writer manifest "
+                f"({manifest_path}): missing={sorted(expected - actual)}, "
+                f"unexpected={sorted(actual - expected)} — refusing to "
+                "merge a mixed or partial fragment generation")
     if expect_fragments is not None and len(frags) != expect_fragments:
         raise ValueError(
             f"fragment count mismatch: writer reported {expect_fragments} "

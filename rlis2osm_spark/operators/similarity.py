@@ -145,11 +145,10 @@ def lsh_table_buckets_udf(dim: int, n_planes: int, n_tables: int,
     return buckets
 
 
-def lsh_ann_topk(
+def lsh_ann_candidates(
     base: DataFrame,
     probes: DataFrame,
     dim: int,
-    k: int = 5,
     n_planes: int = 6,
     n_tables: int = 1,
     id_col: str = "vec_id",
@@ -157,14 +156,8 @@ def lsh_ann_topk(
     seed: int = 1234567,
     bucket_udf: bool | None = None,
 ) -> DataFrame:
-    """ANN: bucket equi-join candidates, exact cosine re-rank.
-
-    ``n_tables > 1`` turns on the OR-construction (same pattern as
-    ``cosine_neardup_pairs``): a candidate is any base vector sharing a
-    bucket in ANY table, recall ~ 1 - (1 - p^n_planes)^n_tables. The table
-    id is exploded into the join key — still ONE equi-join, and the
-    candidate set is deduped with a single probe-keyed exchange before the
-    rank window.
+    """LSH candidate pairs (probe_id, neighbor_id, pv, bv, bucket) —
+    possibly with per-pair duplicates across tables; feed ``rerank_topk``.
 
     ``bucket_udf`` picks the signature implementation: plan-time literal
     expressions (pure codegen — best at small plane*dim products) vs one
@@ -193,24 +186,61 @@ def lsh_ann_topk(
             _table_buckets(F.col("pv"), dim, n_planes, n_tables, seed)
         ).alias("tb")).select("probe_id", "pv", "tb.tbl", "tb.bucket")
 
-    cands = p.join(b, ["tbl", "bucket"]).filter(
-        F.col("probe_id") != F.col("neighbor_id"))
-    if n_tables > 1:
-        # dedup with ONE probe-keyed exchange; bucket kept deterministically
-        # (min over colliding tables — pv/bv are identical per key)
+    return p.join(b, ["tbl", "bucket"]).filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    ).select("probe_id", "neighbor_id", "pv", "bv", "bucket")
+
+
+def rerank_topk(cands: DataFrame, k: int,
+                extra_keys: tuple[str, ...] = (),
+                dedup: bool = True) -> DataFrame:
+    """Shared exact-cosine re-rank over candidate pairs: ONE probe-keyed
+    dedup exchange (bucket kept deterministically as the min over
+    colliding tables/cells — pv/bv are identical per key) + ONE rank
+    window. ``extra_keys`` (e.g. a method tag) lets several candidate
+    generators share this single exchange set instead of each paying
+    their own (r4, VERDICT r3 #2 bench hygiene)."""
+    keys = [*extra_keys, "probe_id", "neighbor_id"]
+    if dedup:
         cands = (
-            cands.groupBy("probe_id", "neighbor_id")
+            cands.groupBy(*keys)
             .agg(F.min("bucket").alias("bucket"),
                  F.first("pv").alias("pv"), F.first("bv").alias("bv"))
         )
-    w = Window.partitionBy("probe_id").orderBy(
+    w = Window.partitionBy(*extra_keys, "probe_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
     return (
         cands.withColumn("cos", cosine(F.col("pv"), F.col("bv")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos", "rank", "bucket")
+        .select(*extra_keys, "probe_id", "neighbor_id", "cos", "rank",
+                "bucket")
     )
+
+
+def lsh_ann_topk(
+    base: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1234567,
+    bucket_udf: bool | None = None,
+) -> DataFrame:
+    """ANN: bucket equi-join candidates, exact cosine re-rank.
+
+    ``n_tables > 1`` turns on the OR-construction (same pattern as
+    ``cosine_neardup_pairs``): a candidate is any base vector sharing a
+    bucket in ANY table, recall ~ 1 - (1 - p^n_planes)^n_tables. The table
+    id is exploded into the join key — still ONE equi-join, and the
+    candidate set is deduped with a single probe-keyed exchange before the
+    rank window (``rerank_topk``)."""
+    cands = lsh_ann_candidates(base, probes, dim, n_planes, n_tables,
+                               id_col, vec_col, seed, bucket_udf)
+    return rerank_topk(cands, k, dedup=n_tables > 1)
 
 
 def _dist2(a: Column, b: Column) -> Column:
@@ -267,11 +297,10 @@ def ivf_train_centroids(
     return cents
 
 
-def ivf_ann_topk(
+def ivf_ann_candidates(
     base: DataFrame,
     probes: DataFrame,
     dim: int,
-    k: int = 5,
     k_centroids: int = 16,
     n_probe: int = 2,
     centroids: list[list[float]] | None = None,
@@ -279,14 +308,8 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     n_iter: int = 5,
 ) -> DataFrame:
-    """IVF ANN: k-means cells as the candidate generator (VERDICT r1 #10).
-
-    Base vectors live in their nearest centroid's cell (at 100 TB: the
-    Iceberg bucket/partition key -> a probe prunes to ``n_probe`` cells'
-    files); probes search their ``n_probe`` nearest cells and re-rank by
-    exact cosine. Raising ``n_probe`` trades latency for recall — the knob
-    LSH lacks (its buckets are fixed by the plane count).
-    """
+    """IVF candidate pairs (probe_id, neighbor_id, pv, bv, bucket) — a pair
+    may repeat across probed cells; feed ``rerank_topk``."""
     cents = centroids if centroids is not None else ivf_train_centroids(
         base, dim, k_centroids, n_iter=n_iter, id_col=id_col,
         vec_col=vec_col)
@@ -315,21 +338,36 @@ def ivf_ann_topk(
         .select("probe_id", "pv", F.col("cid").alias("bucket"))
     )
 
-    cands = p_cells.join(b_cell, "bucket").filter(
-        F.col("probe_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("probe_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        # one probe-keyed exchange: dedup + rank; a pair reachable via
-        # multiple probed cells keeps min(bucket) (deterministic — ADVICE r2)
-        cands.groupBy("probe_id", "neighbor_id")
-        .agg(F.min("bucket").alias("bucket"),
-             F.first("pv").alias("pv"), F.first("bv").alias("bv"))
-        .withColumn("cos", cosine(F.col("pv"), F.col("bv")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos", "rank", "bucket")
-    )
+    return p_cells.join(b_cell, "bucket").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    ).select("probe_id", "neighbor_id", "pv", "bv", "bucket")
+
+
+def ivf_ann_topk(
+    base: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    k_centroids: int = 16,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 5,
+) -> DataFrame:
+    """IVF ANN: k-means cells as the candidate generator (VERDICT r1 #10).
+
+    Base vectors live in their nearest centroid's cell (at 100 TB: the
+    Iceberg bucket/partition key -> a probe prunes to ``n_probe`` cells'
+    files); probes search their ``n_probe`` nearest cells and re-rank by
+    exact cosine (``rerank_topk`` — one probe-keyed dedup exchange keeps
+    min(bucket) deterministically, ADVICE r2). Raising ``n_probe`` trades
+    latency for recall — the knob LSH lacks (its buckets are fixed by the
+    plane count).
+    """
+    cands = ivf_ann_candidates(base, probes, dim, k_centroids, n_probe,
+                               centroids, id_col, vec_col, n_iter)
+    return rerank_topk(cands, k)
 
 
 def cosine_neardup_pairs(

@@ -4,22 +4,22 @@
 At 100 TB the doc<->media join and every cell-keyed join run over tables
 bucketed on their join key: both sides' files are pre-hashed into the same
 N buckets, so the join needs **no shuffle at all** (verified by the plan
-assertion in tests — no Exchange under the SortMergeJoin)."""
+assertion in tests — no Exchange under the SortMergeJoin).
+
+All storage-layout operations delegate to ``plans/iceberg_shim.py`` (r4,
+VERDICT r3 #7) — the one module a real-cluster user swaps for Iceberg
+``partitionedBy(bucket(...))`` / ``WRITE ORDERED BY`` calls."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rlis2osm_spark.plans import iceberg_shim as shim
+
 
 def save_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8,
                   mode: str = "overwrite") -> None:
-    (
-        df.write.mode(mode)
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    shim.write_bucketed(df, table, key, n_buckets, mode=mode)
 
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
@@ -33,19 +33,9 @@ def write_range_clustered(df: DataFrame, path: str, col: str = "cell",
                           n_files: int = 8, mode: str = "overwrite") -> None:
     """Range-partitioned shuffle into a spatially clustered layout (north
     rule: "range-partitioned shuffles"; Iceberg analogue: a sort order on
-    the cell key).
-
-    ``repartitionByRange`` samples the key distribution and assigns
-    contiguous key ranges to output files, so every parquet file carries a
-    DISJOINT [min, max] cell range in its footer — a spatial range scan
-    (``cell BETWEEN a AND b``) then prunes whole files from the listing,
-    which hash bucketing cannot do. Morton cells make this 2-D locality:
-    a cell range is a screen-region query."""
-    from pyspark.sql import functions as F
-
-    (
-        df.repartitionByRange(n_files, F.col(col))
-        .sortWithinPartitions(col)
-        .write.mode(mode)
-        .parquet(path)
-    )
+    the cell key). Every parquet file carries a DISJOINT [min, max] cell
+    range in its footer — a spatial range scan (``cell BETWEEN a AND b``)
+    then prunes whole files from the listing, which hash bucketing cannot
+    do. Morton cells make this 2-D locality: a cell range is a
+    screen-region query."""
+    shim.write_range_clustered(df, path, col, n_files, mode=mode)

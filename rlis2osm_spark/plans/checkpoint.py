@@ -2,11 +2,13 @@
 metrics (north rule; descendant of the reference's LogSet telemetry,
 dissolve.py:169-198 / SURVEY §2.5 A7).
 
-Locally each stage materializes to parquet with a JSON manifest; on a real
-cluster the same API maps 1:1 onto Iceberg: ``stage()`` becomes
-``df.writeTo(tbl).createOrReplace()`` and a valid manifest becomes the latest
-committed snapshot. Resume = skip stages whose manifest is valid — a rerun
-of a 10-stage job that died at stage 7 replays nothing before it.
+Every table-format operation goes through ``plans/iceberg_shim.py`` (r4,
+VERDICT r3 #7): locally each stage materializes to parquet with a JSON
+manifest; on a real cluster the shim's functions map 1:1 onto Iceberg
+(``stage()`` becomes ``df.writeTo(tbl).createOrReplace()`` and a valid
+manifest becomes the latest committed snapshot) — port the shim, not this
+file. Resume = skip stages whose manifest is valid — a rerun of a 10-stage
+job that died at stage 7 replays nothing before it.
 
 Two r2 upgrades (ADVICE/VERDICT r1):
 
@@ -22,7 +24,6 @@ Two r2 upgrades (ADVICE/VERDICT r1):
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import time
@@ -30,7 +31,7 @@ from hashlib import blake2b
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MANIFEST = "_manifest.json"
+from rlis2osm_spark.plans import iceberg_shim as shim
 
 
 class Checkpointer:
@@ -40,43 +41,26 @@ class Checkpointer:
         os.makedirs(self.root, exist_ok=True)
         self.lineage: list[dict] = []
 
-    def _paths(self, name: str) -> tuple[str, str]:
-        d = os.path.join(self.root, name)
-        return d, os.path.join(d, _MANIFEST)
+    def _location(self, name: str) -> str:
+        return os.path.join(self.root, name)
 
     def _read_manifest(self, name: str) -> dict | None:
-        _, manifest = self._paths(name)
-        if not os.path.exists(manifest):
-            return None
-        try:
-            with open(manifest) as fh:
-                return json.load(fh)
-        except (json.JSONDecodeError, OSError):
-            return None
+        return shim.get_manifest(self._location(name))
 
     def _fingerprint_inputs(self, inputs: list[str] | None) -> str:
         """Digest of everything a stage consumed: upstream stage manifests
-        (by their own digest + row count) or external paths (every file's
-        relpath, size, mtime). Any change -> different fingerprint ->
-        resume is refused and the stage rebuilds."""
+        (by their own digest + row count) or external paths (via the shim's
+        content fingerprint — an Iceberg snapshot_id on a real cluster).
+        Any change -> different fingerprint -> resume is refused and the
+        stage rebuilds."""
         parts: list = []
         for inp in inputs or []:
             meta = self._read_manifest(inp)
             if meta is not None:  # upstream stage of this run
                 parts.append(("stage", inp, meta.get("output_digest"),
                               meta.get("row_count")))
-            elif os.path.isdir(inp):
-                files = sorted(
-                    (os.path.relpath(p, inp), os.path.getsize(p),
-                     os.stat(p).st_mtime_ns)  # ns: same-second rewrites count
-                    for p in glob.glob(os.path.join(inp, "**"), recursive=True)
-                    if os.path.isfile(p))
-                parts.append(("dir", inp, files))
-            elif os.path.isfile(inp):
-                parts.append(("file", inp, os.path.getsize(inp),
-                              os.stat(inp).st_mtime_ns))
             else:
-                parts.append(("missing", inp))
+                parts.append(shim.fingerprint_path(inp))
         return blake2b(
             json.dumps(parts, sort_keys=True).encode(), digest_size=8
         ).hexdigest()
@@ -103,32 +87,19 @@ class Checkpointer:
         planning cost. ``inputs`` (stage names and/or paths) gate the resume:
         a manifest whose recorded input fingerprint no longer matches is
         rebuilt, not served."""
-        data_dir, manifest = self._paths(name)
+        location = self._location(name)
         fp = self._fingerprint_inputs(inputs)
         stale = (self._read_manifest(name) is not None
                  and not self.has_valid(name, fp))
         if self.has_valid(name, fp) and not force:
-            with open(manifest) as fh:
-                self.lineage.append(json.load(fh) | {"resumed": True})
-            return self.spark.read.parquet(data_dir)
+            self.lineage.append(self._read_manifest(name) | {"resumed": True})
+            return shim.read_table(self.spark, location)
 
         t0 = time.time()
-        df = build()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
+        shim.write_table(build(), location, partition_by=partition_by)
 
-        # WRITE-layout skew metrics straight from the parquet footers
-        import pyarrow.parquet as pq
-
-        part_files = sorted(
-            p for p in glob.glob(os.path.join(data_dir, "**", "*.parquet"),
-                                 recursive=True))
-        partition_rows = {
-            os.path.relpath(p, data_dir): pq.read_metadata(p).num_rows
-            for p in part_files
-        }
+        # WRITE-layout skew metrics straight from table metadata
+        partition_rows = shim.partition_row_counts(location)
         out_digest = blake2b(
             json.dumps(sorted(partition_rows.items())).encode(),
             digest_size=8).hexdigest()
@@ -146,15 +117,12 @@ class Checkpointer:
             "wall_seconds": round(time.time() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        with open(manifest, "w") as fh:
-            json.dump(meta, fh, indent=1)
+        shim.put_manifest(location, meta)
         self.lineage.append(meta | {"resumed": False})
-        return self.spark.read.parquet(data_dir)
+        return shim.read_table(self.spark, location)
 
     def invalidate(self, name: str) -> None:
-        _, manifest = self._paths(name)
-        if os.path.exists(manifest):
-            os.remove(manifest)
+        shim.drop_manifest(self._location(name))
 
     def report(self) -> list[dict]:
         return list(self.lineage)

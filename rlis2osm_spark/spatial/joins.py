@@ -306,20 +306,38 @@ def polygon_cell_join(
 
     pix, piy = grid_coords(F.col(x_col), F.col(y_col), res, grid)
     # per-row uid: the final regroup must preserve duplicate input rows
-    # (ADVICE r2 — grouping by the raw point columns collapsed them) and
-    # must never group by a fat geometry column. Prefer a caller-supplied
-    # unique key (point_uid) — fully retry-stable; the surrogate fallback
-    # uses monotonically_increasing_id, whose values can shift if the
-    # points lineage is recomputed after task loss mid-job (uid is consumed
-    # within this one job, but supply point_uid for strict exactly-once
-    # accounting at cluster scale).
+    # (ADVICE r2 — grouping by the raw point columns collapsed them).
+    # Prefer a caller-supplied unique key (point_uid) — zero extra cost.
+    # The surrogate fallback (ADVICE r3) is now DETERMINISTIC: a duplicate
+    # ordinal from a row-value-partitioned window, so the uid set is a pure
+    # function of the input values — stable under task retry / lineage
+    # recomputation, unlike the old monotonically_increasing_id (whose
+    # values could shift if the points lineage recomputed mid-job,
+    # duplicating or collapsing rows in the regroup). Identical rows are
+    # interchangeable, so which duplicate takes which ordinal is
+    # immaterial. Costs one extra exchange on the points side; pass
+    # point_uid to skip it. Unorderable column types (map) cannot key a
+    # window — require point_uid there, loudly.
     if point_uid is not None:
         if point_uid not in pt_cols:
             raise ValueError(f"point_uid column {point_uid!r} not in points")
-        pts = points.withColumn("_pt_uid", F.col(point_uid)) \
+        pts = points.withColumn("_pt_uid", F.struct(F.col(point_uid))) \
             .withColumns({"cx": pix, "cy": piy})
     else:
-        pts = points.withColumn("_pt_uid", F.monotonically_increasing_id()) \
+        from pyspark.sql.types import MapType
+
+        bad = [f.name for f in points.schema.fields
+               if isinstance(f.dataType, MapType)]
+        if bad:
+            raise ValueError(
+                f"points columns {bad} are map-typed (unorderable) — the "
+                "deterministic surrogate uid cannot window over them; pass "
+                "point_uid=<unique key column> instead")
+        dup_w = Window.partitionBy(*pt_cols).orderBy(F.lit(1))
+        pts = points.withColumn(
+            "_pt_uid",
+            F.struct(*[F.col(c) for c in pt_cols],
+                     F.row_number().over(dup_w).alias("_dup_idx"))) \
             .withColumns({"cx": pix, "cy": piy})
 
     @F.pandas_udf(BooleanType())

@@ -4,6 +4,7 @@ fork-free so greedy-BFS and true-CC semantics coincide (SURVEY §7.3)."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from rlis2osm_spark.functions.wkb import (
     decode_lines,
@@ -230,3 +231,45 @@ def test_dissolve_same_tag_fork_divergence_pin(spark):
     assert len(parts) == 3
     endpoints = {tuple(p[0]) for p in parts} | {tuple(p[-1]) for p in parts}
     assert (1.0, 1.0) in endpoints  # the stub is present, not dropped
+
+
+def test_ordered_dissolve_byte_identical_sinks(spark, tmp_path):
+    """``ordered=True`` (r4, VERDICT r3 #4): two identical runs must produce
+    byte-identical sink artifacts — parquet AND .osm fragments — so display/
+    diff consumers see stable output like the reference's (its output order
+    is deterministic by construction). Unordered set-semantics stay the
+    default (no sort shuffle)."""
+    import glob
+    import os
+
+    from rlis2osm_spark.operators.osm_sink import write_osm_xml
+
+    rows = [(i, "residential", f"Street {i % 7}",
+             _seg(float(i), 0.0, float(i) + 1.0, 0.0)) for i in range(60)]
+    df = _combined_df(spark, rows)
+
+    def run(out_tag):
+        d = dissolve_ways(df, fields=["highway", "name"], ordered=True)
+        pq_dir = str(tmp_path / f"pq_{out_tag}")
+        d.write.mode("overwrite").parquet(pq_dir)
+        osm_dir = str(tmp_path / f"osm_{out_tag}")
+        sink = d.select(
+            "geometry",
+            F.map_from_arrays(F.array(F.lit("highway"), F.lit("name")),
+                              F.array("highway", "name")).alias("tags"))
+        write_osm_xml(sink, osm_dir).collect()
+        return pq_dir, osm_dir
+
+    def file_bytes(d, pattern):
+        # part filenames embed per-run UUIDs; the part INDEX prefix is the
+        # stable identity, so compare contents in part-index order
+        files = sorted(glob.glob(os.path.join(d, pattern)),
+                       key=os.path.basename)
+        return [open(f, "rb").read() for f in files]
+
+    pq1, osm1 = run("a")
+    pq2, osm2 = run("b")
+    assert file_bytes(pq1, "part-*.parquet") == file_bytes(pq2, "part-*.parquet")
+    osm_a = file_bytes(osm1, "part-*.osm")
+    osm_b = file_bytes(osm2, "part-*.osm")
+    assert osm_a and osm_a == osm_b

@@ -168,3 +168,40 @@ def test_rerun_with_fewer_partitions_drops_stale_fragments(spark, synth_dir,
 
     info = merge_fragments(d, str(tmp_path / "rlis.osm"))
     assert info["n_ways"] == n  # not doubled by stale fragments
+
+
+def test_merge_rejects_mixed_generation_via_manifest(spark, synth_dir,
+                                                     tmp_path):
+    """ADVICE r3: the writer records the promoted fragment set in
+    _fragments.json BEFORE promotion; merge_fragments validates against it
+    by default, so a crash mid-promotion (stale old fragment still present,
+    or a promoted fragment missing) is rejected, never silently merged."""
+    import pytest as _pytest
+
+    from rlis2osm_spark.operators.combine import combine, repair_and_filter_tags
+    from rlis2osm_spark.operators.osm_sink import merge_fragments
+
+    streets = spark.read.parquet(f"{synth_dir}/streets.parquet").limit(40)
+    trails = spark.read.parquet(f"{synth_dir}/trails.parquet").limit(10)
+    bikes = spark.read.parquet(f"{synth_dir}/bike_routes.parquet")
+    sink = repair_and_filter_tags(combine(streets, trails, bikes))
+    d = tmp_path / "frags"
+    write_osm_xml(sink.repartition(2), str(d)).collect()
+
+    # clean merge passes
+    merge_fragments(str(d), str(tmp_path / "ok.osm"))
+
+    # a stale fragment from an older generation appears -> reject
+    head = ("<?xml version='1.0' encoding='UTF-8'?>\n"
+            "<osm version='0.6' generator='rlis2osm_spark'>\n")
+    stale = d / "part-00099.osm"
+    stale.write_text(head + "</osm>\n")
+    with _pytest.raises(ValueError, match="manifest"):
+        merge_fragments(str(d), str(tmp_path / "bad.osm"))
+    stale.unlink()
+
+    # a promoted fragment vanished -> reject
+    victim = sorted(d.glob("part-*.osm"))[0]
+    victim.unlink()
+    with _pytest.raises(ValueError, match="manifest"):
+        merge_fragments(str(d), str(tmp_path / "bad2.osm"))
