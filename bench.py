@@ -178,7 +178,10 @@ _SCALING_CONF = {
 os.makedirs("/dev/shm/spark-local", exist_ok=True)
 
 
-DOC_SCALE_MULT = int(os.environ.get("SPARK_GRAFT_DOC_SCALE_MULT", "256"))
+# 1024 (r4): at 256 the restructured doc probe finishes so fast that fixed
+# per-job overhead dominates the N->4N ratio; 4x the docs puts compute back
+# in charge without hitting the 16-thread memory-pressure wall seen at 4096
+DOC_SCALE_MULT = int(os.environ.get("SPARK_GRAFT_DOC_SCALE_MULT", "1024"))
 DOC_SCALE_DIR = os.path.join(REPO, ".synth", "scaling_docs")
 
 
@@ -224,7 +227,7 @@ def _scaling_child(cpus: str) -> dict:
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
     doc_best = None
     mismatches = n_sampled = None
-    for _ in range(max(2, SCALE_REPEATS - 1)):
+    for _ in range(SCALE_REPEATS):
         t0 = time.time()
         rows = scaling_documents(
             spark, DOC_SCALE_DIR, mult=DOC_SCALE_MULT).collect()
@@ -336,10 +339,130 @@ def run_scaling() -> dict:
     return report
 
 
+PIPE_MULT = int(os.environ.get("SPARK_GRAFT_PIPE_MULT", "2500"))
+
+
+def run_pipeline_scale() -> dict:
+    """Full-pipeline scale smoke (VERDICT r3 #5): combine -> dissolve ->
+    tile -> OSM sink end-to-end over a deterministically replicated
+    ~10M-way input at local[$SPARK_GRAFT_CPUS].
+
+    Replication is shuffle-free (replica range drives partitioning, the
+    base tables broadcast) and SEMANTICS-PRESERVING per replica: fids are
+    offset to stay unique, street/trail names get a per-replica suffix so
+    dissolve tag-groups never cross replicas (geometries are byte-shared,
+    so un-suffixed names would union 2500 coincident copies into
+    degenerate mega-groups — a different workload than scaling the real
+    one). Bike routes stay at base size: the overlay build side is a
+    broadcast dim table at any scale. Records wall time per stage + total
+    shuffle read/write from the Spark status API; writes
+    BENCH/pipeline_scale.json."""
+    from urllib.request import urlopen
+
+    from pyspark.sql import functions as F
+
+    from rlis2osm_spark.datagen import ensure_dataset
+    from rlis2osm_spark.driver_support import ensure_package_on_workers
+    from rlis2osm_spark.operators.combine import (
+        combine, repair_and_filter_tags)
+    from rlis2osm_spark.operators.dissolve import dissolve_ways
+    from rlis2osm_spark.operators.osm_sink import write_osm_xml
+    from rlis2osm_spark.pipeline import tile_rollup
+    from rlis2osm_spark.session import build_session
+    from rlis2osm_spark.spatial.tiles import with_tile
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    ensure_dataset(DOC_SCALE_DIR, n_streets=4000, n_trails=800)
+    spark = build_session(
+        app_name="pipeline-scale",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS) * 4,
+        # UI on: the status API is where the shuffle totals come from
+        extra_conf=_SCALING_CONF | {"spark.ui.enabled": "true"},
+    )
+    ensure_package_on_workers(spark)
+
+    def replicate(df, mult, name_col=None, fid_off=10_000_000):
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        reps = spark.range(0, mult, numPartitions=min(mult, n * 2)).select(
+            F.col("id").alias("_rep"))
+        out = reps.join(F.broadcast(df), how="cross").withColumn(
+            "fid", F.col("fid") + F.col("_rep") * fid_off)
+        if name_col:
+            out = out.withColumn(
+                name_col,
+                F.concat_ws(" ", name_col, F.concat(F.lit("Rep"),
+                                                    F.col("_rep"))))
+        return out.drop("_rep")
+
+    base_s = spark.read.parquet(f"{DOC_SCALE_DIR}/streets.parquet")
+    base_t = spark.read.parquet(f"{DOC_SCALE_DIR}/trails.parquet")
+    bikes = spark.read.parquet(f"{DOC_SCALE_DIR}/bike_routes.parquet")
+    n_ways = (base_s.count() + base_t.count()) * PIPE_MULT
+    streets = replicate(base_s, PIPE_MULT, name_col="STREETNAME")
+    trails = replicate(base_t, PIPE_MULT, name_col="TRAILNAME")
+
+    out_dir = os.path.join(REPO, ".synth", "pipeline_scale")
+    timings = {}
+
+    t0 = time.time()
+    combined = combine(streets, trails, bikes)
+    dissolved = dissolve_ways(combined, approx_rows=2 * n_ways)
+    tagged = repair_and_filter_tags(dissolved)
+    # one materialization point: the parquet snapshot the sink + tile
+    # stages consume (a real run checkpoints here — plans/checkpoint.py)
+    snap = os.path.join(out_dir, "dissolved.parquet")
+    tagged.write.mode("overwrite").parquet(snap)
+    timings["combine_dissolve_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    tagged2 = spark.read.parquet(snap)
+    tiled = with_tile(tagged2, res=10)
+    _materialize(tile_rollup(tiled))
+    timings["tile_rollup_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    stats = write_osm_xml(tagged2, os.path.join(out_dir, "osm")).collect()
+    timings["osm_sink_sec"] = round(time.time() - t0, 3)
+
+    n_dissolved = sum(r.n_ways for r in stats)
+    osm_bytes = sum(os.path.getsize(r.part_file) for r in stats)
+
+    # shuffle totals from the status API (no extra jobs)
+    app_id = spark.sparkContext.applicationId
+    with urlopen(f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+                 f"{app_id}/stages?status=complete") as rsp:
+        stages = json.loads(rsp.read())
+    shuffle_write = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    shuffle_read = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    peak_stage_write = max(
+        (s.get("shuffleWriteBytes", 0) for s in stages), default=0)
+    spark.stop()
+    report = {
+        "n_input_ways": n_ways,
+        "n_dissolved_ways": n_dissolved,
+        "n_fragments": len(stats),
+        "osm_bytes": osm_bytes,
+        "total_sec": round(sum(timings.values()), 3),
+        **timings,
+        "shuffle_write_bytes": shuffle_write,
+        "shuffle_read_bytes": shuffle_read,
+        "peak_stage_shuffle_write_bytes": peak_stage_write,
+        "cpus": int(CPUS),
+        "mult": PIPE_MULT,
+    }
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/pipeline_scale.json", "w") as fh:
+        json.dump(report, fh, indent=1)
+    return report
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         print(json.dumps(_scaling_child(sys.argv[2])))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pipeline-scale":
+        print(json.dumps(run_pipeline_scale()))
     else:
         print(json.dumps(run_bench()))
