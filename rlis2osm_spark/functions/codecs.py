@@ -289,6 +289,428 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
     raise ValueError("GIF contains no image data")
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (grayscale): pure Python + numpy over the public JPEG spec
+# (ITU T.81). Sequential DCT, 8-bit, single component; huffman tables are
+# the spec's Annex K typical tables. Color / progressive / arithmetic
+# remain behind the NotImplementedError seam.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 luminance quantization table (row-major)
+_JPEG_QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Annex K.3 typical luminance DC table
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+
+# Annex K.5 typical luminance AC table
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    """Canonical huffman: value -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    n = 8
+    c = np.zeros((n, n))
+    for k in range(n):
+        for i in range(n):
+            c[k, i] = ((1 / np.sqrt(n)) if k == 0 else np.sqrt(2 / n)
+                       ) * np.cos((2 * i + 1) * k * np.pi / (2 * n))
+    return c
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size, appended bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: bytes,
+                     restart_every: int = 0) -> bytes:
+    """Baseline sequential grayscale JPEG (T.81; Annex K typical quant +
+    huffman tables). Lossy in general; EXACT for images whose 8x8 blocks
+    are constant with even values ((v-128)*8 divisible by q00=16 survives
+    quantize->dequantize bit-for-bit) — the analytic-oracle path.
+    ``restart_every`` > 0 emits a DRI segment and RSTn markers every that
+    many MCUs (resets the DC predictor, byte-aligned) — the parallel-decode
+    affordance real encoders use."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]  # edge-replicate pad
+    padded[:, width:] = padded[:, width - 1:width]
+
+    C = _dct_matrix()
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    dc_tab = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    zz = _JPEG_ZIGZAG
+
+    w = _BitWriter()
+    prev_dc = 0
+    mcu = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_every and mcu and mcu % restart_every == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                prev_dc = 0
+            mcu += 1
+            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            coef = C @ block @ C.T
+            quant = np.round(coef / q).astype(np.int64)
+            flat = quant.reshape(-1)
+            seq = [int(flat[zz[i]]) for i in range(64)]
+            diff = seq[0] - prev_dc
+            prev_dc = seq[0]
+            size, bits = _magnitude(diff)
+            code, length = dc_tab[size]
+            w.write(code, length)
+            if size:
+                w.write(bits, size)
+            run = 0
+            last_nz = 0
+            for i in range(1, 64):
+                if seq[i]:
+                    last_nz = i
+            for i in range(1, last_nz + 1):
+                if seq[i] == 0:
+                    run += 1
+                    if run == 16:
+                        code, length = ac_tab[0xF0]  # ZRL
+                        w.write(code, length)
+                        run = 0
+                    continue
+                size, bits = _magnitude(seq[i])
+                code, length = ac_tab[(run << 4) | size]
+                w.write(code, length)
+                w.write(bits, size)
+                run = 0
+            if last_nz != 63:
+                code, length = ac_tab[0x00]  # EOB
+                w.write(code, length)
+    w.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(
+        _JPEG_QTABLE[zz[i]] for i in range(64)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1)
+              + bytes([1, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                 + bytes(_JPEG_AC_VALS)))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (seg(0xDD, struct.pack(">H", restart_every))
+           if restart_every else b"")
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(w.out)
+            + b"\xff\xd9")
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # marker (EOI / RSTn handled by caller): treat as end
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode_tree(bits, vals):
+    """(length, code) -> value lookup."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_huff(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("bad huffman code in JPEG stream")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Baseline sequential GRAYSCALE JPEG -> (width, height, pixels).
+
+    Parses DQT/SOF0/DHT/SOS from the stream (any conformant single-
+    component baseline file, not just our encoder's), huffman-decodes,
+    dequantizes, inverse-DCTs with numpy. Color (multi-component),
+    progressive (SOF2) and arithmetic coding raise NotImplementedError —
+    the documented codec seam."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_q = None
+    scan_dc = scan_ac = None
+    entropy_start = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = list(body[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC0:
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "decode_jpeg_gray supports single-component (grayscale) "
+                    "baseline JPEG only; plug PIL in for color")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG is supported")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                huff[(tc, th)] = _huff_decode_tree(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan")
+            tdc, tac = body[2] >> 4, body[2] & 0x0F
+            scan_dc, scan_ac = huff[(0, tdc)], huff[(1, tac)]
+            entropy_start = pos
+            break
+    if width is None or entropy_start is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    # entropy-coded segment runs to EOI; restart markers reset the DC
+    # predictor — split on them and decode interval by interval
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        end = len(data)
+    ecs = data[entropy_start:end]
+
+    C = _dct_matrix()
+    flatq = np.empty(64)
+    for i in range(64):
+        flatq[_JPEG_ZIGZAG[i]] = qtables[comp_q][i]
+    q = flatq.reshape(8, 8)
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+
+    # split on restart markers; each interval holds exactly
+    # ``restart_interval`` MCUs (DRI marker) with its own DC predictor
+    intervals = []
+    start = 0
+    i = 0
+    while i < len(ecs) - 1:
+        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
+            intervals.append(ecs[start:i])
+            start = i + 2
+            i += 2
+        else:
+            i += 1
+    intervals.append(ecs[start:])
+    if len(intervals) > 1 and restart_interval == 0:
+        raise ValueError("restart markers present but no DRI segment")
+
+    zz = _JPEG_ZIGZAG
+    n_blocks = bh * bw
+    done = 0
+    for ci, chunk in enumerate(intervals):
+        reader = _BitReader(chunk)
+        prev_dc = 0
+        in_chunk = (restart_interval
+                    if restart_interval and ci < len(intervals) - 1
+                    else n_blocks - done)
+        for _ in range(in_chunk):
+            if done >= n_blocks:
+                break
+            size = _read_huff(reader, scan_dc)
+            diff = _extend(reader.read_bits(size), size)
+            dc = prev_dc + diff
+            prev_dc = dc
+            seq = [0] * 64
+            seq[0] = dc
+            k = 1
+            while k < 64:
+                rs = _read_huff(reader, scan_ac)
+                run, sz = rs >> 4, rs & 0x0F
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC index overrun")
+                seq[k] = _extend(reader.read_bits(sz), sz)
+                k += 1
+            flat = np.zeros(64)
+            for i2 in range(64):
+                flat[zz[i2]] = seq[i2]
+            coef = flat.reshape(8, 8) * q
+            block = C.T @ coef @ C + 128.0
+            by, bx = divmod(done, bw)
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
+            done += 1
+    if done < n_blocks:
+        raise ValueError("JPEG entropy data truncated")
+    pix = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, pix.tobytes()
+
+
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     """16-bit PCM mono WAV from an int iterable (clamped to int16)."""
     body = b"".join(

@@ -7,10 +7,11 @@ shapes, partitioning, the UDF signatures. The codec step:
 - ``decode_stub=True`` (default) runs a deterministic fake decoder over the
   raw bytes (no codec needed);
 - ``decode_stub=False`` REALLY decodes PNG (stdlib zlib/struct), GIF
-  (pure-Python LZW, r4) and WAV (struct over RIFF) via
-  functions/codecs.py; formats with no stdlib decoder (jpeg/video) still
-  raise ``NotImplementedError`` at the exact seam where PIL / torchaudio /
-  pyav plug in.
+  (pure-Python LZW, r4), baseline grayscale JPEG (pure Python + numpy
+  huffman/DCT, r4) and WAV (struct over RIFF) via functions/codecs.py;
+  what remains behind ``NotImplementedError`` is color/progressive JPEG
+  and video containers — the exact seam where PIL / torchaudio / pyav
+  plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -90,15 +91,20 @@ def extract_image_features(
                     w, h, feat = _fake_decode(b, feat_dim)
                     rows.append((ref, len(b), fmt, w, h, feat.tolist(), None))
                     continue
-                if fmt not in ("png", "gif"):
+                if fmt not in ("png", "gif", "jpeg"):
                     raise NotImplementedError(
                         f"real image decoding for {fmt!r} requires an image "
-                        "codec library; plug PIL/pyav in here (png and gif "
-                        "decode natively via functions/codecs.py)")
+                        "codec library; plug PIL/pyav in here (png, gif and "
+                        "baseline grayscale jpeg decode natively via "
+                        "functions/codecs.py)")
                 from rlis2osm_spark.functions.codecs import (
-                    decode_gif, decode_png)
+                    decode_gif, decode_jpeg_gray, decode_png)
 
-                w, h, px = (decode_png if fmt == "png" else decode_gif)(b)
+                dec = {"png": decode_png, "gif": decode_gif,
+                       "jpeg": decode_jpeg_gray}[fmt]
+                # decode_jpeg_gray raises NotImplementedError itself for
+                # color / progressive streams — the seam narrows to those
+                w, h, px = dec(b)
                 arr = np.frombuffer(px, dtype=np.uint8)
                 hist = np.bincount(arr % feat_dim,
                                    minlength=feat_dim).astype("float32")

@@ -297,6 +297,10 @@ def m1_media_features(spark, sf_dir):
       interlaced/sequential row order) decoded by the r4 LZW decoder ->
       width/height/px_sum from TRUE de-palettized (and de-interlaced)
       pixels;
+    - ``jpeg``: real baseline grayscale JPEGs (pure Python + numpy huffman
+      + DCT, varying restart intervals) built from even-valued constant
+      8x8 blocks — the DCT-exact subclass, so the lossy codec round-trips
+      bit-for-bit and DuckDB predicts the decoded px_sum analytically;
     - ``wav``: real RIFF/WAVE 16-bit PCM from doc_id-derived samples,
       decoded by ``extract_audio_features(decode_stub=False)`` ->
       n_samples/peak/abs_sum over TRUE decoded samples;
@@ -337,6 +341,25 @@ def m1_media_features(spark, sf_dir):
         return pd.Series(out, dtype=object)
 
     @F.pandas_udf(BinaryType())
+    def jpeg_payload(doc_ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from rlis2osm_spark.functions.codecs import encode_jpeg_gray
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            bw, bh = 1 + d % 3, 1 + (d // 3) % 3
+            img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+            for k in range(bw * bh):
+                by, bx = divmod(k, bw)
+                img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                    2 * ((d * 13 + k * 29) % 128)
+            out.append(encode_jpeg_gray(bw * 8, bh * 8, img.tobytes(),
+                                        restart_every=d % 4))
+        return pd.Series(out, dtype=object)
+
+    @F.pandas_udf(BinaryType())
     def wav_payload(doc_ids: pd.Series) -> pd.Series:
         from rlis2osm_spark.functions.codecs import encode_wav
 
@@ -361,6 +384,12 @@ def m1_media_features(spark, sf_dir):
     ).select(F.lit("gif").alias("kind"), "media_ref",
              F.col("width").alias("d1"), F.col("height").alias("d2"),
              F.col("px_sum").alias("v"))
+    jpeg = extract_image_features(
+        docs.select(ref, jpeg_payload("doc_id").alias("payload")),
+        feat_dim=8, decode_stub=False,
+    ).select(F.lit("jpeg").alias("kind"), "media_ref",
+             F.col("width").alias("d1"), F.col("height").alias("d2"),
+             F.col("px_sum").alias("v"))
     wav = extract_audio_features(
         docs.select(ref, wav_payload("doc_id").alias("payload")),
         decode_stub=False,
@@ -373,7 +402,8 @@ def m1_media_features(spark, sf_dir):
     ).select(F.lit("stub").alias("kind"), "media_ref",
              F.col("width").alias("d1"), F.col("height").alias("d2"),
              F.col("n_bytes").alias("v"))
-    return png.unionByName(gif).unionByName(wav).unionByName(stub)
+    return (png.unionByName(gif).unionByName(jpeg)
+            .unionByName(wav).unionByName(stub))
 
 
 _M1_SQL = """
@@ -399,6 +429,18 @@ gif_leg AS (
               k -> (doc_id * 37 + k) % 256), 'sum') AS BIGINT) AS v
   FROM gif
 ),
+jpg AS (
+  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + (doc_id // 3) % 3 AS bh
+  FROM documents
+),
+jpeg_leg AS (
+  SELECT 'jpeg' AS kind, 'doc:' || doc_id AS media_ref,
+         CAST(bw * 8 AS INT) AS d1, CAST(bh * 8 AS INT) AS d2,
+         CAST(64 * list_aggregate(list_transform(
+              generate_series(0, bw * bh - 1),
+              k -> 2 * ((doc_id * 13 + k * 29) % 128)), 'sum') AS BIGINT) AS v
+  FROM jpg
+),
 wav AS (
   SELECT doc_id, 32 + doc_id % 32 AS n FROM documents
 ),
@@ -422,6 +464,7 @@ stub_leg AS (
 )
 SELECT * FROM png_leg
 UNION ALL SELECT * FROM gif_leg
+UNION ALL SELECT * FROM jpeg_leg
 UNION ALL SELECT * FROM wav_leg
 UNION ALL SELECT * FROM stub_leg
 """

@@ -265,3 +265,78 @@ def test_image_seam_routes_gif_and_audio_seam_rejects_avi(spark):
     bad = spark.createDataFrame([("m:2", avi)], "media_ref string, payload binary")
     with pytest.raises(PythonException, match="NotImplementedError"):
         extract_audio_features(bad, decode_stub=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# JPEG (r4: baseline sequential grayscale, pure Python + numpy per T.81)
+# ---------------------------------------------------------------------------
+
+def _const_block_image(bw, bh, seed):
+    import numpy as np
+
+    img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for k in range(bw * bh):
+        by, bx = divmod(k, bw)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+            2 * ((seed * 37 + k * 29) % 128)
+    return img
+
+
+@pytest.mark.parametrize("bw,bh", [(1, 1), (3, 2), (5, 4)])
+@pytest.mark.parametrize("restart_every", [0, 1, 3])
+def test_jpeg_exact_on_even_constant_blocks(bw, bh, restart_every):
+    """Even-valued constant 8x8 blocks are the DCT-exact subclass: DC-only
+    spectra whose quantize->dequantize round-trips bit-for-bit ((v-128)*8
+    divisible by q00=16). The lossy codec must reproduce them EXACTLY,
+    with and without restart markers (DRI + RSTn + DC-predictor reset)."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_jpeg_gray, encode_jpeg_gray)
+
+    img = _const_block_image(bw, bh, seed=11)
+    data = encode_jpeg_gray(bw * 8, bh * 8, img.tobytes(),
+                            restart_every=restart_every)
+    w, h, px = decode_jpeg_gray(data)
+    assert (w, h) == (bw * 8, bh * 8)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), img)
+
+
+def test_jpeg_lossy_bound_on_smooth_image():
+    """Arbitrary smooth content: decoded output must sit within a tight
+    quantization-error bound of the source (the codec is really doing
+    DCT + quant, not a passthrough)."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_jpeg_gray, encode_jpeg_gray)
+
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    img = (128 + 60 * np.sin(xx / 10) + 50 * np.cos(yy / 9)
+           ).clip(0, 255).astype(np.uint8)
+    _, _, px = decode_jpeg_gray(encode_jpeg_gray(64, 48, img.tobytes()))
+    err = np.abs(np.frombuffer(px, np.uint8).reshape(48, 64).astype(int)
+                 - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 3
+
+
+def test_jpeg_odd_dims_and_rejects():
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_jpeg_gray, encode_jpeg_gray)
+
+    img = (np.arange(13 * 9) % 250).astype(np.uint8)
+    w, h, px = decode_jpeg_gray(encode_jpeg_gray(13, 9, img.tobytes()))
+    assert (w, h) == (13, 9) and len(px) == 117
+
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"not a jpeg")
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(4, 4, b"wrong size")
+    # progressive (SOF2) hits the seam
+    base = encode_jpeg_gray(8, 8, bytes(64))
+    sof0 = base.find(b"\xff\xc0")
+    progressive = base[:sof0] + b"\xff\xc2" + base[sof0 + 2:]
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_gray(progressive)
