@@ -711,6 +711,86 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     return width, height, pix.tobytes()
 
 
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video container: pure struct over the public RIFF/AVI spec.
+# Frames are baseline JPEGs (encode_jpeg_gray / decode_jpeg_gray above), so
+# a video column decodes end-to-end with zero external libraries. Other
+# codecs (fourcc != MJPG) raise NotImplementedError — the video seam.
+# ---------------------------------------------------------------------------
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Minimal single-stream MJPEG AVI: RIFF(AVI ) / LIST(hdrl)(avih +
+    LIST(strl)(strh vids/MJPG + strf BITMAPINFOHEADER)) / LIST(movi) with
+    one 00dc chunk per JPEG frame."""
+    if not frames:
+        raise ValueError("need at least one frame")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_bytes * fps, 0, 0x10, len(frames),
+        0, 1, max_bytes, width, height, 0, 0, 0, 0)
+    # fccType fccHandler dwFlags wPriority wLanguage dwInitialFrames
+    # dwScale dwRate dwStart dwLength dwSuggestedBufferSize dwQuality
+    # dwSampleSize rcFrame(4 int16) — 56 bytes total
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                          len(frames), max_bytes, 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + list_chunk(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
+    """AVI -> (width, height, [jpeg frame bytes]). Parses any RIFF/AVI
+    layout (walks chunks, finds LIST movi, collects 00dc/00db); a stream
+    whose handler is not MJPG raises NotImplementedError (real codecs —
+    pyav's seam)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    width = height = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + ln)
+            elif tag == b"avih":
+                vals = struct.unpack("<14I", data[body_start:body_start + 56])
+                width, height = vals[8], vals[9]
+            elif tag == b"strh":
+                fcc_type = data[body_start:body_start + 4]
+                handler = data[body_start + 4:body_start + 8]
+                if fcc_type == b"vids" and handler not in (b"MJPG", b"mjpg"):
+                    raise NotImplementedError(
+                        f"video codec {handler!r} needs a real decoder "
+                        "(pyav plugs in here); only MJPG decodes natively")
+            elif tag in (b"00dc", b"00db"):
+                frames.append(data[body_start:body_start + ln])
+            pos = body_start + ln + (ln & 1)
+
+    walk(12, len(data))
+    if width is None or not frames:
+        raise ValueError("AVI missing header or frames")
+    return width, height, frames
+
+
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     """16-bit PCM mono WAV from an int iterable (clamped to int16)."""
     body = b"".join(

@@ -167,6 +167,56 @@ def frame_sample_refs(media: DataFrame, every_n: int = 10,
     )
 
 
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("px_sum", LongType()),  # decoded luma sum (exact int)
+])
+
+
+def extract_video_frames(
+    media: DataFrame,
+    every_n: int = 1,
+    decode_stub: bool = False,
+) -> DataFrame:
+    """REAL video frame sampling + decode (r4): parse the RIFF/AVI
+    container, take every ``every_n``-th frame, decode each MJPEG frame
+    through the baseline JPEG decoder -> one row per sampled frame with
+    exact decoded pixel sums. One Arrow pass; no per-pixel Python (numpy
+    inside the batch). Non-MJPG codecs raise NotImplementedError from the
+    codec layer — the pyav seam. ``decode_stub=True`` keeps the container
+    parse real but skips the JPEG decode (px_sum null) for corpora whose
+    frames use codecs the sandbox can't decode."""
+
+    def batches(frames_it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rlis2osm_spark.functions.codecs import (
+            decode_avi_mjpeg, decode_jpeg_gray)
+
+        for pdf in frames_it:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    rows.append((ref, None, None, None, None, None))
+                    continue
+                w, h, frames = decode_avi_mjpeg(bytes(payload))
+                for idx in range(0, len(frames), every_n):
+                    if decode_stub:
+                        rows.append((ref, len(frames), idx, w, h, None))
+                        continue
+                    fw, fh, px = decode_jpeg_gray(frames[idx])
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    rows.append((ref, len(frames), idx, fw, fh,
+                                 int(arr.sum(dtype=np.int64))))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
+
+    return media.select("media_ref", "payload").mapInPandas(
+        batches, VIDEO_FRAME_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = StructType([
     StructField("media_ref", StringType()),
     StructField("n_bytes", LongType()),

@@ -301,6 +301,9 @@ def m1_media_features(spark, sf_dir):
       + DCT, varying restart intervals) built from even-valued constant
       8x8 blocks — the DCT-exact subclass, so the lossy codec round-trips
       bit-for-bit and DuckDB predicts the decoded px_sum analytically;
+    - ``avi``: real MJPEG-in-AVI videos (RIFF container parse + per-frame
+      JPEG decode, every-2nd-frame sampling) -> one row per sampled frame
+      with the exact decoded luma sum;
     - ``wav``: real RIFF/WAVE 16-bit PCM from doc_id-derived samples,
       decoded by ``extract_audio_features(decode_stub=False)`` ->
       n_samples/peak/abs_sum over TRUE decoded samples;
@@ -360,6 +363,27 @@ def m1_media_features(spark, sf_dir):
         return pd.Series(out, dtype=object)
 
     @F.pandas_udf(BinaryType())
+    def avi_payload(doc_ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from rlis2osm_spark.functions.codecs import (
+            encode_avi_mjpeg, encode_jpeg_gray)
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            n = 2 + d % 3
+            frames = []
+            for f in range(n):
+                img = np.zeros((8, 16), dtype=np.uint8)
+                for k in range(2):
+                    img[:, k * 8:(k + 1) * 8] = \
+                        2 * ((d * 11 + f * 17 + k * 23) % 128)
+                frames.append(encode_jpeg_gray(16, 8, img.tobytes()))
+            out.append(encode_avi_mjpeg(frames, 16, 8))
+        return pd.Series(out, dtype=object)
+
+    @F.pandas_udf(BinaryType())
     def wav_payload(doc_ids: pd.Series) -> pd.Series:
         from rlis2osm_spark.functions.codecs import encode_wav
 
@@ -390,6 +414,13 @@ def m1_media_features(spark, sf_dir):
     ).select(F.lit("jpeg").alias("kind"), "media_ref",
              F.col("width").alias("d1"), F.col("height").alias("d2"),
              F.col("px_sum").alias("v"))
+    from rlis2osm_spark.operators.multimodal import extract_video_frames
+
+    avi = extract_video_frames(
+        docs.select(ref, avi_payload("doc_id").alias("payload")), every_n=2,
+    ).select(F.lit("avi").alias("kind"), "media_ref",
+             F.col("frame_idx").alias("d1"), F.col("n_frames").alias("d2"),
+             F.col("px_sum").alias("v"))
     wav = extract_audio_features(
         docs.select(ref, wav_payload("doc_id").alias("payload")),
         decode_stub=False,
@@ -402,7 +433,7 @@ def m1_media_features(spark, sf_dir):
     ).select(F.lit("stub").alias("kind"), "media_ref",
              F.col("width").alias("d1"), F.col("height").alias("d2"),
              F.col("n_bytes").alias("v"))
-    return (png.unionByName(gif).unionByName(jpeg)
+    return (png.unionByName(gif).unionByName(jpeg).unionByName(avi)
             .unionByName(wav).unionByName(stub))
 
 
@@ -441,6 +472,18 @@ jpeg_leg AS (
               k -> 2 * ((doc_id * 13 + k * 29) % 128)), 'sum') AS BIGINT) AS v
   FROM jpg
 ),
+avi AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+),
+avi_leg AS (
+  SELECT 'avi' AS kind, 'doc:' || doc_id AS media_ref,
+         CAST(f AS INT) AS d1, CAST(nf AS INT) AS d2,
+         CAST(64 * (2 * ((doc_id * 11 + f * 17) % 128)
+                    + 2 * ((doc_id * 11 + f * 17 + 23) % 128))
+              AS BIGINT) AS v
+  FROM (SELECT doc_id, nf, unnest(generate_series(0, nf - 1, 2)) AS f
+        FROM avi)
+),
 wav AS (
   SELECT doc_id, 32 + doc_id % 32 AS n FROM documents
 ),
@@ -465,6 +508,7 @@ stub_leg AS (
 SELECT * FROM png_leg
 UNION ALL SELECT * FROM gif_leg
 UNION ALL SELECT * FROM jpeg_leg
+UNION ALL SELECT * FROM avi_leg
 UNION ALL SELECT * FROM wav_leg
 UNION ALL SELECT * FROM stub_leg
 """

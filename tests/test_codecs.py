@@ -340,3 +340,69 @@ def test_jpeg_odd_dims_and_rejects():
     progressive = base[:sof0] + b"\xff\xc2" + base[sof0 + 2:]
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg_gray(progressive)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video container (r4)
+# ---------------------------------------------------------------------------
+
+def test_avi_mjpeg_roundtrip_and_frame_decode():
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_avi_mjpeg, decode_jpeg_gray, encode_avi_mjpeg,
+        encode_jpeg_gray)
+
+    w, h = 24, 16
+    imgs = [_const_block_image(3, 2, seed=s) for s in range(5)]
+    frames = [encode_jpeg_gray(w, h, im.tobytes()) for im in imgs]
+    avi = encode_avi_mjpeg(frames, w, h, fps=12)
+    w2, h2, out = decode_avi_mjpeg(avi)
+    assert (w2, h2) == (w, h) and out == frames
+    for f, im in zip(out, imgs):
+        _, _, px = decode_jpeg_gray(f)
+        assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), im)
+
+
+def test_avi_rejects_and_seam():
+    from rlis2osm_spark.functions.codecs import (
+        decode_avi_mjpeg, encode_avi_mjpeg, encode_jpeg_gray)
+
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")  # not AVI
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], 8, 8)
+    frame = encode_jpeg_gray(8, 8, bytes(64))
+    avi = encode_avi_mjpeg([frame], 8, 8)
+    h264 = avi.replace(b"vidsMJPG", b"vidsH264", 1)
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        decode_avi_mjpeg(h264)
+
+
+def test_extract_video_frames_operator(spark):
+    """The video path end-to-end at the operator boundary: container parse
+    + every_n sampling + per-frame JPEG decode with exact pixel sums."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        encode_avi_mjpeg, encode_jpeg_gray)
+    from rlis2osm_spark.operators.multimodal import extract_video_frames
+
+    rows = []
+    expected = {}
+    for i in range(6):
+        n = 2 + i % 3
+        frames, sums = [], []
+        for f in range(n):
+            im = _const_block_image(2, 1, seed=i * 10 + f)
+            frames.append(encode_jpeg_gray(16, 8, im.tobytes()))
+            sums.append(int(im.sum()))
+        rows.append((f"v:{i}", encode_avi_mjpeg(frames, 16, 8)))
+        expected[f"v:{i}"] = {(idx, sums[idx]) for idx in range(0, n, 2)}
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = extract_video_frames(df, every_n=2).collect()
+    by_ref: dict = {}
+    for r in got:
+        assert (r.width, r.height) == (16, 8)
+        by_ref.setdefault(r.media_ref, set()).add((r.frame_idx, r.px_sum))
+    assert by_ref == expected
