@@ -396,6 +396,11 @@ def m1_media_features(spark, sf_dir):
         return pd.Series(out, dtype=object)
 
     ref = F.concat(F.lit("doc:"), F.col("doc_id")).alias("media_ref")
+    # the r4 codec legs (gif/jpeg/avi) run on a deterministic 1-in-4 doc
+    # sample: the pure-Python encoders+decoders cost ~3ms per payload, and
+    # full-corpus coverage adds bench seconds without adding oracle power
+    # (the sample is still hundreds of real decode round trips per leg)
+    sampled = docs.filter(F.col("doc_id") % 4 == 0)
     png = extract_image_features(
         docs.select(ref, png_payload("doc_id").alias("payload")),
         feat_dim=8, decode_stub=False,
@@ -403,13 +408,13 @@ def m1_media_features(spark, sf_dir):
              F.col("width").alias("d1"), F.col("height").alias("d2"),
              F.col("px_sum").alias("v"))
     gif = extract_image_features(
-        docs.select(ref, gif_payload("doc_id").alias("payload")),
+        sampled.select(ref, gif_payload("doc_id").alias("payload")),
         feat_dim=8, decode_stub=False,
     ).select(F.lit("gif").alias("kind"), "media_ref",
              F.col("width").alias("d1"), F.col("height").alias("d2"),
              F.col("px_sum").alias("v"))
     jpeg = extract_image_features(
-        docs.select(ref, jpeg_payload("doc_id").alias("payload")),
+        sampled.select(ref, jpeg_payload("doc_id").alias("payload")),
         feat_dim=8, decode_stub=False,
     ).select(F.lit("jpeg").alias("kind"), "media_ref",
              F.col("width").alias("d1"), F.col("height").alias("d2"),
@@ -417,7 +422,7 @@ def m1_media_features(spark, sf_dir):
     from rlis2osm_spark.operators.multimodal import extract_video_frames
 
     avi = extract_video_frames(
-        docs.select(ref, avi_payload("doc_id").alias("payload")), every_n=2,
+        sampled.select(ref, avi_payload("doc_id").alias("payload")), every_n=2,
     ).select(F.lit("avi").alias("kind"), "media_ref",
              F.col("frame_idx").alias("d1"), F.col("n_frames").alias("d2"),
              F.col("px_sum").alias("v"))
@@ -451,7 +456,7 @@ png_leg AS (
 ),
 gif AS (
   SELECT doc_id, 4 + doc_id % 6 AS w, 4 + (doc_id // 6) % 6 AS h
-  FROM documents
+  FROM documents WHERE doc_id % 4 = 0
 ),
 gif_leg AS (
   SELECT 'gif' AS kind, 'doc:' || doc_id AS media_ref,
@@ -462,7 +467,7 @@ gif_leg AS (
 ),
 jpg AS (
   SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + (doc_id // 3) % 3 AS bh
-  FROM documents
+  FROM documents WHERE doc_id % 4 = 0
 ),
 jpeg_leg AS (
   SELECT 'jpeg' AS kind, 'doc:' || doc_id AS media_ref,
@@ -473,7 +478,7 @@ jpeg_leg AS (
   FROM jpg
 ),
 avi AS (
-  SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+  SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents WHERE doc_id % 4 = 0
 ),
 avi_leg AS (
   SELECT 'avi' AS kind, 'doc:' || doc_id AS media_ref,

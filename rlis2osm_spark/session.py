@@ -46,6 +46,15 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Align Spark's whole-stage-codegen fallback with the JVM JIT's
+        # 8000-byte DontCompileHugeMethods threshold. The default (65535)
+        # leaves methods in the 8k-64k range codegen'd but never JIT'd —
+        # they execute as INTERPRETED bytecode, slower than Spark's
+        # interpreted-expression fallback. The wide tag-translation
+        # projections (T12-T20 when-chains) sit exactly in that range:
+        # t13_t20_trails measured 2.9s -> 0.58s at sf0.1 from this alone
+        # (r4). Identical reasoning applies on a real cluster.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
