@@ -226,14 +226,15 @@ def _scaling_child(cpus: str) -> dict:
     # (16m would coalesce the reduce below the core count at this size)
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
     doc_best = None
-    mismatches = n_sampled = None
+    mismatches = 0  # accumulated across repeats — a violation in ANY
+    n_sampled = None  # repeat must fail the run (review r4)
     for _ in range(SCALE_REPEATS):
         t0 = time.time()
         rows = scaling_documents(
             spark, DOC_SCALE_DIR, mult=DOC_SCALE_MULT).collect()
         elapsed = time.time() - t0
         doc_best = elapsed if doc_best is None else min(doc_best, elapsed)
-        mismatches = int(sum(r.n_mismatch for r in rows))
+        mismatches += int(sum(r.n_mismatch for r in rows))
         n_sampled = int(sum(r.n_sampled for r in rows))
         assert sum(r.n_docs for r in rows) == n_span_docs
         assert n_sampled > 0, "sampled exact-reassembly leg is empty"

@@ -233,7 +233,16 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
     image (animations: later frames ignored). Any LZW stream a conformant
     encoder produces decodes (variable-width codes to 12 bits, interlace
     deinterleaved); palette entries map to gray via the exact integer
-    luma (299*r + 587*g + 114*b) / 1000 — identity for gray palettes."""
+    luma (299*r + 587*g + 114*b) / 1000 — identity for gray palettes.
+    Malformed / truncated input raises ValueError (the codec error
+    contract at the operator seam — never a bare IndexError, review r4)."""
+    try:
+        return _decode_gif_impl(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed or truncated GIF stream: {e}") from e
+
+
+def _decode_gif_impl(data: bytes) -> tuple[int, int, bytes]:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -496,12 +505,14 @@ class _BitReader:
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.synthetic = 0  # zero-fill bits appended past end-of-stream
 
     def _fill(self):
         while self.nbits <= 24:
             if self.pos >= len(self.data):
                 self.acc = (self.acc << 8) | 0
                 self.nbits += 8
+                self.synthetic += 8
                 continue
             b = self.data[self.pos]
             self.pos += 1
@@ -514,6 +525,7 @@ class _BitReader:
                     self.pos -= 1
                     self.acc = (self.acc << 8) | 0
                     self.nbits += 8
+                    self.synthetic += 8
                     continue
             self.acc = (self.acc << 8) | b
             self.nbits += 8
@@ -522,6 +534,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
+        # a conformant stream ends with <= 7 padding bits plus the final
+        # byte's spill; consuming well past that means the entropy data is
+        # truncated — zero bits otherwise decode as fabricated blocks
+        # (valid-looking DC/AC codes) forever, masking the damage
+        if self.synthetic - self.nbits > 64:
+            raise ValueError("JPEG entropy data truncated")
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
@@ -564,10 +582,18 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     """Baseline sequential GRAYSCALE JPEG -> (width, height, pixels).
 
     Parses DQT/SOF0/DHT/SOS from the stream (any conformant single-
-    component baseline file, not just our encoder's), huffman-decodes,
-    dequantizes, inverse-DCTs with numpy. Color (multi-component),
-    progressive (SOF2) and arithmetic coding raise NotImplementedError —
-    the documented codec seam."""
+    component baseline file, not just our encoder's — 0xFF fill bytes per
+    T.81 B.1.1.2 included), huffman-decodes, dequantizes, inverse-DCTs
+    with numpy. Color (multi-component), progressive (SOF2) and arithmetic
+    coding raise NotImplementedError — the documented codec seam.
+    Malformed / truncated input raises ValueError."""
+    try:
+        return _decode_jpeg_gray_impl(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed or truncated JPEG stream: {e}") from e
+
+
+def _decode_jpeg_gray_impl(data: bytes) -> tuple[int, int, bytes]:
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -580,10 +606,13 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     scan_dc = scan_ac = None
     entropy_start = None
     restart_interval = 0
-    while pos < len(data):
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -749,7 +778,16 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
     hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + list_chunk(
         b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = list_chunk(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
-    body = b"AVI " + hdrl + movi
+    # idx1 backs the AVIF_HASINDEX flag set in avih (review r4: the flag
+    # without the chunk breaks strict external parsers); offsets are
+    # relative to the 'movi' fourcc per the classic convention
+    entries = bytearray()
+    off = 4
+    for f in frames:
+        entries += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", bytes(entries))
+    body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

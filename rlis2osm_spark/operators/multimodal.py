@@ -180,16 +180,17 @@ VIDEO_FRAME_SCHEMA = StructType([
 def extract_video_frames(
     media: DataFrame,
     every_n: int = 1,
-    decode_stub: bool = False,
+    decode_stub: bool = True,
 ) -> DataFrame:
     """REAL video frame sampling + decode (r4): parse the RIFF/AVI
     container, take every ``every_n``-th frame, decode each MJPEG frame
     through the baseline JPEG decoder -> one row per sampled frame with
     exact decoded pixel sums. One Arrow pass; no per-pixel Python (numpy
     inside the batch). Non-MJPG codecs raise NotImplementedError from the
-    codec layer — the pyav seam. ``decode_stub=True`` keeps the container
-    parse real but skips the JPEG decode (px_sum null) for corpora whose
-    frames use codecs the sandbox can't decode."""
+    codec layer — the pyav seam. ``decode_stub=True`` (default — the same
+    contract as the image/audio extractors) keeps the container parse real
+    but skips the per-frame JPEG decode (px_sum null); pass
+    ``decode_stub=False`` to really decode MJPEG frames."""
 
     def batches(frames_it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rlis2osm_spark.functions.codecs import (

@@ -167,8 +167,13 @@ def write_osm_xml(
         seen.add(dest)
         staged.append((r.part_file, dest, r.n_ways, r.n_nodes,
                        r.n_null_geoms))
-    _write_fragment_manifest(out_dir, sorted(os.path.basename(d)
-                                             for _, d, *_ in staged))
+    # manifest records content digests, not just names: a rerun that
+    # produces the SAME fragment names but crashes mid-promotion would
+    # otherwise leave a same-name mixed generation the name-set check
+    # cannot see (review r4)
+    _write_fragment_manifest(out_dir, {
+        os.path.basename(d): _fragment_digest(tmp)
+        for tmp, d, *_ in staged})
     final_rows = []
     for tmp, dest, n_ways, n_nodes, n_null in staged:
         try:
@@ -189,12 +194,20 @@ def write_osm_xml(
 _FRAG_MANIFEST = "_fragments.json"
 
 
-def _write_fragment_manifest(out_dir: str, basenames: list[str]) -> None:
+def _fragment_digest(path: str) -> str:
+    h = blake2b(digest_size=8)
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _write_fragment_manifest(out_dir: str, digests: dict[str, str]) -> None:
     import json
 
     tmp = os.path.join(out_dir, _FRAG_MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump({"fragments": basenames}, fh)
+        json.dump({"fragments": digests}, fh)
     os.replace(tmp, os.path.join(out_dir, _FRAG_MANIFEST))
 
 
@@ -229,7 +242,10 @@ def merge_fragments(out_dir: str, dest_path: str,
     manifest_path = os.path.join(out_dir, _FRAG_MANIFEST)
     if os.path.exists(manifest_path):
         with open(manifest_path) as fh:
-            expected = set(json.load(fh)["fragments"])
+            manifest = json.load(fh)["fragments"]
+        # back-compat: r4.0 manifests were a bare name list
+        expected = (set(manifest) if isinstance(manifest, list)
+                    else set(manifest.keys()))
         actual = {os.path.basename(f) for f in frags}
         if actual != expected:
             raise ValueError(
@@ -237,6 +253,15 @@ def merge_fragments(out_dir: str, dest_path: str,
                 f"({manifest_path}): missing={sorted(expected - actual)}, "
                 f"unexpected={sorted(actual - expected)} — refusing to "
                 "merge a mixed or partial fragment generation")
+        if isinstance(manifest, dict):
+            stale = [f for f in frags
+                     if _fragment_digest(f) != manifest[os.path.basename(f)]]
+            if stale:
+                raise ValueError(
+                    f"fragment content does not match the writer manifest "
+                    f"for {[os.path.basename(f) for f in stale]} — a crash "
+                    "mid-promotion left a same-name mixed generation; "
+                    "re-run write_osm_xml before merging")
     if expect_fragments is not None and len(frags) != expect_fragments:
         raise ValueError(
             f"fragment count mismatch: writer reported {expect_fragments} "

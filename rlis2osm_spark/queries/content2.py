@@ -131,6 +131,11 @@ def _ann_artifacts(spark, sf_dir):
     re-validation and plan re-construction — the production shape, where
     the index tables are opened once per application."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    # evict entries from other (dead) sessions: DataFrame handles bound to
+    # a stopped SparkContext can never be reused, and an unbounded global
+    # would grow per session in long-lived processes (review r4)
+    for stale in [k for k in _ANN_ARTIFACTS if k[0] != key[0]]:
+        del _ANN_ARTIFACTS[stale]
     if key not in _ANN_ARTIFACTS:
         base, probes = _planted_base(spark, sf_dir)
         cents = _ivf_centroids(spark, sf_dir, base, dim=64, k_centroids=8,
@@ -422,7 +427,8 @@ def m1_media_features(spark, sf_dir):
     from rlis2osm_spark.operators.multimodal import extract_video_frames
 
     avi = extract_video_frames(
-        sampled.select(ref, avi_payload("doc_id").alias("payload")), every_n=2,
+        sampled.select(ref, avi_payload("doc_id").alias("payload")),
+        every_n=2, decode_stub=False,
     ).select(F.lit("avi").alias("kind"), "media_ref",
              F.col("frame_idx").alias("d1"), F.col("n_frames").alias("d2"),
              F.col("px_sum").alias("v"))

@@ -400,9 +400,50 @@ def test_extract_video_frames_operator(spark):
         rows.append((f"v:{i}", encode_avi_mjpeg(frames, 16, 8)))
         expected[f"v:{i}"] = {(idx, sums[idx]) for idx in range(0, n, 2)}
     df = spark.createDataFrame(rows, "media_ref string, payload binary")
-    got = extract_video_frames(df, every_n=2).collect()
+    got = extract_video_frames(df, every_n=2, decode_stub=False).collect()
     by_ref: dict = {}
     for r in got:
         assert (r.width, r.height) == (16, 8)
         by_ref.setdefault(r.media_ref, set()).add((r.frame_idx, r.px_sum))
     assert by_ref == expected
+
+
+def test_jpeg_tolerates_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    real encoders emit them for alignment (review r4)."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_jpeg_gray, encode_jpeg_gray)
+
+    img = _const_block_image(2, 2, seed=5)
+    data = encode_jpeg_gray(16, 16, img.tobytes())
+    padded = data[:2] + b"\xff\xff\xff" + data[2:]
+    w, h, px = decode_jpeg_gray(padded)
+    assert (w, h) == (16, 16)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(16, 16), img)
+
+
+def test_gif_and_jpeg_truncation_raises_valueerror():
+    """The codec error contract at the operator seam: malformed/truncated
+    input raises ValueError, never a bare IndexError/KeyError (review r4)."""
+    from rlis2osm_spark.functions.codecs import (
+        decode_gif, decode_jpeg_gray, encode_gif, encode_jpeg_gray)
+
+    g = encode_gif(16, 16, _pixels(16, 16))
+    j = encode_jpeg_gray(16, 16, _pixels(16, 16))
+    for cut in (13, 20, len(g) - 5, 796 if len(g) > 796 else len(g) - 1):
+        with pytest.raises(ValueError):
+            decode_gif(g[:cut])
+    # mid-extension truncation
+    ext = g[:13 + 768] + b"\x21\xf9\x04"
+    with pytest.raises(ValueError):
+        decode_gif(ext)
+    # deep-truncated entropy data (whole blocks missing) must raise;
+    # note shaving only the last couple of bytes may still decode — the
+    # bit reader zero-fills at end-of-stream, same as libjpeg's warn-and-
+    # decode behavior on slightly truncated files
+    big = encode_jpeg_gray(64, 64, _pixels(64, 64))
+    for cut in (4, 30, int(len(big) * 0.6)):
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(big[:cut])

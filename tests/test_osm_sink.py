@@ -205,3 +205,28 @@ def test_merge_rejects_mixed_generation_via_manifest(spark, synth_dir,
     victim.unlink()
     with _pytest.raises(ValueError, match="manifest"):
         merge_fragments(str(d), str(tmp_path / "bad2.osm"))
+
+
+def test_merge_rejects_same_name_stale_content(spark, synth_dir, tmp_path):
+    """Review r4: a crash mid-promotion can leave the SAME fragment names
+    but mixed old/new content — the manifest's content digests must catch
+    it (the name-set check cannot)."""
+    import pytest as _pytest
+
+    from rlis2osm_spark.operators.combine import combine, repair_and_filter_tags
+    from rlis2osm_spark.operators.osm_sink import merge_fragments
+
+    streets = spark.read.parquet(f"{synth_dir}/streets.parquet").limit(30)
+    trails = spark.read.parquet(f"{synth_dir}/trails.parquet").limit(10)
+    bikes = spark.read.parquet(f"{synth_dir}/bike_routes.parquet")
+    sink = repair_and_filter_tags(combine(streets, trails, bikes))
+    d = tmp_path / "frags"
+    write_osm_xml(sink.repartition(2), str(d)).collect()
+    merge_fragments(str(d), str(tmp_path / "ok.osm"))  # clean passes
+
+    # simulate: one fragment is a stale old generation with the same name
+    victim = sorted(d.glob("part-*.osm"))[1]
+    content = victim.read_text()
+    victim.write_text(content.replace("</osm>", "  \n</osm>"))
+    with _pytest.raises(ValueError, match="content does not match"):
+        merge_fragments(str(d), str(tmp_path / "bad.osm"))
