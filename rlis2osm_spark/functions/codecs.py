@@ -35,19 +35,24 @@ def encode_png(width: int, height: int, pixels: bytes,
         raise ValueError("pixels must be width*height bytes")
     if filter_type not in (0, 1, 2):
         raise ValueError("encoder supports filters 0/1/2")
+    # vectorized filtering (r4): uint8 wraparound IS the mod-256 the spec
+    # wants, so Sub/Up are one numpy subtraction per image
+    import numpy as np
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    if filter_type == 0:
+        filt = img
+    elif filter_type == 1:  # Sub: delta vs left neighbor
+        filt = img.copy()
+        filt[:, 1:] -= img[:, :-1]
+    else:  # Up: delta vs same column of prior row
+        filt = img.copy()
+        filt[1:, :] -= img[:-1, :]
     raw = bytearray()
-    prior = bytes(width)
+    ft = bytes([filter_type])
     for r in range(height):
-        row = pixels[r * width:(r + 1) * width]
-        raw.append(filter_type)
-        if filter_type == 0:
-            raw += row
-        elif filter_type == 1:  # Sub: delta vs left neighbor
-            raw += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF
-                         for i in range(width))
-        else:  # Up: delta vs same column of prior row
-            raw += bytes((row[i] - prior[i]) & 0xFF for i in range(width))
-        prior = row
+        raw += ft
+        raw += filt[r].tobytes()
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     return (PNG_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(raw)))
@@ -94,31 +99,41 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     stride = width + 1
     if len(raw) != stride * height:
         raise ValueError("IDAT size mismatch")
-    out = bytearray()
-    prior = bytes(width)
+    import numpy as np
+
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    fts = scan[:, 0]
+    rows = scan[:, 1:]
+    out = np.empty((height, width), dtype=np.uint8)
+    prior = np.zeros(width, dtype=np.uint8)
     for r in range(height):
-        ft = raw[r * stride]
-        row = bytearray(raw[r * stride + 1:(r + 1) * stride])
-        if ft == 1:  # Sub
-            for i in range(1, width):
-                row[i] = (row[i] + row[i - 1]) & 0xFF
-        elif ft == 2:  # Up
+        ft = int(fts[r])
+        row = rows[r]
+        if ft == 0:
+            cur = row.copy()
+        elif ft == 1:  # Sub: prefix-sum per row (uint8 wraps mod 256)
+            cur = np.cumsum(row, dtype=np.uint8)
+        elif ft == 2:  # Up: one vector add
+            cur = row + prior
+        elif ft == 3:  # Average (sequential left-dependency: scalar loop)
+            cur = np.empty(width, dtype=np.uint8)
+            left = 0
             for i in range(width):
-                row[i] = (row[i] + prior[i]) & 0xFF
-        elif ft == 3:  # Average
+                cur[i] = (int(row[i]) + (left + int(prior[i])) // 2) & 0xFF
+                left = int(cur[i])
+        elif ft == 4:  # Paeth (sequential left-dependency: scalar loop)
+            cur = np.empty(width, dtype=np.uint8)
+            left = upleft = 0
             for i in range(width):
-                left = row[i - 1] if i else 0
-                row[i] = (row[i] + (left + prior[i]) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(width):
-                left = row[i - 1] if i else 0
-                upleft = prior[i - 1] if i else 0
-                row[i] = (row[i] + _paeth(left, prior[i], upleft)) & 0xFF
-        elif ft != 0:
+                cur[i] = (int(row[i])
+                          + _paeth(left, int(prior[i]), upleft)) & 0xFF
+                left = int(cur[i])
+                upleft = int(prior[i])
+        else:
             raise ValueError(f"bad filter {ft}")
-        out += row
-        prior = bytes(row)
-    return width, height, bytes(out)
+        out[r] = cur
+        prior = cur
+    return width, height, out.tobytes()
 
 
 _GIF_GRAY_PALETTE = b"".join(bytes((i, i, i)) for i in range(256))
@@ -831,8 +846,10 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     """16-bit PCM mono WAV from an int iterable (clamped to int16)."""
-    body = b"".join(
-        struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples)
+    import numpy as np
+
+    body = np.clip(np.asarray(list(samples), dtype=np.int64),
+                   -32768, 32767).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     riff = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -860,7 +877,10 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
                     f"decode_wav supports 16-bit PCM mono only "
                     f"(got fmt={afmt}, ch={channels}, bits={bits})")
         elif tag == b"data":
-            samples = [s[0] for s in struct.iter_unpack("<h", body[:len(body) & ~1])]
+            import numpy as np
+
+            samples = np.frombuffer(
+                body[:len(body) & ~1], dtype="<i2").tolist()
     if rate is None:
         raise ValueError("missing fmt chunk")
     return rate, samples
