@@ -200,6 +200,13 @@ def _scaling_child(cpus: str) -> dict:
     from rlis2osm_spark.session import build_session
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    # external noisy-neighbor load only ADDS time, so min-of-k converges
+    # to the true cost from above at every level; extra repeats at the
+    # CHEAP (higher-parallelism) level tighten its estimate without
+    # biasing the ratio — per-level override via
+    # SPARK_GRAFT_SCALE_REPEATS_<cpus>
+    repeats = int(os.environ.get(
+        f"SPARK_GRAFT_SCALE_REPEATS_{cpus}", SCALE_REPEATS))
     ensure_dataset(DOC_SCALE_DIR, n_streets=4000, n_trails=800)
     spark = build_session(
         app_name=f"scaling-{cpus}",
@@ -213,7 +220,7 @@ def _scaling_child(cpus: str) -> dict:
     _materialize(scaling_documents(spark, DOC_SCALE_DIR, mult=4))
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * SCALE_MULT
     best = None
-    for _ in range(SCALE_REPEATS):
+    for _ in range(repeats):
         t0 = time.time()
         _materialize(scaling_flagship(spark, SF_DIR, mult=SCALE_MULT))
         elapsed = time.time() - t0
@@ -228,7 +235,7 @@ def _scaling_child(cpus: str) -> dict:
     doc_best = None
     mismatches = 0  # accumulated across repeats — a violation in ANY
     n_sampled = None  # repeat must fail the run (review r4)
-    for _ in range(SCALE_REPEATS):
+    for _ in range(repeats):
         t0 = time.time()
         rows = scaling_documents(
             spark, DOC_SCALE_DIR, mult=DOC_SCALE_MULT).collect()
@@ -244,7 +251,7 @@ def _scaling_child(cpus: str) -> dict:
     spark.stop()
     return {"cpus": int(cpus), "sec": round(best, 3),
             "docs_per_sec": round(n_docs / best, 1),
-            "n_docs": n_docs, "repeats": SCALE_REPEATS,
+            "n_docs": n_docs, "repeats": repeats,
             "doc_path": {"sec": round(doc_best, 3),
                          "docs_per_sec": round(n_span_docs / doc_best, 1),
                          "n_docs": n_span_docs,
