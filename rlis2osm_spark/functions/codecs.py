@@ -514,6 +514,133 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
             + b"\xff\xd9")
 
 
+# Annex-K-style chroma quantization table (row-major). Huffman tables for
+# the chroma ids simply REUSE the luma tables (stored under table id 1 in
+# the DHT segments — spec-legal and self-consistent; decoders read the
+# tables from the stream, so interop does not depend on matching K.6).
+_JPEG_QTABLE_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _encode_block(w: "_BitWriter", block, qmat, dc_tab, ac_tab,
+                  prev_dc: int) -> int:
+    """FDCT + quantize + huffman-emit one level-shifted 8x8 block; returns
+    the new DC predictor."""
+    import numpy as np
+
+    C = _dct_matrix()
+    coef = C @ block @ C.T
+    quant = np.round(coef / qmat).astype(np.int64)
+    flat = quant.reshape(-1)
+    zz = _JPEG_ZIGZAG
+    seq = [int(flat[zz[i]]) for i in range(64)]
+    size, bits = _magnitude(seq[0] - prev_dc)
+    code, length = dc_tab[size]
+    w.write(code, length)
+    if size:
+        w.write(bits, size)
+    last_nz = 0
+    for i in range(1, 64):
+        if seq[i]:
+            last_nz = i
+    run = 0
+    for i in range(1, last_nz + 1):
+        if seq[i] == 0:
+            run += 1
+            if run == 16:
+                code, length = ac_tab[0xF0]  # ZRL
+                w.write(code, length)
+                run = 0
+            continue
+        size, bits = _magnitude(seq[i])
+        code, length = ac_tab[(run << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_tab[0x00]  # EOB
+        w.write(code, length)
+    return seq[0]
+
+
+def encode_jpeg_color(width: int, height: int, y_pixels: bytes,
+                      subsampling: str = "4:2:0") -> bytes:
+    """Baseline sequential COLOR (YCbCr, 3-component interleaved) JPEG with
+    neutral chroma: Y carries ``y_pixels``, Cb = Cr = 128 (zero after level
+    shift — every chroma block is DC-0 + EOB). This is a genuinely
+    3-component stream (SOF/SOS/MCU layout, two quant tables, chroma
+    huffman ids) exercising the decoder's color path; ``subsampling`` is
+    ``"4:4:4"`` (Y 1x1) or ``"4:2:0"`` (Y 2x2, chroma quarter-res)."""
+    import numpy as np
+
+    if len(y_pixels) != width * height:
+        raise ValueError("y_pixels must be width*height bytes")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    hy = vy = 2 if subsampling == "4:2:0" else 1
+    img = np.frombuffer(y_pixels, dtype=np.uint8).reshape(height, width)
+    tile = 8 * hy
+    ph = (height + tile - 1) // tile * tile
+    pw = (width + tile - 1) // tile * tile
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:, width:] = padded[:, width - 1:width]
+
+    zz = _JPEG_ZIGZAG
+    qy = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    qc = np.array(_JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+    dc_tab = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    zero_chroma = np.zeros((8, 8))
+
+    w = _BitWriter()
+    prev = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(ph // tile):
+        for mx in range(pw // tile):
+            for by in range(vy):
+                for bx in range(hy):
+                    r0, c0 = my * tile + by * 8, mx * tile + bx * 8
+                    prev["y"] = _encode_block(
+                        w, padded[r0:r0 + 8, c0:c0 + 8] - 128.0,
+                        qy, dc_tab, ac_tab, prev["y"])
+            prev["cb"] = _encode_block(w, zero_chroma, qc, dc_tab, ac_tab,
+                                       prev["cb"])
+            prev["cr"] = _encode_block(w, zero_chroma, qc, dc_tab, ac_tab,
+                                       prev["cr"])
+    w.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = (seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE[zz[i]]
+                                           for i in range(64)))
+           + seg(0xDB, bytes([0x01]) + bytes(_JPEG_QTABLE_CHROMA[zz[i]]
+                                             for i in range(64))))
+    hv_y = (hy << 4) | vy
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 3)
+              + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = b"".join(
+        seg(0xC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
+        for cls_id, bits, vals in (
+            (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+            (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+            (0x01, _JPEG_DC_BITS, _JPEG_DC_VALS),
+            (0x11, _JPEG_AC_BITS, _JPEG_AC_VALS),
+        ))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out)
+            + b"\xff\xd9")
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
@@ -594,14 +721,19 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
-    """Baseline sequential GRAYSCALE JPEG -> (width, height, pixels).
+    """Baseline sequential JPEG -> (width, height, LUMA pixels).
 
-    Parses DQT/SOF0/DHT/SOS from the stream (any conformant single-
-    component baseline file, not just our encoder's — 0xFF fill bytes per
-    T.81 B.1.1.2 included), huffman-decodes, dequantizes, inverse-DCTs
-    with numpy. Color (multi-component), progressive (SOF2) and arithmetic
-    coding raise NotImplementedError — the documented codec seam.
-    Malformed / truncated input raises ValueError."""
+    Parses DQT/SOF0/DHT/SOS/DRI from the stream (any conformant baseline
+    file, not just our encoder's — 0xFF fill bytes per T.81 B.1.1.2
+    included), huffman-decodes, dequantizes, inverse-DCTs with numpy.
+    Handles grayscale AND interleaved multi-component color (r4.1: any
+    sampling-factor layout — 4:4:4, 4:2:0, 4:2:2, ... — with the luma
+    component at full resolution); the output is the LUMA plane (Y is
+    BT.601 luma directly — chroma components are entropy-decoded to keep
+    the stream in sync and discarded). Progressive (SOF2), arithmetic
+    coding, 16-bit quant tables and subsampled-luma layouts raise
+    NotImplementedError — the documented codec seam. Malformed / truncated
+    input raises ValueError."""
     try:
         return _decode_jpeg_gray_impl(data)
     except (IndexError, KeyError, struct.error) as e:
@@ -617,8 +749,8 @@ def _decode_jpeg_gray_impl(data: bytes) -> tuple[int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
-    comp_q = None
-    scan_dc = scan_ac = None
+    comps: list[dict] = []  # {id, h, v, tq} in SOF order
+    scan_tabs: dict[int, tuple] = {}  # comp id -> (dc_table, ac_table)
     entropy_start = None
     restart_interval = 0
     while pos + 1 < len(data):
@@ -647,11 +779,10 @@ def _decode_jpeg_gray_impl(data: bytes) -> tuple[int, int, bytes]:
                 i += 65
         elif marker == 0xC0:
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "decode_jpeg_gray supports single-component (grayscale) "
-                    "baseline JPEG only; plug PIL in for color")
-            comp_q = body[8]
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -669,14 +800,23 @@ def _decode_jpeg_gray_impl(data: bytes) -> tuple[int, int, bytes]:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            tdc, tac = body[2] >> 4, body[2] & 0x0F
-            scan_dc, scan_ac = huff[(0, tdc)], huff[(1, tac)]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG")
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                scan_tabs[cid] = (huff[(0, tt >> 4)], huff[(1, tt & 0x0F)])
             entropy_start = pos
             break
     if width is None or entropy_start is None:
         raise ValueError("truncated JPEG (no SOF/SOS)")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+        raise NotImplementedError(
+            "luma component must be at full resolution (subsampled-luma "
+            "layouts need a real resampler — PIL's seam)")
 
     # entropy-coded segment runs to EOI; restart markers reset the DC
     # predictor — split on them and decode interval by interval
@@ -686,15 +826,25 @@ def _decode_jpeg_gray_impl(data: bytes) -> tuple[int, int, bytes]:
     ecs = data[entropy_start:end]
 
     C = _dct_matrix()
-    flatq = np.empty(64)
-    for i in range(64):
-        flatq[_JPEG_ZIGZAG[i]] = qtables[comp_q][i]
-    q = flatq.reshape(8, 8)
-    bh, bw = (height + 7) // 8, (width + 7) // 8
-    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    zz = _JPEG_ZIGZAG
+    qmats: dict[int, "np.ndarray"] = {}
+    for tq, vals in qtables.items():
+        flatq = np.empty(64)
+        for i in range(64):
+            flatq[zz[i]] = vals[i]
+        qmats[tq] = flatq.reshape(8, 8)
+
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcus_x * mcus_y
+    # only the luma plane is materialized; chroma blocks are entropy-
+    # decoded (the stream is interleaved — they must be, to stay in sync)
+    # and their pixel reconstruction skipped
+    y_comp = comps[0]
+    out = np.empty((mcus_y * vmax * 8, mcus_x * hmax * 8), dtype=np.float64)
 
     # split on restart markers; each interval holds exactly
-    # ``restart_interval`` MCUs (DRI marker) with its own DC predictor
+    # ``restart_interval`` MCUs (DRI marker), all DC predictors reset
     intervals = []
     start = 0
     i = 0
@@ -709,47 +859,56 @@ def _decode_jpeg_gray_impl(data: bytes) -> tuple[int, int, bytes]:
     if len(intervals) > 1 and restart_interval == 0:
         raise ValueError("restart markers present but no DRI segment")
 
-    zz = _JPEG_ZIGZAG
-    n_blocks = bh * bw
+    def read_block(reader, dc_tab, ac_tab, prev_dc):
+        size = _read_huff(reader, dc_tab)
+        dc = prev_dc + _extend(reader.read_bits(size), size)
+        seq = [0] * 64
+        seq[0] = dc
+        k = 1
+        while k < 64:
+            rs = _read_huff(reader, ac_tab)
+            run, sz = rs >> 4, rs & 0x0F
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC index overrun")
+            seq[k] = _extend(reader.read_bits(sz), sz)
+            k += 1
+        return dc, seq
+
     done = 0
     for ci, chunk in enumerate(intervals):
         reader = _BitReader(chunk)
-        prev_dc = 0
+        prev_dc = {c["id"]: 0 for c in comps}
         in_chunk = (restart_interval
                     if restart_interval and ci < len(intervals) - 1
-                    else n_blocks - done)
+                    else n_mcus - done)
         for _ in range(in_chunk):
-            if done >= n_blocks:
+            if done >= n_mcus:
                 break
-            size = _read_huff(reader, scan_dc)
-            diff = _extend(reader.read_bits(size), size)
-            dc = prev_dc + diff
-            prev_dc = dc
-            seq = [0] * 64
-            seq[0] = dc
-            k = 1
-            while k < 64:
-                rs = _read_huff(reader, scan_ac)
-                run, sz = rs >> 4, rs & 0x0F
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC index overrun")
-                seq[k] = _extend(reader.read_bits(sz), sz)
-                k += 1
-            flat = np.zeros(64)
-            for i2 in range(64):
-                flat[zz[i2]] = seq[i2]
-            coef = flat.reshape(8, 8) * q
-            block = C.T @ coef @ C + 128.0
-            by, bx = divmod(done, bw)
-            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
+            my, mx = divmod(done, mcus_x)
+            for comp in comps:
+                dc_tab, ac_tab = scan_tabs[comp["id"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        prev_dc[comp["id"]], seq = read_block(
+                            reader, dc_tab, ac_tab, prev_dc[comp["id"]])
+                        if comp is not y_comp:
+                            continue  # chroma: sync-decoded, not rendered
+                        flat = np.zeros(64)
+                        for i2 in range(64):
+                            flat[zz[i2]] = seq[i2]
+                        coef = flat.reshape(8, 8) * qmats[comp["tq"]]
+                        block = C.T @ coef @ C + 128.0
+                        r0 = (my * vmax + by) * 8
+                        c0 = (mx * hmax + bx) * 8
+                        out[r0:r0 + 8, c0:c0 + 8] = block
             done += 1
-    if done < n_blocks:
+    if done < n_mcus:
         raise ValueError("JPEG entropy data truncated")
     pix = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
     return width, height, pix.tobytes()

@@ -7,11 +7,12 @@ shapes, partitioning, the UDF signatures. The codec step:
 - ``decode_stub=True`` (default) runs a deterministic fake decoder over the
   raw bytes (no codec needed);
 - ``decode_stub=False`` REALLY decodes PNG (stdlib zlib/struct), GIF
-  (pure-Python LZW, r4), baseline grayscale JPEG (pure Python + numpy
-  huffman/DCT, r4) and WAV (struct over RIFF) via functions/codecs.py;
-  what remains behind ``NotImplementedError`` is color/progressive JPEG
-  and video containers — the exact seam where PIL / torchaudio / pyav
-  plug in.
+  (pure-Python LZW, r4), baseline JPEG — grayscale AND interleaved
+  color, any sampling layout, luma output (pure Python + numpy
+  huffman/DCT, r4) — MJPEG-AVI video and WAV (struct over RIFF) via
+  functions/codecs.py; what remains behind ``NotImplementedError`` is
+  progressive/arithmetic JPEG and non-MJPG video codecs — the exact seam
+  where PIL / pyav plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -95,8 +96,8 @@ def extract_image_features(
                     raise NotImplementedError(
                         f"real image decoding for {fmt!r} requires an image "
                         "codec library; plug PIL/pyav in here (png, gif and "
-                        "baseline grayscale jpeg decode natively via "
-                        "functions/codecs.py)")
+                        "baseline jpeg — grayscale or color, luma output — "
+                        "decode natively via functions/codecs.py)")
                 from rlis2osm_spark.functions.codecs import (
                     decode_gif, decode_jpeg_gray, decode_png)
 

@@ -408,7 +408,8 @@ def _m1_payload_frames(spark, sf_dir):
     def jpeg_payload(doc_ids: pd.Series) -> pd.Series:
         import numpy as np
 
-        from rlis2osm_spark.functions.codecs import encode_jpeg_gray
+        from rlis2osm_spark.functions.codecs import (
+            encode_jpeg_color, encode_jpeg_gray)
 
         out = []
         for d in doc_ids:
@@ -419,8 +420,18 @@ def _m1_payload_frames(spark, sf_dir):
                 by, bx = divmod(k, bw)
                 img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
                     2 * ((d * 13 + k * 29) % 128)
-            out.append(encode_jpeg_gray(bw * 8, bh * 8, img.tobytes(),
-                                        restart_every=d % 4))
+            # alternate grayscale / 4:4:4 color / 4:2:0 color encoders —
+            # decoded LUMA is identical, so one analytic oracle covers the
+            # decoder's single- and multi-component paths (r4.1)
+            mode = d % 3
+            if mode == 0:
+                blob = encode_jpeg_gray(bw * 8, bh * 8, img.tobytes(),
+                                        restart_every=d % 4)
+            else:
+                blob = encode_jpeg_color(
+                    bw * 8, bh * 8, img.tobytes(),
+                    subsampling="4:4:4" if mode == 1 else "4:2:0")
+            out.append(blob)
         return pd.Series(out, dtype=object)
 
     @F.pandas_udf(BinaryType())

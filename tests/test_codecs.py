@@ -447,3 +447,40 @@ def test_gif_and_jpeg_truncation_raises_valueerror():
     for cut in (4, 30, int(len(big) * 0.6)):
         with pytest.raises(ValueError):
             decode_jpeg_gray(big[:cut])
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_jpeg_color_decode_luma(subsampling):
+    """r4.1: the decoder handles interleaved multi-component baseline color
+    (per-component sampling factors, quant and huffman table ids, chroma
+    blocks sync-decoded) and returns the full-resolution LUMA plane —
+    exact on even-constant blocks, quantization-bounded on smooth
+    content."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_jpeg_gray, encode_jpeg_color)
+
+    img = _const_block_image(4, 4, seed=21)  # 32x32: 2x2 MCUs at 4:2:0
+    j = encode_jpeg_color(32, 32, img.tobytes(), subsampling=subsampling)
+    w, h, px = decode_jpeg_gray(j)
+    assert (w, h) == (32, 32)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(32, 32), img)
+
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    smooth = (128 + 60 * np.sin(xx / 10) + 50 * np.cos(yy / 9)
+              ).clip(0, 255).astype(np.uint8)
+    js = encode_jpeg_color(64, 48, smooth.tobytes(), subsampling=subsampling)
+    _, _, pxs = decode_jpeg_gray(js)
+    err = np.abs(np.frombuffer(pxs, np.uint8).reshape(48, 64).astype(int)
+                 - smooth.astype(int))
+    assert err.max() <= 12 and err.mean() < 3
+
+    # odd dims crossing the 16-px MCU tile at 4:2:0
+    odd = _const_block_image(3, 2, seed=5)[:13, :21]
+    jo = encode_jpeg_color(21, 13, np.ascontiguousarray(odd).tobytes(),
+                           subsampling=subsampling)
+    wo, ho, pxo = decode_jpeg_gray(jo)
+    assert (wo, ho) == (21, 13)
+    assert np.array_equal(
+        np.frombuffer(pxo, np.uint8).reshape(13, 21), odd)
