@@ -34,6 +34,24 @@ from pyspark.sql import DataFrame, SparkSession
 from rlis2osm_spark.plans import iceberg_shim as shim
 
 
+def source_token(*modules) -> str:
+    """Digest of the given modules' source bytes (dotted names or module
+    objects). Passed as ``stage(code_token=...)`` it makes a snapshot's
+    validity depend on the CODE that produced it, not only its input data —
+    editing a producing module invalidates the cached stage instead of
+    silently serving output built by the old code (ADVICE r4). On a real
+    cluster the analogue is a pipeline-release version string recorded in
+    the Iceberg snapshot summary."""
+    import importlib
+
+    h = blake2b(digest_size=8)
+    for m in modules:
+        mod = importlib.import_module(m) if isinstance(m, str) else m
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
 class Checkpointer:
     def __init__(self, spark: SparkSession, root: str, run_id: str = "default"):
         self.spark = spark
@@ -47,10 +65,12 @@ class Checkpointer:
     def _read_manifest(self, name: str) -> dict | None:
         return shim.get_manifest(self._location(name))
 
-    def _fingerprint_inputs(self, inputs: list[str] | None) -> str:
+    def _fingerprint_inputs(self, inputs: list[str] | None,
+                            code_token: str | None = None) -> str:
         """Digest of everything a stage consumed: upstream stage manifests
         (by their own digest + row count) or external paths (via the shim's
-        content fingerprint — an Iceberg snapshot_id on a real cluster).
+        content fingerprint — an Iceberg snapshot_id on a real cluster),
+        plus the producing code's ``code_token`` when supplied.
         Any change -> different fingerprint -> resume is refused and the
         stage rebuilds."""
         parts: list = []
@@ -61,6 +81,8 @@ class Checkpointer:
                               meta.get("row_count")))
             else:
                 parts.append(shim.fingerprint_path(inp))
+        if code_token is not None:
+            parts.append(("code", code_token))
         return blake2b(
             json.dumps(parts, sort_keys=True).encode(), digest_size=8
         ).hexdigest()
@@ -81,14 +103,16 @@ class Checkpointer:
         inputs: list[str] | None = None,
         partition_by: list[str] | None = None,
         force: bool = False,
+        code_token: str | None = None,
     ) -> DataFrame:
         """Materialize ``build()`` as snapshot ``name`` (or read the existing
         valid snapshot). ``build`` is a thunk so skipped stages pay zero
         planning cost. ``inputs`` (stage names and/or paths) gate the resume:
         a manifest whose recorded input fingerprint no longer matches is
-        rebuilt, not served."""
+        rebuilt, not served. ``code_token`` (see ``source_token``) extends
+        the gate to the producing code itself."""
         location = self._location(name)
-        fp = self._fingerprint_inputs(inputs)
+        fp = self._fingerprint_inputs(inputs, code_token)
         stale = (self._read_manifest(name) is not None
                  and not self.has_valid(name, fp))
         if self.has_valid(name, fp) and not force:

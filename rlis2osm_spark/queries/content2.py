@@ -76,10 +76,13 @@ def _planted_base(spark, sf_dir):
     # recompute per job AND per invocation; the ~430-row set persists next
     # to the centroid stage, fingerprint-gated on the embeddings input
     # (the r3 localCheckpoint only amortized within one invocation)
+    from rlis2osm_spark.plans.checkpoint import source_token
+
     full = _ann_stage(spark, sf_dir).stage(
         "planted_base",
         lambda: base.unionByName(distractors),
         inputs=[os.path.join(sf_dir, "embeddings.parquet")],
+        code_token=source_token(__name__),
     )
     return full, probes.select("vec_id", F.col("p").alias("embedding"))
 
@@ -108,6 +111,7 @@ def _ivf_centroids(spark, sf_dir, base, dim=64, k_centroids=8, n_iter=1):
     fingerprint (embeddings file set) forces a retrain when the corpus
     changes."""
     from rlis2osm_spark.operators.similarity import ivf_train_centroids
+    from rlis2osm_spark.plans.checkpoint import source_token
 
     cdf = _ann_stage(spark, sf_dir).stage(
         "ivf_centroids",
@@ -116,6 +120,8 @@ def _ivf_centroids(spark, sf_dir, base, dim=64, k_centroids=8, n_iter=1):
                 base, dim, k_centroids, n_iter=n_iter))),
             "cid int, c array<double>"),
         inputs=[os.path.join(sf_dir, "embeddings.parquet")],
+        code_token=source_token(
+            __name__, "rlis2osm_spark.operators.similarity"),
     )
     rows = sorted(cdf.collect(), key=lambda r: r.cid)
     return [list(r.c) for r in rows]
@@ -332,6 +338,7 @@ def m1_media_features(spark, sf_dir):
         spark, sf_dir, "m1_payloads",
         lambda: _m1_payload_frames(spark, sf_dir),
         inputs=[f"{sf_dir}/documents.parquet"],
+        code_modules=["rlis2osm_spark.functions.codecs", __name__],
     )
 
     def leg(kind):

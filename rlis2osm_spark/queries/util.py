@@ -77,15 +77,21 @@ _STAGE_MEMO: dict = {}
 
 
 def cached_stage(spark: SparkSession, sf_dir: str, name: str, build,
-                 inputs: list[str]) -> DataFrame:
+                 inputs: list[str],
+                 code_modules: list[str] | None = None) -> DataFrame:
     """Checkpointed-and-memoized derived input (the production shape: a
     pipeline stage materializes once per corpus snapshot and downstream
     operators consume the snapshot, not the recomputed lineage — exactly
     what plans/checkpoint.py does in rlis_osm_pipeline). First call per
     (session, sf_dir, name) builds/validates the parquet stage
     (input-fingerprinted); later calls reuse the eagerly localCheckpointed
-    frame. Entries bound to dead SparkContexts are evicted."""
-    from rlis2osm_spark.plans.checkpoint import Checkpointer
+    frame. Entries bound to dead SparkContexts are evicted.
+
+    ``code_modules`` names the modules whose code produces the stage
+    (defaulting to the module that defined ``build``); their source bytes
+    salt the fingerprint so editing producing code rebuilds the snapshot
+    instead of silently serving output of the OLD code (ADVICE r4)."""
+    from rlis2osm_spark.plans.checkpoint import Checkpointer, source_token
 
     import os as _os
 
@@ -98,6 +104,7 @@ def cached_stage(spark: SparkSession, sf_dir: str, name: str, build,
             _os.path.dirname(_os.path.abspath(__file__)))),
             ".synth", "query_stage")
         ck = Checkpointer(spark, root, run_id=tag)
-        df = ck.stage(name, build, inputs=inputs)
+        token = source_token(*(code_modules or [build.__module__]))
+        df = ck.stage(name, build, inputs=inputs, code_token=token)
         _STAGE_MEMO[key] = df.localCheckpoint(eager=True)
     return _STAGE_MEMO[key]

@@ -139,6 +139,38 @@ def test_checkpoint_invalidates_on_input_change(spark, tmp_path):
     assert ck3.report()[0]["rebuilt_stale"] is True
 
 
+def test_checkpoint_invalidates_on_code_change(spark, tmp_path):
+    """ADVICE r4: a committed snapshot must NOT be served after the code
+    that produced it changed — the code_token salts the fingerprint, so the
+    .synth query stages stop surviving edits to their producing modules."""
+    src = tmp_path / "src.parquet"
+    spark.range(10).write.parquet(str(src))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.read.parquet(str(src))
+
+    ck = Checkpointer(spark, str(tmp_path), "ct")
+    ck.stage("ids", build, inputs=[str(src)], code_token="v1")
+    assert len(calls) == 1
+
+    # same code -> resume; changed code token -> rebuild
+    Checkpointer(spark, str(tmp_path), "ct").stage(
+        "ids", build, inputs=[str(src)], code_token="v1")
+    assert len(calls) == 1
+    Checkpointer(spark, str(tmp_path), "ct").stage(
+        "ids", build, inputs=[str(src)], code_token="v2")
+    assert len(calls) == 2
+
+    # source_token is a pure function of module source bytes
+    from rlis2osm_spark.plans.checkpoint import source_token
+    t1 = source_token("rlis2osm_spark.operators.streets")
+    t2 = source_token("rlis2osm_spark.operators.streets")
+    assert t1 == t2
+    assert t1 != source_token("rlis2osm_spark.operators.trails")
+
+
 def test_checkpoint_chained_stage_fingerprint(spark, tmp_path):
     """A downstream stage keyed on an upstream STAGE name rebuilds when the
     upstream snapshot changes (digest chain), resumes when it doesn't."""
