@@ -311,11 +311,12 @@ def run_scaling() -> dict:
             f"({rn['doc_path']['n_docs']:,} span documents)\n\n"
             "Doc-path design (restructured per VERDICT r3 #1): ONE "
             "groupBy(doc_id) exchange. Every document's span sequence is "
-            "folded to a 64-bit signature map-side (native xxhash64 sum "
-            "over the array, partial-aggregated before the wire) and "
-            "re-folded from the exploded rows on the reduce side, so the "
-            "verify leg ships ~5 longs per document instead of every span "
-            "struct; a deterministic 1-in-16 document sample additionally "
+            "folded map-side to two independent 40-bit hash sums (native "
+            "xxhash64, seeds 0/1, partial-aggregated before the wire) and "
+            "re-folded from the exploded rows on the reduce side — a "
+            "collision-negligible (~2^-80/doc) check, not byte-exact — so "
+            "the verify leg ships ~6 longs per document instead of every "
+            "span struct; a deterministic 1-in-16 document sample additionally "
             "carries its full span payload through the SAME exchange and "
             "is reassembled offset-ordered with a byte-exact "
             "span_signature compare ("

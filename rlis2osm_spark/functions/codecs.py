@@ -5,12 +5,17 @@
 - WAV: ``struct`` over the public RIFF/WAVE spec (16-bit PCM mono);
 - GIF: pure-Python LZW over the public GIF87a/GIF89a spec (8-bit
   palettized, variable-width codes up to 12 bits, interlaced or not;
-  first frame of animations).
+  first frame of animations);
+- JPEG (r4): baseline sequential huffman+DCT over the public ITU T.81
+  spec — grayscale and interleaved multi-component color, any sampling
+  layout, restart intervals, fill bytes, truncation detection;
+- AVI/MJPEG (r4): RIFF-AVI container walk + per-frame baseline-JPEG
+  decode + idx1 index.
 
-These convert the multimodal operators' ``decode_stub=False`` seam into a
-working decoder for the formats the derived corpus emits; jpeg/video
-remain behind the disclosed ``NotImplementedError`` seam
-(operators/multimodal.py) — no stdlib decoder exists for them.
+These convert the multimodal operators' ``decode_stub=False`` seam into
+working decoders for the formats the derived corpus emits. The remaining
+``NotImplementedError`` seam (operators/multimodal.py) is
+progressive/arithmetic JPEG and non-MJPG video codecs.
 """
 
 from __future__ import annotations
@@ -690,6 +695,15 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def consumed_synthetic(self) -> bool:
+        """True once any zero-fill bit past end-of-stream has been CONSUMED
+        by a decode (``_fill`` may park synthetic bits in the accumulator
+        without them ever being read — those don't count). A conformant
+        stream decodes every MCU from real bits only, so consuming even one
+        synthetic bit means the entropy data was truncated mid-MCU and the
+        affected blocks are fabricated (ADVICE r4)."""
+        return self.synthetic > self.nbits
+
 
 def _huff_decode_tree(bits, vals):
     """(length, code) -> value lookup."""
@@ -908,6 +922,14 @@ def _decode_jpeg_gray_impl(data: bytes) -> tuple[int, int, bytes]:
                         c0 = (mx * hmax + bx) * 8
                         out[r0:r0 + 8, c0:c0 + 8] = block
             done += 1
+            # strict truncation contract (ADVICE r4): an MCU that needed
+            # even one zero-fill bit past end-of-stream decoded fabricated
+            # coefficients — fail loudly instead of emitting silently wrong
+            # pixels in the tail blocks (the old 64-bit slack window let
+            # ~8 fabricated bytes through)
+            if reader.consumed_synthetic():
+                raise ValueError(
+                    "JPEG entropy data truncated (stream ended mid-MCU)")
     if done < n_mcus:
         raise ValueError("JPEG entropy data truncated")
     pix = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)

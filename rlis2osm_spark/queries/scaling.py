@@ -120,15 +120,21 @@ def expanded_documents(spark, data_dir: str, mult: int):
 DOC_SAMPLE_MOD = int(os.environ.get("SPARK_GRAFT_DOC_SAMPLE_MOD", "16"))
 
 
-def _span_contrib(kind, text, media_ref, offset):
+def _span_contrib(kind, text, media_ref, offset, seed: int = 0):
     """Per-span verification contribution: xxhash64 over the full invariant
     tuple (kind, text, media_ref, offset), pmod-bounded so a per-document
-    SUM cannot overflow under ANSI mode (2^40 * spans-per-doc << 2^63).
+    SUM cannot overflow under ANSI mode (2^40 * spans-per-doc << 2^63; a
+    raw signed-64-bit sum would overflow after a handful of spans).
     Offsets are unique positions within a document, so multiset equality of
-    these tuples == span-SEQUENCE equality — a commutative sum is a valid
-    (collision-negligible) sequence check that partial-aggregates map-side."""
+    these tuples == span-SEQUENCE equality — a commutative sum is a
+    probabilistic sequence check that partial-aggregates map-side.  The
+    probe sums TWO independent folds (seed 0 and 1), so an undetected
+    corruption needs a simultaneous collision in both 40-bit sums
+    (~2^-80 per document — collision-negligible, not byte-exact; the
+    1-in-16 sampled leg carries the byte-exact reassembly proof)."""
     return F.pmod(
         F.xxhash64(
+            F.lit(seed),
             F.coalesce(kind, F.lit("\x00")),
             F.coalesce(text, F.lit("\x00")),
             F.coalesce(media_ref, F.lit("\x00")),
@@ -147,13 +153,15 @@ def scaling_documents(spark, data_dir: str, mult: int = 256,
     Shape — ONE exchange, doc-level state for the bulk, full span payload
     for a deterministic 1-in-``sample_mod`` document sample:
 
-    - Every document folds its span sequence to a 64-bit map-side signature
-      (``_span_contrib`` summed over the array, pre-explode) AND recomputes
-      the same fold from the exploded rows on the reduce side of the
-      groupBy(doc_id) exchange.  Partial aggregation collapses the sum
-      before the wire, so the verify leg ships ~5 longs per document — not
-      every span struct (the r3 probe shuffled all span bytes and hit the
-      single-box shuffle floor at 0.76 efficiency).
+    - Every document folds its span sequence to TWO independent map-side
+      hash sums (``_span_contrib`` seeds 0/1, summed over the array,
+      pre-explode) AND recomputes the same folds from the exploded rows on
+      the reduce side of the groupBy(doc_id) exchange — a
+      collision-negligible (~2^-80/doc) check, not byte-exact (ADVICE r4).
+      Partial aggregation collapses the sums before the wire, so the
+      verify leg ships ~6 longs per document — not every span struct (the
+      r3 probe shuffled all span bytes and hit the single-box shuffle
+      floor at 0.76 efficiency).
     - Documents with ``pmod(xxhash64(doc_id), sample_mod) == 0`` ALSO carry
       their full span structs through the same exchange
       (``collect_list(when(sampled, struct))`` — collect_list drops nulls,
@@ -177,6 +185,10 @@ def scaling_documents(spark, data_dir: str, mult: int = 256,
         F.col("spans"), F.lit(0).cast("long"),
         lambda acc, s: acc + _span_contrib(
             s["kind"], s["text"], s["media_ref"], s["offset"]))
+    fold_in_b = F.aggregate(
+        F.col("spans"), F.lit(0).cast("long"),
+        lambda acc, s: acc + _span_contrib(
+            s["kind"], s["text"], s["media_ref"], s["offset"], seed=1))
     sig_in = F.xxhash64(F.array_join(span_signature(F.col("spans")), "\x1e"))
     # transform leg: expansion applied to every text span's payload, token
     # count aggregated natively (kind/media_ref/offset untouched — the
@@ -192,25 +204,32 @@ def scaling_documents(spark, data_dir: str, mult: int = 256,
         F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("bucket"),
         (F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0).alias("sampled"),
         fold_in.alias("fold_in"),
+        fold_in_b.alias("fold_in_b"),
         F.size("spans").alias("n_in"),
         sig_in.alias("sig_in"),
         tok_stats.alias("n_tokens"),
     )
     ex = prepared.select(
-        "doc_id", "bucket", "sampled", "fold_in", "n_in", "sig_in",
-        "n_tokens", F.explode("spans").alias("span"),
+        "doc_id", "bucket", "sampled", "fold_in", "fold_in_b", "n_in",
+        "sig_in", "n_tokens", F.explode("spans").alias("span"),
     ).withColumn(
         "c", _span_contrib(
             F.col("span.kind"), F.col("span.text"),
-            F.col("span.media_ref"), F.col("span.offset")))
+            F.col("span.media_ref"), F.col("span.offset"))
+    ).withColumn(
+        "c_b", _span_contrib(
+            F.col("span.kind"), F.col("span.text"),
+            F.col("span.media_ref"), F.col("span.offset"), seed=1))
     agged = ex.groupBy("doc_id").agg(
         F.first("bucket").alias("bucket"),
         F.first("sampled").alias("sampled"),
         F.first("fold_in").alias("fold_in"),
+        F.first("fold_in_b").alias("fold_in_b"),
         F.first("n_in").alias("n_in"),
         F.first("sig_in").alias("sig_in"),
         F.first("n_tokens").alias("n_tokens"),
         F.sum("c").alias("fold_out"),
+        F.sum("c_b").alias("fold_out_b"),
         F.count("*").alias("n_out"),
         F.array_sort(
             F.collect_list(F.when(F.col("sampled"), F.struct(
@@ -227,6 +246,7 @@ def scaling_documents(spark, data_dir: str, mult: int = 256,
     sig_out = F.xxhash64(F.array_join(span_signature(F.col("_s")), "\x1e"))
     mismatch = (
         (F.col("fold_out") != F.col("fold_in"))
+        | (F.col("fold_out_b") != F.col("fold_in_b"))
         | (F.col("n_out") != F.col("n_in"))
         | (F.col("sampled") & (sig_out != F.col("sig_in")))
     )

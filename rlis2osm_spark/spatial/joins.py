@@ -324,19 +324,39 @@ def polygon_cell_join(
         pts = points.withColumn("_pt_uid", F.struct(F.col(point_uid))) \
             .withColumns({"cx": pix, "cy": piy})
     else:
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
 
+        def _contains_map(dt) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, StructType):
+                return any(_contains_map(f.dataType) for f in dt.fields)
+            if isinstance(dt, ArrayType):
+                return _contains_map(dt.elementType)
+            return False
+
+        # recurse: a map nested inside a struct/array is just as unhashable
+        # as a top-level one, and would otherwise surface as an opaque
+        # analysis error inside the window/hash below (ADVICE r4)
         bad = [f.name for f in points.schema.fields
-               if isinstance(f.dataType, MapType)]
+               if _contains_map(f.dataType)]
         if bad:
             raise ValueError(
-                f"points columns {bad} are map-typed (unorderable) — the "
-                "deterministic surrogate uid cannot window over them; pass "
-                "point_uid=<unique key column> instead")
-        dup_w = Window.partitionBy(*pt_cols).orderBy(F.lit(1))
+                f"points columns {bad} contain map types (unorderable/"
+                "unhashable) — the deterministic surrogate uid cannot "
+                "window over them; pass point_uid=<unique key column> "
+                "instead")
+        # the window keys on a 64-bit row hash, NOT the full row payload:
+        # identical rows share a hash (so duplicates still get distinct
+        # ordinals) and the extra exchange ships 8 bytes per row instead of
+        # every column (ADVICE r4). A hash collision between two DIFFERENT
+        # rows (~2^-64/pair) would only interleave their ordinal numbering;
+        # uids stay unique per row, so the regroup still preserves both.
+        row_h = F.xxhash64(*[F.col(c) for c in pt_cols])
+        dup_w = Window.partitionBy(row_h).orderBy(F.lit(1))
         pts = points.withColumn(
             "_pt_uid",
-            F.struct(*[F.col(c) for c in pt_cols],
+            F.struct(row_h.alias("_row_h"),
                      F.row_number().over(dup_w).alias("_dup_idx"))) \
             .withColumns({"cx": pix, "cy": piy})
 

@@ -439,14 +439,19 @@ def test_gif_and_jpeg_truncation_raises_valueerror():
     ext = g[:13 + 768] + b"\x21\xf9\x04"
     with pytest.raises(ValueError):
         decode_gif(ext)
-    # deep-truncated entropy data (whole blocks missing) must raise;
-    # note shaving only the last couple of bytes may still decode — the
-    # bit reader zero-fills at end-of-stream, same as libjpeg's warn-and-
-    # decode behavior on slightly truncated files
+    # truncated entropy data must raise — including shave-the-tail cuts:
+    # consuming even one zero-fill bit past end-of-stream means the final
+    # MCU(s) decoded fabricated coefficients (ADVICE r4 — the old slack
+    # window silently accepted up to ~8 fabricated bytes)
     big = encode_jpeg_gray(64, 64, _pixels(64, 64))
-    for cut in (4, 30, int(len(big) * 0.6)):
+    for cut in (4, 30, int(len(big) * 0.6), len(big) - 5, len(big) - 3):
         with pytest.raises(ValueError):
             decode_jpeg_gray(big[:cut])
+    # losing ONLY the EOI marker leaves the entropy data intact: decode
+    # succeeds and the pixels are still exact (nothing fabricated)
+    w, h, px = decode_jpeg_gray(big)
+    w2, h2, px2 = decode_jpeg_gray(big[:-2])
+    assert (w, h, px) == (w2, h2, px2)
 
 
 @pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])

@@ -293,3 +293,20 @@ def test_polygon_cell_join_preserves_duplicates_and_guards_names(spark):
     clash = pts.withColumnRenamed("pid", "polygon_id")
     with pytest.raises(ValueError, match="reserved"):
         polygon_cell_join(clash, polys, res=6, grid=g)
+
+    # map guard recurses into nested types (ADVICE r4): a map inside a
+    # struct must hit the actionable error, not an opaque analysis failure
+    from pyspark.sql import functions as F
+
+    nested = pts.withColumn(
+        "meta", F.struct(F.create_map(F.lit("k"), F.lit("v")).alias("m")))
+    with pytest.raises(ValueError, match="map types"):
+        polygon_cell_join(nested, polys, res=6, grid=g)
+    # ...and a caller-supplied unique key sidesteps the guard entirely
+    uniq = spark.createDataFrame(
+        [(1, 5_000.0, 5_000.0), (2, 50_000.0, 50_000.0)],
+        "pid long, x double, y double").withColumn(
+        "meta", F.struct(F.create_map(F.lit("k"), F.lit("v")).alias("m")))
+    out2 = polygon_cell_join(uniq, polys, res=6, grid=g,
+                             point_uid="pid").collect()
+    assert sorted((r.pid, r.polygon_id) for r in out2) == [(1, 1), (2, None)]
