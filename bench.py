@@ -351,47 +351,72 @@ def run_scaling() -> dict:
 PIPE_MULT = int(os.environ.get("SPARK_GRAFT_PIPE_MULT", "2500"))
 
 
-def run_pipeline_scale() -> dict:
-    """Full-pipeline scale smoke (VERDICT r3 #5): combine -> dissolve ->
-    tile -> OSM sink end-to-end over a deterministically replicated
-    ~10M-way input at local[$SPARK_GRAFT_CPUS].
+def _complete_stages(spark) -> list:
+    from urllib.request import urlopen
+
+    app_id = spark.sparkContext.applicationId
+    with urlopen(f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+                 f"{app_id}/stages?status=complete") as rsp:
+        return json.loads(rsp.read())
+
+
+def _leg_attribution(stages: list, seen: set) -> dict:
+    """Attribute the stages newly completed since ``seen`` to one pipeline
+    leg: total executor time + the top stages by executor time, so a
+    regression names the dominant physical stage, not just the leg
+    (VERDICT r4 #1)."""
+    fresh = [s for s in stages if s["stageId"] not in seen]
+    seen.update(s["stageId"] for s in stages)
+    top = sorted(fresh, key=lambda s: -s.get("executorRunTime", 0))[:4]
+    return {
+        "n_stages": len(fresh),
+        "executor_time_sec": round(
+            sum(s.get("executorRunTime", 0) for s in fresh) / 1000, 1),
+        "shuffle_write_bytes": sum(
+            s.get("shuffleWriteBytes", 0) for s in fresh),
+        "top_stages": [
+            {"stage_id": s.get("stageId"),
+             "n_tasks": s.get("numTasks", 0),
+             "executor_sec": round(s.get("executorRunTime", 0) / 1000, 1),
+             "input_bytes": s.get("inputBytes", 0),
+             "output_bytes": s.get("outputBytes", 0),
+             "shuffle_read_bytes": s.get("shuffleReadBytes", 0),
+             "shuffle_write_bytes": s.get("shuffleWriteBytes", 0)}
+            for s in top],
+    }
+
+
+def pipeline_scale_run(spark, data_dir: str, out_dir: str, mult: int,
+                       ordered: bool = False) -> dict:
+    """One end-to-end combine -> dissolve -> tile-rollup -> OSM-sink run
+    over a deterministically replicated input, with per-leg wall time and
+    status-API stage attribution. Importable so the determinism pin test
+    (tests/test_pipeline_scale_pin.py) drives the exact benchmarked chain.
 
     Replication is shuffle-free (replica range drives partitioning, the
     base tables broadcast) and SEMANTICS-PRESERVING per replica: fids are
     offset to stay unique, street/trail names get a per-replica suffix so
     dissolve tag-groups never cross replicas (geometries are byte-shared,
-    so un-suffixed names would union 2500 coincident copies into
-    degenerate mega-groups — a different workload than scaling the real
-    one). Bike routes stay at base size: the overlay build side is a
-    broadcast dim table at any scale. Records wall time per stage + total
-    shuffle read/write from the Spark status API; writes
-    BENCH/pipeline_scale.json."""
-    from urllib.request import urlopen
+    so un-suffixed names would union all coincident copies into degenerate
+    mega-groups — a different workload than scaling the real one). Bike
+    routes stay at base size: the overlay build side is a broadcast dim
+    table at any scale.
 
+    The combine output is CHECKPOINTED to parquet before dissolve (r5 —
+    the production shape, plans/checkpoint.py): dissolve consumes its
+    input from three plan branches (endpoint index, planning count, merge
+    join), and without the snapshot each branch recomputes the whole
+    expand/translate/overlay chain."""
     from pyspark.sql import functions as F
 
-    from rlis2osm_spark.datagen import ensure_dataset
-    from rlis2osm_spark.driver_support import ensure_package_on_workers
     from rlis2osm_spark.operators.combine import (
         combine, repair_and_filter_tags)
     from rlis2osm_spark.operators.dissolve import dissolve_ways
     from rlis2osm_spark.operators.osm_sink import write_osm_xml
     from rlis2osm_spark.pipeline import tile_rollup
-    from rlis2osm_spark.session import build_session
     from rlis2osm_spark.spatial.tiles import with_tile
 
-    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
-    ensure_dataset(DOC_SCALE_DIR, n_streets=4000, n_trails=800)
-    spark = build_session(
-        app_name="pipeline-scale",
-        master=f"local[{CPUS}]",
-        shuffle_partitions=int(CPUS) * 4,
-        # UI on: the status API is where the shuffle totals come from
-        extra_conf=_SCALING_CONF | {"spark.ui.enabled": "true"},
-    )
-    ensure_package_on_workers(spark)
-
-    def replicate(df, mult, name_col=None, fid_off=10_000_000):
+    def replicate(df, name_col=None, fid_off=10_000_000):
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         reps = spark.range(0, mult, numPartitions=min(mult, n * 2)).select(
             F.col("id").alias("_rep"))
@@ -404,62 +429,99 @@ def run_pipeline_scale() -> dict:
                                                     F.col("_rep"))))
         return out.drop("_rep")
 
-    base_s = spark.read.parquet(f"{DOC_SCALE_DIR}/streets.parquet")
-    base_t = spark.read.parquet(f"{DOC_SCALE_DIR}/trails.parquet")
-    bikes = spark.read.parquet(f"{DOC_SCALE_DIR}/bike_routes.parquet")
-    n_ways = (base_s.count() + base_t.count()) * PIPE_MULT
-    streets = replicate(base_s, PIPE_MULT, name_col="STREETNAME")
-    trails = replicate(base_t, PIPE_MULT, name_col="TRAILNAME")
+    base_s = spark.read.parquet(f"{data_dir}/streets.parquet")
+    base_t = spark.read.parquet(f"{data_dir}/trails.parquet")
+    bikes = spark.read.parquet(f"{data_dir}/bike_routes.parquet")
+    n_ways = (base_s.count() + base_t.count()) * mult
+    streets = replicate(base_s, name_col="STREETNAME")
+    trails = replicate(base_t, name_col="TRAILNAME")
 
-    out_dir = os.path.join(REPO, ".synth", "pipeline_scale")
-    timings = {}
+    timings, legs, seen = {}, {}, set()
+    ui_on = spark.conf.get("spark.ui.enabled", "false") == "true"
+
+    def leg_done(name, t0):
+        timings[f"{name}_sec"] = round(time.time() - t0, 3)
+        if ui_on:
+            legs[name] = _leg_attribution(_complete_stages(spark), seen)
 
     t0 = time.time()
-    combined = combine(streets, trails, bikes)
-    dissolved = dissolve_ways(combined, approx_rows=2 * n_ways)
+    comb_snap = os.path.join(out_dir, "combined.parquet")
+    combine(streets, trails, bikes).write.mode("overwrite").parquet(comb_snap)
+    leg_done("combine", t0)
+
+    t0 = time.time()
+    combined = spark.read.parquet(comb_snap)
+    dissolved = dissolve_ways(combined, approx_rows=2 * n_ways,
+                              ordered=ordered)
     tagged = repair_and_filter_tags(dissolved)
-    # one materialization point: the parquet snapshot the sink + tile
-    # stages consume (a real run checkpoints here — plans/checkpoint.py)
     snap = os.path.join(out_dir, "dissolved.parquet")
     tagged.write.mode("overwrite").parquet(snap)
-    timings["combine_dissolve_sec"] = round(time.time() - t0, 3)
+    leg_done("dissolve", t0)
 
     t0 = time.time()
     tagged2 = spark.read.parquet(snap)
     tiled = with_tile(tagged2, res=10)
     _materialize(tile_rollup(tiled))
-    timings["tile_rollup_sec"] = round(time.time() - t0, 3)
+    leg_done("tile_rollup", t0)
 
     t0 = time.time()
+    # ordering flows from the frame: with ordered=True the dissolved
+    # snapshot is range-sorted by component_id, so fragment contents are
+    # deterministic too (same contract as tests/test_dissolve.py's pin)
     stats = write_osm_xml(tagged2, os.path.join(out_dir, "osm")).collect()
-    timings["osm_sink_sec"] = round(time.time() - t0, 3)
+    leg_done("osm_sink", t0)
 
-    n_dissolved = sum(r.n_ways for r in stats)
-    osm_bytes = sum(os.path.getsize(r.part_file) for r in stats)
-
-    # shuffle totals from the status API (no extra jobs)
-    app_id = spark.sparkContext.applicationId
-    with urlopen(f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
-                 f"{app_id}/stages?status=complete") as rsp:
-        stages = json.loads(rsp.read())
-    shuffle_write = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    shuffle_read = sum(s.get("shuffleReadBytes", 0) for s in stages)
-    peak_stage_write = max(
-        (s.get("shuffleWriteBytes", 0) for s in stages), default=0)
-    spark.stop()
-    report = {
+    return {
         "n_input_ways": n_ways,
-        "n_dissolved_ways": n_dissolved,
+        "n_dissolved_ways": sum(r.n_ways for r in stats),
         "n_fragments": len(stats),
-        "osm_bytes": osm_bytes,
+        "osm_bytes": sum(os.path.getsize(r.part_file) for r in stats),
+        "osm_dir": os.path.join(out_dir, "osm"),
+        "dissolved_parquet": snap,
         "total_sec": round(sum(timings.values()), 3),
         **timings,
-        "shuffle_write_bytes": shuffle_write,
-        "shuffle_read_bytes": shuffle_read,
-        "peak_stage_shuffle_write_bytes": peak_stage_write,
-        "cpus": int(CPUS),
-        "mult": PIPE_MULT,
+        "legs": legs,
+        "mult": mult,
     }
+
+
+def run_pipeline_scale() -> dict:
+    """Full-pipeline scale smoke (VERDICT r3 #5, leg-attributed per VERDICT
+    r4 #1) at local[$SPARK_GRAFT_CPUS]; writes BENCH/pipeline_scale.json."""
+    from rlis2osm_spark.datagen import ensure_dataset
+    from rlis2osm_spark.driver_support import ensure_package_on_workers
+    from rlis2osm_spark.session import build_session
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    ensure_dataset(DOC_SCALE_DIR, n_streets=4000, n_trails=800)
+    load_before = open("/proc/loadavg").read().split()[:3]
+    spark = build_session(
+        app_name="pipeline-scale",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS) * 4,
+        # UI on: the status API is where the shuffle totals come from
+        extra_conf=_SCALING_CONF | {"spark.ui.enabled": "true"},
+    )
+    ensure_package_on_workers(spark)
+
+    out_dir = os.path.join(REPO, ".synth", "pipeline_scale")
+    report = pipeline_scale_run(spark, DOC_SCALE_DIR, out_dir, PIPE_MULT)
+
+    stages = _complete_stages(spark)
+    report |= {
+        "shuffle_write_bytes": sum(
+            s.get("shuffleWriteBytes", 0) for s in stages),
+        "shuffle_read_bytes": sum(
+            s.get("shuffleReadBytes", 0) for s in stages),
+        "peak_stage_shuffle_write_bytes": max(
+            (s.get("shuffleWriteBytes", 0) for s in stages), default=0),
+        "cpus": int(CPUS),
+        "loadavg_before": load_before,
+        "loadavg_after": open("/proc/loadavg").read().split()[:3],
+    }
+    report.pop("osm_dir", None)
+    report.pop("dissolved_parquet", None)
+    spark.stop()
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/pipeline_scale.json", "w") as fh:
         json.dump(report, fh, indent=1)

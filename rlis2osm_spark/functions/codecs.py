@@ -577,13 +577,19 @@ def _encode_block(w: "_BitWriter", block, qmat, dc_tab, ac_tab,
 
 
 def encode_jpeg_color(width: int, height: int, y_pixels: bytes,
-                      subsampling: str = "4:2:0") -> bytes:
-    """Baseline sequential COLOR (YCbCr, 3-component interleaved) JPEG with
-    neutral chroma: Y carries ``y_pixels``, Cb = Cr = 128 (zero after level
-    shift — every chroma block is DC-0 + EOB). This is a genuinely
-    3-component stream (SOF/SOS/MCU layout, two quant tables, chroma
-    huffman ids) exercising the decoder's color path; ``subsampling`` is
-    ``"4:4:4"`` (Y 1x1) or ``"4:2:0"`` (Y 2x2, chroma quarter-res)."""
+                      subsampling: str = "4:2:0",
+                      cb_pixels: bytes | None = None,
+                      cr_pixels: bytes | None = None) -> bytes:
+    """Baseline sequential COLOR (YCbCr, 3-component interleaved) JPEG.
+
+    Y carries ``y_pixels``; ``cb_pixels``/``cr_pixels`` (r5) are optional
+    chroma planes AT CHROMA RESOLUTION — ceil(width/hy) x ceil(height/vy)
+    row-major bytes — padded internally by edge replication like luma.
+    Omitted chroma defaults to neutral 128 (zero after level shift — every
+    chroma block DC-0 + EOB). This is a genuinely 3-component stream
+    (SOF/SOS/MCU layout, two quant tables, chroma huffman ids) exercising
+    the decoder's color path; ``subsampling`` is ``"4:4:4"`` (Y 1x1) or
+    ``"4:2:0"`` (Y 2x2, chroma quarter-res)."""
     import numpy as np
 
     if len(y_pixels) != width * height:
@@ -600,12 +606,31 @@ def encode_jpeg_color(width: int, height: int, y_pixels: bytes,
     padded[height:, :width] = img[-1:, :]
     padded[:, width:] = padded[:, width - 1:width]
 
+    cw, chh = -(-width // hy), -(-height // vy)  # chroma extent (ceil)
+    cpw, cph = pw // hy, ph // vy                # padded chroma plane
+
+    def chroma_plane(pix: bytes | None, name: str):
+        if pix is None:
+            return np.full((cph, cpw), 128.0)
+        if len(pix) != cw * chh:
+            raise ValueError(
+                f"{name} must be ceil(width/{hy}) * ceil(height/{vy}) "
+                f"= {cw}*{chh} bytes at {subsampling}")
+        c = np.frombuffer(pix, dtype=np.uint8).reshape(chh, cw)
+        out = np.empty((cph, cpw), dtype=np.float64)
+        out[:chh, :cw] = c
+        out[chh:, :cw] = c[-1:, :]
+        out[:, cw:] = out[:, cw - 1:cw]
+        return out
+
+    cb_plane = chroma_plane(cb_pixels, "cb_pixels")
+    cr_plane = chroma_plane(cr_pixels, "cr_pixels")
+
     zz = _JPEG_ZIGZAG
     qy = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     qc = np.array(_JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
     dc_tab = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_tab = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    zero_chroma = np.zeros((8, 8))
 
     w = _BitWriter()
     prev = {"y": 0, "cb": 0, "cr": 0}
@@ -617,10 +642,13 @@ def encode_jpeg_color(width: int, height: int, y_pixels: bytes,
                     prev["y"] = _encode_block(
                         w, padded[r0:r0 + 8, c0:c0 + 8] - 128.0,
                         qy, dc_tab, ac_tab, prev["y"])
-            prev["cb"] = _encode_block(w, zero_chroma, qc, dc_tab, ac_tab,
-                                       prev["cb"])
-            prev["cr"] = _encode_block(w, zero_chroma, qc, dc_tab, ac_tab,
-                                       prev["cr"])
+            cr0, cc0 = my * 8, mx * 8
+            prev["cb"] = _encode_block(
+                w, cb_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
+                qc, dc_tab, ac_tab, prev["cb"])
+            prev["cr"] = _encode_block(
+                w, cr_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
+                qc, dc_tab, ac_tab, prev["cr"])
     w.flush()
 
     def seg(marker, body):
@@ -748,13 +776,104 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     coding, 16-bit quant tables and subsampled-luma layouts raise
     NotImplementedError — the documented codec seam. Malformed / truncated
     input raises ValueError."""
+    import numpy as np
+
     try:
-        return _decode_jpeg_gray_impl(data)
+        width, height, comps, planes, _, _ = _decode_jpeg_planes(
+            data, render_all=False)
     except (IndexError, KeyError, struct.error) as e:
         raise ValueError(f"malformed or truncated JPEG stream: {e}") from e
+    y = planes[comps[0]["id"]]
+    pix = np.clip(np.round(y[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, pix.tobytes()
 
 
-def _decode_jpeg_gray_impl(data: bytes) -> tuple[int, int, bytes]:
+def decode_jpeg(data: bytes, upsample: str = "nearest",
+                ) -> tuple[int, int, int, bytes]:
+    """Baseline sequential JPEG -> (width, height, n_channels, pixels).
+
+    1-component streams return the gray plane (n_channels=1); 3-component
+    YCbCr streams return interleaved RGB (n_channels=3): every component
+    plane is dequantized/IDCT'd, chroma planes are upsampled to full
+    resolution (``upsample`` = ``"nearest"`` — T.81 makes upsampling
+    filter choice decoder-defined; nearest is the analytically-predictable
+    choice our oracles use — or ``"bilinear"``, the
+    centered-sample triangular filter), then converted per the JFIF
+    YCbCr<->RGB matrix with floor(x+0.5) rounding and [0,255] clamping.
+    Same seam as :func:`decode_jpeg_gray` for progressive/arithmetic
+    streams; ValueError on malformed input."""
+    import numpy as np
+
+    if upsample not in ("nearest", "bilinear"):
+        raise ValueError("upsample must be 'nearest' or 'bilinear'")
+    try:
+        width, height, comps, planes, hmax, vmax = _decode_jpeg_planes(
+            data, render_all=True)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed or truncated JPEG stream: {e}") from e
+    if len(comps) == 1:
+        y = planes[comps[0]["id"]]
+        pix = np.clip(np.round(y[:height, :width]), 0, 255).astype(np.uint8)
+        return width, height, 1, pix.tobytes()
+    if len(comps) != 3:
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (CMYK/YCCK need color-management "
+            "tables — PIL's seam)")
+    y = planes[comps[0]["id"]][:height, :width]
+    cb = _upsample_plane(planes[comps[1]["id"]], comps[1], hmax, vmax,
+                         width, height, upsample)
+    cr = _upsample_plane(planes[comps[2]["id"]], comps[2], hmax, vmax,
+                         width, height, upsample)
+    rgb = _ycbcr_to_rgb(y, cb, cr)
+    return width, height, 3, rgb.tobytes()
+
+
+def _upsample_plane(plane, comp, hmax: int, vmax: int,
+                    width: int, height: int, mode: str):
+    """Chroma plane (subsampled by hmax/comp.h x vmax/comp.v) -> full
+    (height, width) float array. ``nearest`` replicates the covering
+    sample (output x maps to chroma x*h//hmax); ``bilinear`` interpolates
+    between sample CENTERS (output center (x+0.5) maps to chroma
+    coordinate (x+0.5)*h/hmax - 0.5, edge-clamped) — the classic
+    triangular reconstruction."""
+    import numpy as np
+
+    h, v = comp["h"], comp["v"]
+    if h == hmax and v == vmax:
+        return plane[:height, :width]
+    if mode == "nearest":
+        xs = np.arange(width) * h // hmax
+        ys = np.arange(height) * v // vmax
+        return plane[np.ix_(ys, xs)]
+    cw = max(1, -(-width * h // hmax))   # ceil: valid chroma extent
+    ch = max(1, -(-height * v // vmax))
+    xs = np.clip((np.arange(width) + 0.5) * h / hmax - 0.5, 0, cw - 1)
+    ys = np.clip((np.arange(height) + 0.5) * v / vmax - 0.5, 0, ch - 1)
+    x0 = np.minimum(xs.astype(np.int64), cw - 1)
+    y0 = np.minimum(ys.astype(np.int64), ch - 1)
+    x1 = np.minimum(x0 + 1, cw - 1)
+    y1 = np.minimum(y0 + 1, ch - 1)
+    fx, fy = xs - x0, ys - y0
+    p = plane
+    top = p[np.ix_(y0, x0)] * (1 - fx) + p[np.ix_(y0, x1)] * fx
+    bot = p[np.ix_(y1, x0)] * (1 - fx) + p[np.ix_(y1, x1)] * fx
+    return top * (1 - fy)[:, None] + bot * fy[:, None]
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    """JFIF conversion, floor(x+0.5) rounding (identical semantics in
+    numpy and SQL — np.round/SQL round() disagree on .5 ties), clamped to
+    [0,255]; returns interleaved uint8 (h, w, 3)."""
+    import numpy as np
+
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_planes(data: bytes, render_all: bool):
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -851,11 +970,16 @@ def _decode_jpeg_gray_impl(data: bytes) -> tuple[int, int, bytes]:
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     n_mcus = mcus_x * mcus_y
-    # only the luma plane is materialized; chroma blocks are entropy-
-    # decoded (the stream is interleaved — they must be, to stay in sync)
-    # and their pixel reconstruction skipped
-    y_comp = comps[0]
-    out = np.empty((mcus_y * vmax * 8, mcus_x * hmax * 8), dtype=np.float64)
+    # render_all materializes every component's plane (color output);
+    # otherwise only luma — chroma blocks are still entropy-decoded (the
+    # stream is interleaved, they must be to stay in sync), just not
+    # reconstructed to pixels
+    render = comps if render_all else comps[:1]
+    planes = {
+        c["id"]: np.empty((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
+                          dtype=np.float64)
+        for c in render
+    }
 
     # split on restart markers; each interval holds exactly
     # ``restart_interval`` MCUs (DRI marker), all DC predictors reset
@@ -911,16 +1035,17 @@ def _decode_jpeg_gray_impl(data: bytes) -> tuple[int, int, bytes]:
                     for bx in range(comp["h"]):
                         prev_dc[comp["id"]], seq = read_block(
                             reader, dc_tab, ac_tab, prev_dc[comp["id"]])
-                        if comp is not y_comp:
-                            continue  # chroma: sync-decoded, not rendered
+                        plane = planes.get(comp["id"])
+                        if plane is None:
+                            continue  # sync-decoded, not rendered
                         flat = np.zeros(64)
                         for i2 in range(64):
                             flat[zz[i2]] = seq[i2]
                         coef = flat.reshape(8, 8) * qmats[comp["tq"]]
                         block = C.T @ coef @ C + 128.0
-                        r0 = (my * vmax + by) * 8
-                        c0 = (mx * hmax + bx) * 8
-                        out[r0:r0 + 8, c0:c0 + 8] = block
+                        r0 = (my * comp["v"] + by) * 8
+                        c0 = (mx * comp["h"] + bx) * 8
+                        plane[r0:r0 + 8, c0:c0 + 8] = block
             done += 1
             # strict truncation contract (ADVICE r4): an MCU that needed
             # even one zero-fill bit past end-of-stream decoded fabricated
@@ -932,8 +1057,7 @@ def _decode_jpeg_gray_impl(data: bytes) -> tuple[int, int, bytes]:
                     "JPEG entropy data truncated (stream ended mid-MCU)")
     if done < n_mcus:
         raise ValueError("JPEG entropy data truncated")
-    pix = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
-    return width, height, pix.tobytes()
+    return width, height, comps, planes, hmax, vmax
 
 
 # ---------------------------------------------------------------------------

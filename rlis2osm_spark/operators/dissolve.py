@@ -399,9 +399,11 @@ def dissolve_ways(
         return _merge_components(df, comps, dissolve_fields, geom_col,
                                  ordered=ordered)
 
-    nodes = endpoint_nodes(df, geom_col).join(
-        df.select("way_id", "group_key"), "way_id"
-    )
+    # group_key rides through the endpoint explode (narrow projection) —
+    # joining it back on way_id would be a full sort-merge self-join of the
+    # node frame against the input, i.e. two extra exchanges of every node
+    # row before the one repartition CC actually needs (r5)
+    nodes = endpoint_nodes(df, geom_col, extra_cols=["group_key"])
 
     n_parts = max(spark_partitions(combined), 8)
     if approx_rows is not None:

@@ -8,11 +8,12 @@ shapes, partitioning, the UDF signatures. The codec step:
   raw bytes (no codec needed);
 - ``decode_stub=False`` REALLY decodes PNG (stdlib zlib/struct), GIF
   (pure-Python LZW, r4), baseline JPEG — grayscale AND interleaved
-  color, any sampling layout, luma output (pure Python + numpy
-  huffman/DCT, r4) — MJPEG-AVI video and WAV (struct over RIFF) via
-  functions/codecs.py; what remains behind ``NotImplementedError`` is
-  progressive/arithmetic JPEG and non-MJPG video codecs — the exact seam
-  where PIL / pyav plug in.
+  color, any sampling layout, full-RGB output with nearest/bilinear
+  chroma upsampling (pure Python + numpy huffman/DCT, r4; chroma r5) —
+  MJPEG-AVI video and WAV (struct over RIFF) via functions/codecs.py;
+  what remains behind ``NotImplementedError`` is progressive/arithmetic
+  JPEG and non-MJPG video codecs — the exact seam where PIL / pyav
+  plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -40,9 +41,10 @@ IMAGE_FEATURE_SCHEMA = StructType([
     StructField("format_guess", StringType()),
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),  # real decode only
     StructField("feature", ArrayType(FloatType())),
-    StructField("px_sum", LongType()),  # real decode only (exact int)
-])
+    StructField("px_sum", LongType()),  # real decode only (exact int,
+])                                      # summed over ALL channels)
 
 _MAGIC = {
     b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"GIF8": "gif",
@@ -84,35 +86,40 @@ def extract_image_features(
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 if payload is None:
-                    rows.append((ref, 0, None, None, None, None, None))
+                    rows.append((ref, 0, None, None, None, None, None, None))
                     continue
                 b = bytes(payload)
                 fmt = _sniff(b)
                 if decode_stub:
                     w, h, feat = _fake_decode(b, feat_dim)
-                    rows.append((ref, len(b), fmt, w, h, feat.tolist(), None))
+                    rows.append((ref, len(b), fmt, w, h, None,
+                                 feat.tolist(), None))
                     continue
                 if fmt not in ("png", "gif", "jpeg"):
                     raise NotImplementedError(
                         f"real image decoding for {fmt!r} requires an image "
                         "codec library; plug PIL/pyav in here (png, gif and "
-                        "baseline jpeg — grayscale or color, luma output — "
+                        "baseline jpeg — grayscale or full-RGB color — "
                         "decode natively via functions/codecs.py)")
                 from rlis2osm_spark.functions.codecs import (
-                    decode_gif, decode_jpeg_gray, decode_png)
+                    decode_gif, decode_jpeg, decode_png)
 
-                dec = {"png": decode_png, "gif": decode_gif,
-                       "jpeg": decode_jpeg_gray}[fmt]
-                # decode_jpeg_gray raises NotImplementedError itself for
-                # color / progressive streams — the seam narrows to those
-                w, h, px = dec(b)
+                if fmt == "jpeg":
+                    # decode_jpeg raises NotImplementedError itself for
+                    # progressive/arithmetic streams — the remaining seam;
+                    # color output is full RGB (r5, nearest chroma upsample)
+                    w, h, nch, px = decode_jpeg(b)
+                else:
+                    dec = {"png": decode_png, "gif": decode_gif}[fmt]
+                    w, h, px = dec(b)
+                    nch = 1
                 arr = np.frombuffer(px, dtype=np.uint8)
                 hist = np.bincount(arr % feat_dim,
                                    minlength=feat_dim).astype("float32")
                 total = hist.sum()
                 if total > 0:
                     hist /= total
-                rows.append((ref, len(b), fmt, w, h, hist.tolist(),
+                rows.append((ref, len(b), fmt, w, h, nch, hist.tolist(),
                              int(arr.sum())))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])

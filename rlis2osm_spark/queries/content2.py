@@ -427,17 +427,26 @@ def _m1_payload_frames(spark, sf_dir):
                 by, bx = divmod(k, bw)
                 img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
                     2 * ((d * 13 + k * 29) % 128)
-            # alternate grayscale / 4:4:4 color / 4:2:0 color encoders —
-            # decoded LUMA is identical, so one analytic oracle covers the
-            # decoder's single- and multi-component paths (r4.1)
+            # alternate grayscale / 4:4:4 color / 4:2:0 color encoders.
+            # Color modes carry REAL chroma (r5): constant-per-image
+            # Cb/Cr = 128 + 17k — 17 is the chroma DC quant step, so the
+            # DC-only chroma blocks round-trip exactly and the decoded RGB
+            # (nearest-upsampled, floor(x+0.5) JFIF conversion) is
+            # analytically predictable per block
             mode = d % 3
             if mode == 0:
                 blob = encode_jpeg_gray(bw * 8, bh * 8, img.tobytes(),
                                         restart_every=d % 4)
             else:
+                cb = 128 + 17 * (d % 5 - 2)
+                cr = 128 + 17 * ((d // 5) % 5 - 2)
+                hy = 1 if mode == 1 else 2
+                cw, ch = -(-bw * 8 // hy), -(-bh * 8 // hy)
                 blob = encode_jpeg_color(
                     bw * 8, bh * 8, img.tobytes(),
-                    subsampling="4:4:4" if mode == 1 else "4:2:0")
+                    subsampling="4:4:4" if mode == 1 else "4:2:0",
+                    cb_pixels=bytes([cb]) * (cw * ch),
+                    cr_pixels=bytes([cr]) * (cw * ch))
             out.append(blob)
         return pd.Series(out, dtype=object)
 
@@ -520,15 +529,37 @@ gif_leg AS (
   FROM gif
 ),
 jpg AS (
-  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + (doc_id // 3) % 3 AS bh
+  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + (doc_id // 3) % 3 AS bh,
+         doc_id % 3 AS mode,
+         CAST(17 * (doc_id % 5 - 2) AS DOUBLE) AS cbv,
+         CAST(17 * ((doc_id // 5) % 5 - 2) AS DOUBLE) AS crv
   FROM documents WHERE doc_id % 4 = 0
 ),
+-- mode 0: grayscale, v = luma sum. modes 1/2 (4:4:4 / 4:2:0 color):
+-- v = RGB sum — per-block constant Y plus per-image constant chroma
+-- (128 + 17k round-trips the chroma DC quant exactly), JFIF conversion
+-- with floor(x+0.5) and [0,255] clamp, matching codecs._ycbcr_to_rgb
+-- term-for-term (same literal coefficients, same association order)
 jpeg_leg AS (
   SELECT 'jpeg' AS kind, 'doc:' || doc_id AS media_ref,
          CAST(bw * 8 AS INT) AS d1, CAST(bh * 8 AS INT) AS d2,
-         CAST(64 * list_aggregate(list_transform(
-              generate_series(0, bw * bh - 1),
-              k -> 2 * ((doc_id * 13 + k * 29) % 128)), 'sum') AS BIGINT) AS v
+         CAST(CASE WHEN mode = 0 THEN
+           64 * list_aggregate(list_transform(
+                generate_series(0, bw * bh - 1),
+                k -> 2 * ((doc_id * 13 + k * 29) % 128)), 'sum')
+         ELSE
+           64 * list_aggregate(list_transform(
+                generate_series(0, bw * bh - 1),
+                k -> LEAST(255.0, GREATEST(0.0, FLOOR(
+                       2 * ((doc_id * 13 + k * 29) % 128)
+                       + 1.402 * crv + 0.5)))
+                   + LEAST(255.0, GREATEST(0.0, FLOOR(
+                       2 * ((doc_id * 13 + k * 29) % 128)
+                       - 0.344136 * cbv - 0.714136 * crv + 0.5)))
+                   + LEAST(255.0, GREATEST(0.0, FLOOR(
+                       2 * ((doc_id * 13 + k * 29) % 128)
+                       + 1.772 * cbv + 0.5)))), 'sum')
+         END AS BIGINT) AS v
   FROM jpg
 ),
 avi AS (

@@ -489,3 +489,92 @@ def test_jpeg_color_decode_luma(subsampling):
     assert (wo, ho) == (21, 13)
     assert np.array_equal(
         np.frombuffer(pxo, np.uint8).reshape(13, 21), odd)
+
+
+def _expected_rgb(y, cb, cr):
+    import numpy as np
+
+    r = y.astype(float) + 1.402 * (cr.astype(float) - 128.0)
+    g = (y.astype(float) - 0.344136 * (cb.astype(float) - 128.0)
+         - 0.714136 * (cr.astype(float) - 128.0))
+    b = y.astype(float) + 1.772 * (cb.astype(float) - 128.0)
+    return np.clip(np.floor(np.stack([r, g, b], axis=-1) + 0.5),
+                   0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_jpeg_color_decode_rgb_exact(subsampling):
+    """r5 (VERDICT r4 #2): full RGB output. Chroma values 128 + 17k (17 =
+    chroma DC quant step) on block-constant planes round-trip exactly, so
+    decoded RGB must equal the analytic JFIF conversion bit-for-bit —
+    including clamped channels."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_jpeg, encode_jpeg_color)
+
+    img = _const_block_image(4, 4, seed=21)  # 32x32
+    hy = 2 if subsampling == "4:2:0" else 1
+    cw = 32 // hy
+    # chroma constant per 8x8 chroma BLOCK, different across blocks:
+    # exercises the upsample geometry, stays DC-only exact
+    ks = np.arange(cw // 8 * (cw // 8)).reshape(cw // 8, cw // 8) % 5 - 2
+    cb_small = np.kron(128 + 17 * ks, np.ones((8, 8), int)).astype(np.uint8)
+    ks2 = (np.arange(cw // 8 * (cw // 8)).reshape(cw // 8, cw // 8) * 3) % 5 - 2
+    cr_small = np.kron(128 + 17 * ks2, np.ones((8, 8), int)).astype(np.uint8)
+
+    j = encode_jpeg_color(32, 32, img.tobytes(), subsampling=subsampling,
+                          cb_pixels=cb_small.tobytes(),
+                          cr_pixels=cr_small.tobytes())
+    w, h, nch, px = decode_jpeg(j)
+    assert (w, h, nch) == (32, 32, 3)
+    got = np.frombuffer(px, np.uint8).reshape(32, 32, 3)
+
+    # nearest upsample expectation: output (x, y) -> chroma (x//hy, y//hy)
+    idx = np.arange(32) // hy
+    cb_full = cb_small[np.ix_(idx, idx)]
+    cr_full = cr_small[np.ix_(idx, idx)]
+    assert np.array_equal(got, _expected_rgb(img, cb_full, cr_full))
+
+    # gray stream through the same API: 1 channel, identical plane
+    from rlis2osm_spark.functions.codecs import encode_jpeg_gray
+    g = encode_jpeg_gray(32, 32, img.tobytes())
+    wg, hg, nchg, pxg = decode_jpeg(g)
+    assert (wg, hg, nchg) == (32, 32, 1)
+    assert np.array_equal(np.frombuffer(pxg, np.uint8).reshape(32, 32), img)
+
+
+def test_jpeg_bilinear_upsample_matches_reference():
+    """Bilinear chroma reconstruction: centered-sample triangular filter
+    against an independent numpy implementation on a random (but exactly
+    decoded DC-only) chroma plane."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(11)
+    w = h = 32
+    img = _const_block_image(4, 4, seed=3)
+    ks = rng.integers(-2, 3, (2, 2))
+    cb_small = np.kron(128 + 17 * ks, np.ones((8, 8), int)).astype(np.uint8)
+    cr_small = np.full((16, 16), 128, np.uint8)
+    j = C.encode_jpeg_color(w, h, img.tobytes(), "4:2:0",
+                            cb_small.tobytes(), cr_small.tobytes())
+    W, H, nch, px = C.decode_jpeg(j, upsample="bilinear")
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+
+    # independent bilinear: chroma coord c = (x + 0.5) / 2 - 0.5, clamped
+    def up(plane):
+        coords = np.clip((np.arange(32) + 0.5) / 2 - 0.5, 0, 15)
+        i0 = np.minimum(coords.astype(int), 15)
+        i1 = np.minimum(i0 + 1, 15)
+        f = coords - i0
+        row = plane.astype(float)
+        tmp = row[:, i0] * (1 - f) + row[:, i1] * f
+        return tmp[i0, :] * (1 - f)[:, None] + tmp[i1, :] * f[:, None]
+
+    exp = _expected_rgb(img, up(cb_small), up(cr_small))
+    assert np.array_equal(got, exp)
+
+    with pytest.raises(ValueError):
+        C.decode_jpeg(j, upsample="bicubic")
