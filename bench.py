@@ -56,12 +56,32 @@ def _materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _loadavg() -> list[str]:
+    return open("/proc/loadavg").read().split()[:3]
+
+
+def _load_gate(max_load1: float, timeout_s: float = 300.0) -> dict:
+    """Wait (bounded) for external load to drain before timing anything —
+    the same gate the scaling launcher uses (VERDICT r4 #4: bench numbers
+    must document their measurement window; sandbox noisy neighbors swing
+    timings 2-3x). Returns what happened so the JSON is self-describing."""
+    t0 = time.time()
+    waited = 0.0
+    while float(_loadavg()[0]) > max_load1 and waited < timeout_s:
+        time.sleep(5)
+        waited = time.time() - t0
+    return {"max_load1": max_load1, "waited_sec": round(waited, 1),
+            "gate_passed": float(_loadavg()[0]) <= max_load1}
+
+
 def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     from rlis2osm_spark.driver_support import ensure_package_on_workers
     from rlis2osm_spark.queries import all_queries
     from rlis2osm_spark.session import build_session
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    gate = _load_gate(float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4")))
+    load_before = _loadavg()
     # MB-sized bench inputs: give scans the task count a TB input would
     # naturally have (otherwise every single-file scan runs one task and
     # interpreted higher-order projections serialize on one core)
@@ -136,6 +156,21 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
             best = el if best is None else min(best, el)
         ann_legs[leg] = round(best, 3)
 
+    # per-codec decode timing (VERDICT r4 #3): the m1 suite number is the
+    # union of six codec legs — time each alone so a regression names the
+    # codec, not the query
+    from rlis2osm_spark.queries.content2 import media_feature_legs
+
+    media_legs = {}
+    for kind, frame in media_feature_legs(spark, sf_dir).items():
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            _materialize(frame)
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        media_legs[kind] = round(best, 3)
+
     spark.stop()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -148,6 +183,11 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
         "docs_per_sec": docs_per_sec,
         "cpus": int(cpus),
         "ann_legs": ann_legs,
+        "media_legs": media_legs,
+        "repeats": repeats,
+        "load_gate": gate,
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
     }
     # bulk throughput + N->4N efficiency come from the dedicated probe
     # (`bench.py --scaling`, min-of-3, fresh JVMs) — measured once and
@@ -208,6 +248,12 @@ def _scaling_child(cpus: str) -> dict:
     repeats = int(os.environ.get(
         f"SPARK_GRAFT_SCALE_REPEATS_{cpus}", SCALE_REPEATS))
     ensure_dataset(DOC_SCALE_DIR, n_streets=4000, n_trails=800)
+    # built-in load gate (r5): the scaling evidence previously relied on an
+    # external launcher waiting for load1 <= 2 — the gate now lives here so
+    # every recorded number self-documents its measurement window
+    gate = _load_gate(float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2")),
+                      timeout_s=600)
+    load_before = _loadavg()
     spark = build_session(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
@@ -252,6 +298,8 @@ def _scaling_child(cpus: str) -> dict:
     return {"cpus": int(cpus), "sec": round(best, 3),
             "docs_per_sec": round(n_docs / best, 1),
             "n_docs": n_docs, "repeats": repeats,
+            "load_gate": gate, "loadavg_before": load_before,
+            "loadavg_after": _loadavg(),
             "doc_path": {"sec": round(doc_best, 3),
                          "docs_per_sec": round(n_span_docs / doc_best, 1),
                          "n_docs": n_span_docs,

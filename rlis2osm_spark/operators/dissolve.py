@@ -14,13 +14,18 @@ single-path BFS (dissolve.py:51-160) — the documented scalability wall. Here:
   on fork-free topologies (SURVEY §7.3 hazard — goldens use those). An
   exact greedy-BFS emulation (``algorithm="greedy"``, r3) covers users who
   need byte-parity with reference output on forked topologies.
-  Components are computed with a per-group union-find in ``applyInPandas``:
-  a tag-group (one street name + identical tags) is city-sized, so a pandas
-  group fits comfortably; the shuffle key is the tag-group hash, which is
-  exactly the explicit-partitioning contract the north rule asks for.
-- **A1/A2 merge**: groupBy component -> fid-ordered collect_list ->
-  Arrow-batched linemerge; tags via ``first`` (equal within group by
-  construction, dissolve.py:81-82).
+  Components are computed with a per-group union-find inside an Arrow
+  partition pass: a tag-group (one street name + identical tags) is
+  city-sized, so a pandas group fits comfortably; the shuffle key is the
+  tag-group hash, which is exactly the explicit-partitioning contract the
+  north rule asks for.
+- **A1/A2 merge, FUSED with CC (r5)**: when every group fits a worker the
+  payload repartitions by group_key ONCE and union-find + way_id-ordered
+  linemerge + first-row tags all happen inside that partition — the
+  unfused shape (node self-join, comps merge join, component groupBy)
+  moved the full payload through three exchanges and two sorts. Routed
+  degenerate groups still use groupBy component -> sorted collect_list ->
+  Arrow-batched linemerge after iterative CC.
 
 Scale notes (100 TB): degenerate groups (e.g. unnamed service roads
 spanning a continent) are the skew risk. ``algorithm="auto"`` measures
@@ -137,6 +142,120 @@ def _cc_map_partitions(frames) -> "pd.DataFrame":
     pdfs = [pdf for pdf in frames]
     if pdfs:
         yield _union_find_components(pd.concat(pdfs, ignore_index=True))
+
+
+def _fused_dissolve_partitions(dissolve_fields: list[str], geom_col: str,
+                               field_kinds: dict[str, str]):
+    """mapInPandas driver for the fused union-find + merge path (r5): a
+    partition holds WHOLE tag-groups' payload rows; one pass slices the
+    endpoint nodes straight from the WKB bytes (same 16-byte ranges the
+    native substring path uses), unions same-node ways per group, then
+    linemerges each component's way_id-ordered members and emits the
+    merged row with the first member's tags — identical output to
+    ``_comps_unionfind`` + ``_merge_components``, but the payload crosses
+    the wire ONCE (the group_key repartition) instead of three times
+    (node self-join exchange + merge-join exchange + component groupBy
+    exchange)."""
+
+    def run(frames):
+        pdfs = [p for p in frames]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(a: int, b: int) -> None:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+
+        node_first: dict[tuple, int] = {}
+        ways = pdf["way_id"].to_numpy()
+        gks = pdf["group_key"].to_numpy()
+        geoms = pdf[geom_col]
+        for w0, gk, g in zip(ways, gks, geoms):
+            w = int(w0)
+            b = bytes(g)
+            if w not in parent:
+                parent[w] = w
+            for node in (b[9:25], b[len(b) - 16:]):
+                key = (int(gk), node)
+                other = node_first.get(key)
+                if other is None:
+                    node_first[key] = w
+                else:
+                    union(other, w)
+
+        comp_rows: dict[int, list[int]] = {}
+        for i, w0 in enumerate(ways):
+            comp_rows.setdefault(find(int(w0)), []).append(i)
+
+        comp_ids, first_idx, n_members, merged = [], [], [], []
+        for cid, idxs in comp_rows.items():
+            idxs.sort(key=lambda i: int(ways[i]))
+            comp_ids.append(cid)
+            first_idx.append(idxs[0])
+            n_members.append(len(idxs))
+            merged.append(wkb.linemerge_wkb(
+                [bytes(geoms.iloc[i]) for i in idxs]))
+
+        out = pd.DataFrame({"component_id": comp_ids})
+        for f in dissolve_fields:
+            s = pdf[f].iloc[first_idx].reset_index(drop=True)
+            if field_kinds.get(f) == "int" and s.dtype.kind == "f":
+                # Arrow hands nullable int columns to pandas as float64;
+                # hand exact ints (or None) back so the declared schema
+                # round-trips without an unsafe float cast
+                s = s.map(lambda v: None if pd.isna(v) else int(v))
+            out[f] = s.astype(object).where(s.notna(), None)
+        out["n_members"] = pd.Series(n_members, dtype="int32")
+        out[geom_col] = pd.Series(merged, dtype=object)
+        yield out
+
+    return run
+
+
+def _dissolve_fused(df: DataFrame, dissolve_fields: list[str],
+                    geom_col: str, n_parts: int) -> DataFrame:
+    """One-exchange dissolve for inputs whose tag-groups all fit a worker
+    (the union-find contract): hash-partition whole groups WITH their
+    payload, then component-find and merge inside the partition."""
+    from pyspark.sql.types import IntegerType
+
+    schema_by_name = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [StructField("component_id", LongType(), False)]
+        + [StructField(c, schema_by_name[c].dataType, True)
+           for c in dissolve_fields]
+        + [StructField("n_members", IntegerType(), False),
+           StructField(geom_col, BinaryType(), True)])
+    field_kinds = {
+        c: ("int" if isinstance(schema_by_name[c].dataType, IntegerType)
+            else "other")
+        for c in dissolve_fields
+    }
+    return (
+        df.select("group_key", "way_id", *[F.col(f"`{c}`")
+                                           for c in dissolve_fields],
+                  geom_col)
+        .repartition(n_parts, "group_key")
+        .mapInPandas(
+            _fused_dissolve_partitions(dissolve_fields, geom_col,
+                                       field_kinds),
+            out_schema)
+    )
 
 
 def endpoint_nodes(df: DataFrame, geom_col: str = "geometry",
@@ -399,26 +518,35 @@ def dissolve_ways(
         return _merge_components(df, comps, dissolve_fields, geom_col,
                                  ordered=ordered)
 
-    # group_key rides through the endpoint explode (narrow projection) —
-    # joining it back on way_id would be a full sort-merge self-join of the
-    # node frame against the input, i.e. two extra exchanges of every node
-    # row before the one repartition CC actually needs (r5)
-    nodes = endpoint_nodes(df, geom_col, extra_cols=["group_key"])
-
     n_parts = max(spark_partitions(combined), 8)
     if approx_rows is not None:
         # size the CC shuffle to the data: ~50k node rows per partition,
         # never above the session parallelism (tiny inputs stop paying
         # 64-task overhead; 100 TB inputs still spread fully)
         n_parts = max(8, min(n_parts, approx_rows // 50_000 + 1))
+
+    def fused(frame):
+        out = _dissolve_fused(frame, dissolve_fields, geom_col, n_parts)
+        return out.orderBy("component_id") if ordered else out
+
+    if algorithm == "unionfind" or (
+            algorithm == "auto" and approx_rows is not None
+            and approx_rows <= max_group_rows):
+        # every group fits a worker (by contract / by the approx_rows
+        # bound short-circuiting auto) -> the FUSED one-exchange path
+        # (r5): payload repartitions by group_key once; union-find and
+        # linemerge happen inside the partition. The unfused shape paid
+        # two more full-payload exchanges (merge join + component
+        # groupBy) plus their sorts.
+        return fused(df)
+
+    # group_key rides through the endpoint explode (narrow projection) —
+    # joining it back on way_id would be a full sort-merge self-join of the
+    # node frame against the input, i.e. two extra exchanges of every node
+    # row before the one repartition CC actually needs (r5)
+    nodes = endpoint_nodes(df, geom_col, extra_cols=["group_key"])
     if algorithm == "iterative":
         comps = _comps_iterative(nodes, df.select("way_id"))
-    elif algorithm == "unionfind":
-        comps = _comps_unionfind(nodes, n_parts)
-    elif approx_rows is not None and approx_rows <= max_group_rows:
-        # auto short-circuit: total rows bound <= per-group cap means no
-        # group can be degenerate — skip the planning job entirely
-        comps = _comps_unionfind(nodes, n_parts)
     else:  # auto: route only degenerate groups to the iterative path.
         # NOTE: the routing decision needs the group-size distribution, so
         # "auto" runs ONE planning-time Spark job here (map-side-combined
@@ -438,19 +566,26 @@ def dissolve_ways(
                 f"{max_group_rows}; raise the threshold or use "
                 "algorithm='iterative'")
         if not big_keys:
-            comps = _comps_unionfind(nodes, n_parts)
-        else:
-            # route via a broadcast-joined key frame, NOT isin literals:
-            # 100k literals would inflate every downstream plan and task
-            # closure (ADVICE r2); a local-list DataFrame broadcasts once.
-            spark = combined.sparkSession
-            bk = F.broadcast(spark.createDataFrame(
-                [(k,) for k in big_keys], "group_key long"))
-            small_n = nodes.join(bk, "group_key", "left_anti")
-            big_n = nodes.join(bk, "group_key", "left_semi")
-            big_ways = df.join(bk, "group_key", "left_semi").select("way_id")
-            comps = _comps_unionfind(small_n, n_parts).unionByName(
-                _comps_iterative(big_n, big_ways))
+            return fused(df)
+        # route via a broadcast-joined key frame, NOT isin literals:
+        # 100k literals would inflate every downstream plan and task
+        # closure (ADVICE r2); a local-list DataFrame broadcasts once.
+        # Small groups take the fused path; degenerate groups go through
+        # iterative CC + the unfused merge (their payload cannot sit on
+        # one worker, so the component groupBy exchange is unavoidable
+        # there).
+        spark = combined.sparkSession
+        bk = F.broadcast(spark.createDataFrame(
+            [(k,) for k in big_keys], "group_key long"))
+        small_df = df.join(bk, "group_key", "left_anti")
+        big_df_rows = df.join(bk, "group_key", "left_semi")
+        big_n = nodes.join(bk, "group_key", "left_semi")
+        comps_big = _comps_iterative(big_n, big_df_rows.select("way_id"))
+        out = _dissolve_fused(
+            small_df, dissolve_fields, geom_col, n_parts
+        ).unionByName(_merge_components(
+            big_df_rows, comps_big, dissolve_fields, geom_col))
+        return out.orderBy("component_id") if ordered else out
 
     return _merge_components(df, comps, dissolve_fields, geom_col,
                              ordered=ordered)

@@ -308,10 +308,12 @@ def m1_media_features(spark, sf_dir):
       interlaced/sequential row order) decoded by the r4 LZW decoder ->
       width/height/px_sum from TRUE de-palettized (and de-interlaced)
       pixels;
-    - ``jpeg``: real baseline grayscale JPEGs (pure Python + numpy huffman
-      + DCT, varying restart intervals) built from even-valued constant
-      8x8 blocks — the DCT-exact subclass, so the lossy codec round-trips
-      bit-for-bit and DuckDB predicts the decoded px_sum analytically;
+    - ``jpeg``: real baseline JPEGs (pure Python + numpy huffman + DCT)
+      built from even-valued constant 8x8 blocks — the DCT-exact
+      subclass — alternating grayscale (restart intervals) / 4:4:4 color
+      / 4:2:0 color; color modes carry 128+17k constant chroma and decode
+      to full RGB (r5), so DuckDB predicts the clamped JFIF-converted RGB
+      sum analytically;
     - ``avi``: real MJPEG-in-AVI videos (RIFF container parse + per-frame
       JPEG decode, every-2nd-frame sampling) -> one row per sampled frame
       with the exact decoded luma sum;
@@ -328,6 +330,18 @@ def m1_media_features(spark, sf_dir):
     The encoded payload table is a CHECKPOINTED stage (r4): media bytes
     are INPUT data in production — the query measures the decode
     operators, not the synthetic encoders."""
+    legs = media_feature_legs(spark, sf_dir)
+    out = legs["png"]
+    for k in ("gif", "jpeg", "avi", "wav", "stub"):
+        out = out.unionByName(legs[k])
+    return out
+
+
+def media_feature_legs(spark, sf_dir) -> dict:
+    """The per-codec decode legs of ``m1_media_features`` as separate
+    DataFrames (same payload stage, same projections) so bench.py can time
+    each codec independently (``media_legs``, VERDICT r4 #3) — a decode
+    regression then names the codec, not the whole query."""
     ensure_package_on_workers(spark)
     from rlis2osm_spark.operators.multimodal import (
         extract_audio_features, extract_image_features,
@@ -375,8 +389,8 @@ def m1_media_features(spark, sf_dir):
     ).select(F.lit("stub").alias("kind"), "media_ref",
              F.col("width").alias("d1"), F.col("height").alias("d2"),
              F.col("n_bytes").alias("v"))
-    return (png.unionByName(gif).unionByName(jpeg).unionByName(avi)
-            .unionByName(wav).unionByName(stub))
+    return {"png": png, "gif": gif, "jpeg": jpeg, "avi": avi,
+            "wav": wav, "stub": stub}
 
 
 def _m1_payload_frames(spark, sf_dir):
