@@ -26,7 +26,7 @@ import os
 from collections.abc import Iterator
 from hashlib import blake2b
 from struct import pack
-from xml.sax.saxutils import escape, quoteattr
+from xml.sax.saxutils import quoteattr
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -43,11 +43,15 @@ _OUT_SCHEMA = StructType([
 ])
 
 
+def _node_id_from_key(key: bytes) -> int:
+    """Deterministic negative node id from the exact 16 coordinate bytes."""
+    h = int.from_bytes(blake2b(key, digest_size=8).digest(), "little")
+    return -(h % (1 << 62)) - 1
+
+
 def _node_id(x: float, y: float) -> int:
     """Deterministic negative node id from the exact coordinate bytes."""
-    h = int.from_bytes(
-        blake2b(pack("<2d", x, y), digest_size=8).digest(), "little")
-    return -(h % (1 << 62)) - 1
+    return _node_id_from_key(pack("<2d", x, y))
 
 
 def write_osm_xml(
@@ -89,8 +93,11 @@ def write_osm_xml(
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         path = os.path.join(out_dir, f"part-{pid:05d}.osm.tmp")
-        nodes: dict[int, tuple] = {}  # id -> (packed bytes, (x, y) source ft)
-        ways: list[tuple[int, list[int], dict]] = []
+        # intern on the exact 16 coordinate bytes (the dissolve rule);
+        # insertion order = first occurrence, so fragment bytes stay
+        # deterministic
+        node_keys: dict[bytes, tuple] = {}  # coord bytes -> (x, y) feet
+        ways: list[tuple[int, list[bytes], dict]] = []
         n_null = 0
         for pdf in frames:
             for i in range(len(pdf)):
@@ -104,47 +111,70 @@ def write_osm_xml(
                 refs = []
                 for line in wkb.decode_lines(bytes(geom)):
                     for x, y in line:
-                        nid = _node_id(float(x), float(y))
                         key = pack("<2d", float(x), float(y))
-                        prev = nodes.get(nid)
-                        # byte-level compare = the interning rule (a repeated
-                        # NaN vertex is byte-identical, not a collision)
-                        if prev is not None and prev[0] != key:
-                            raise ValueError(
-                                f"node id collision within fragment: {nid} "
-                                f"for {prev[1]} vs {(float(x), float(y))}")
-                        nodes[nid] = (key, (float(x), float(y)))
-                        refs.append(nid)
+                        if key not in node_keys:
+                            node_keys[key] = (float(x), float(y))
+                        refs.append(key)
                 ways.append((wid, refs, dict(tags)))
 
-        ids = list(nodes)
-        if ids and reproject:
+        # one blake2b per UNIQUE node, not per vertex occurrence (r5 —
+        # shared endpoints/vertices repeat ~4-5x on street topology); an id
+        # collision between two DISTINCT coordinate keys still fails loudly
+        ids: dict[bytes, int] = {}
+        id_owner: dict[int, bytes] = {}
+        for key, xy in node_keys.items():
+            nid = _node_id_from_key(key)
+            other = id_owner.get(nid)
+            if other is not None:
+                raise ValueError(
+                    f"node id collision within fragment: {nid} for "
+                    f"{node_keys[other]} vs {xy}")
+            id_owner[nid] = key
+            ids[key] = nid
+
+        if node_keys and reproject:
             import numpy as np
 
-            xs = np.fromiter((nodes[i][1][0] for i in ids), dtype=np.float64)
-            ys = np.fromiter((nodes[i][1][1] for i in ids), dtype=np.float64)
+            xs = np.fromiter((xy[0] for xy in node_keys.values()),
+                             dtype=np.float64)
+            ys = np.fromiter((xy[1] for xy in node_keys.values()),
+                             dtype=np.float64)
             lons, lats = feet_to_lonlat(xs, ys)  # one vectorized batch
         else:
-            lons = [nodes[i][1][0] for i in ids]
-            lats = [nodes[i][1][1] for i in ids]
+            lons = [xy[0] for xy in node_keys.values()]
+            lats = [xy[1] for xy in node_keys.values()]
 
         with open(path, "w", encoding="utf-8") as fh:
-            fh.write("<?xml version='1.0' encoding='UTF-8'?>\n")
-            fh.write("<osm version='0.6' generator='rlis2osm_spark'>\n")
-            for nid, lon, lat in zip(ids, lons, lats):
-                fh.write(f"  <node id='{nid}' visible='true' "
-                         f"lat='{float(lat)!r}' lon='{float(lon)!r}' />\n")
+            buf: list[str] = []
+            emit = buf.append
+
+            def flush(force=False):
+                if force or len(buf) >= 65536:
+                    fh.write("".join(buf))
+                    buf.clear()
+
+            emit("<?xml version='1.0' encoding='UTF-8'?>\n")
+            emit("<osm version='0.6' generator='rlis2osm_spark'>\n")
+            for key, lon, lat in zip(node_keys, lons, lats):
+                emit(f"  <node id='{ids[key]}' visible='true' "
+                     f"lat='{float(lat)!r}' lon='{float(lon)!r}' />\n")
+                flush()
             for wid, refs, tags in ways:
-                fh.write(f"  <way id='{wid}' visible='true'>\n")
+                emit(f"  <way id='{wid}' visible='true'>\n")
                 for r in refs:
-                    fh.write(f"    <nd ref='{r}' />\n")
+                    emit(f"    <nd ref='{ids[r]}' />\n")
                 for k, v in sorted(tags.items()):
-                    fh.write(f"    <tag k={quoteattr(str(k))} "
-                             f"v={quoteattr(escape(str(v)))} />\n")
-                fh.write("  </way>\n")
-            fh.write("</osm>\n")
+                    # quoteattr escapes &<>'" itself — wrapping escape()
+                    # around the value double-escaped ampersands (r5 fix:
+                    # 'A & B' used to serialize as 'A &amp;amp; B')
+                    emit(f"    <tag k={quoteattr(str(k))} "
+                         f"v={quoteattr(str(v))} />\n")
+                emit("  </way>\n")
+                flush()
+            emit("</osm>\n")
+            flush(force=True)
         yield pd.DataFrame(
-            [(path, len(ways), len(nodes), n_null)],
+            [(path, len(ways), len(node_keys), n_null)],
             columns=["part_file", "n_ways", "n_nodes", "n_null_geoms"])
 
     projected = df.select(geom_col, tags_col)  # analyzes (raises on bad input)

@@ -36,6 +36,28 @@ def test_write_osm_xml(spark, synth_dir, tmp_path):
     assert total_ways == n_rows
 
 
+def test_tag_values_escaped_exactly_once(spark, tmp_path):
+    """r5 fix: quoteattr escapes &<>'\" itself — the old escape()+quoteattr
+    stack double-escaped ampersands ('A & B' -> 'A &amp;amp; B'). An XML
+    parse must round-trip the original value byte-for-byte."""
+    from pyspark.sql import functions as F
+    from rlis2osm_spark.functions.wkb import encode_linestring
+
+    nasty = "Tom & Jerry's <Diner> \"Ltd\""
+    geom = encode_linestring([(100.0, 200.0), (300.0, 400.0)])
+    df = spark.createDataFrame([(geom,)], "geometry binary").select(
+        "geometry",
+        F.create_map(F.lit("name"), F.lit(nasty)).alias("tags"))
+    write_osm_xml(df.coalesce(1), str(tmp_path / "osm")).collect()
+    (frag,) = glob.glob(str(tmp_path / "osm" / "part-*.osm"))
+    (way,) = ET.parse(frag).getroot().findall("way")
+    tags = {t.get("k"): t.get("v") for t in way.findall("tag")}
+    assert tags["name"] == nasty
+    # the raw bytes carry the single-escaped form
+    raw = open(frag).read()
+    assert "Tom &amp; Jerry" in raw and "&amp;amp;" not in raw
+
+
 def test_api_facade(spark, synth_dir, tmp_path):
     """Reference-shaped workflow through the api module end-to-end."""
     from rlis2osm_spark import api
