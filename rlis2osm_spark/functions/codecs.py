@@ -6,16 +6,19 @@
 - GIF: pure-Python LZW over the public GIF87a/GIF89a spec (8-bit
   palettized, variable-width codes up to 12 bits, interlaced or not;
   first frame of animations);
-- JPEG (r4): baseline sequential huffman+DCT over the public ITU T.81
-  spec — grayscale and interleaved multi-component color, any sampling
-  layout, restart intervals, fill bytes, truncation detection;
+- JPEG (r4/r5): huffman+DCT over the public ITU T.81 spec — baseline
+  sequential AND progressive (SOF2 spectral selection + successive
+  approximation, EOBRUN, correction bits), grayscale and interleaved
+  multi-component color with full-RGB output (nearest/bilinear chroma
+  upsampling), any sampling layout, restart intervals, fill bytes,
+  strict truncation detection;
 - AVI/MJPEG (r4): RIFF-AVI container walk + per-frame baseline-JPEG
   decode + idx1 index.
 
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
 ``NotImplementedError`` seam (operators/multimodal.py) is
-progressive/arithmetic JPEG and non-MJPG video codecs.
+arithmetic-coded/hierarchical JPEG and non-MJPG video codecs.
 """
 
 from __future__ import annotations
@@ -519,6 +522,218 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
             + b"\xff\xd9")
 
 
+def encode_jpeg_progressive(width: int, height: int, pixels: bytes) -> bytes:
+    """Progressive (SOF2) grayscale JPEG — T.81 Annex G huffman coding.
+
+    Scan script exercises every progressive decode mode: DC first at Al=1
+    then a DC refinement bit; each AC band (1-5, 6-63) encoded by spectral
+    selection at Al=2 followed by TWO successive-approximation refinement
+    scans (2->1, 1->0) carrying real correction bits and EOBRUN joins.
+    Quantized coefficients are identical to :func:`encode_jpeg_gray`'s, so
+    a progressive stream must decode to EXACTLY the same pixels as the
+    baseline encoding of the same image — the differential oracle the
+    tests pin."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    nby, nbx = (height + 7) // 8, (width + 7) // 8
+    padded = np.empty((nby * 8, nbx * 8), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:, width:] = padded[:, width - 1:width]
+
+    C = _dct_matrix()
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    zz = _JPEG_ZIGZAG
+    dc_tab = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    # progressive AC scans need EOBn symbols (n<<4, n=1..14), which the
+    # Annex-K baseline AC table does not define — emit a custom flat
+    # 8-bit-code table covering every symbol this encoder can produce
+    # (fixed-length canonical coding is spec-valid; decoders read the
+    # table from the DHT segment)
+    prog_ac_vals = sorted({n << 4 for n in range(15)} | {0xF0}
+                          | {(r << 4) | s
+                             for r in range(16) for s in range(1, 11)})
+    prog_ac_bits = [0] * 16
+    prog_ac_bits[7] = len(prog_ac_vals)
+    ac_tab = _huff_codes(prog_ac_bits, prog_ac_vals)
+
+    # quantized zigzag coefficient sequences, block raster order
+    seqs: list[list[int]] = []
+    for by in range(nby):
+        for bx in range(nbx):
+            block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            quant = np.round((C @ block @ C.T) / q).astype(np.int64)
+            flat = quant.reshape(-1)
+            seqs.append([int(flat[zz[i]]) for i in range(64)])
+
+    def dc_first(w, al):
+        pred = 0
+        for seq in seqs:
+            t = seq[0] >> al  # arithmetic shift = the DC point transform
+            size, bits = _magnitude(t - pred)
+            pred = t
+            code, length = dc_tab[size]
+            w.write(code, length)
+            if size:
+                w.write(bits, size)
+
+    def dc_refine(w, al):
+        for seq in seqs:
+            w.write((seq[0] >> al) & 1, 1)
+
+    def ac_first(w, ss, se, al):
+        state = {"eob": 0}
+
+        def emit_eobrun():
+            if state["eob"]:
+                n = state["eob"].bit_length() - 1
+                code, length = ac_tab[n << 4]
+                w.write(code, length)
+                if n:
+                    w.write(state["eob"] - (1 << n), n)
+                state["eob"] = 0
+
+        for seq in seqs:
+            band = []
+            for k in range(ss, se + 1):
+                v = seq[k]
+                band.append((v >> al) if v >= 0 else -((-v) >> al))
+            last_nz = -1
+            for i, t in enumerate(band):
+                if t:
+                    last_nz = i
+            if last_nz < 0:
+                state["eob"] += 1
+                if state["eob"] == 0x7FFF:
+                    emit_eobrun()
+                continue
+            emit_eobrun()
+            run = 0
+            for t in band[:last_nz + 1]:
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_tab[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(t)
+                code, length = ac_tab[(run << 4) | size]
+                w.write(code, length)
+                w.write(bits, size)
+                run = 0
+            if last_nz < se - ss:
+                state["eob"] += 1
+                if state["eob"] == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+
+    def ac_refine(w, ss, se, al):
+        """Successive-approximation refinement, emitted as an exact
+        simulation of the decoder's walk (G.1.2.3): correction bits for
+        already-significant coefficients are written at the position the
+        decoder reads them — inline during each symbol's advance, or
+        buffered onto the pending EOBRUN and flushed right after the EOBn
+        symbol for run-covered block tails."""
+        state = {"eob": 0}
+        br: list[int] = []  # corrections owed to the pending EOB run
+
+        def emit_eobrun():
+            if state["eob"]:
+                n = state["eob"].bit_length() - 1
+                code, length = ac_tab[n << 4]
+                w.write(code, length)
+                if n:
+                    w.write(state["eob"] - (1 << n), n)
+                state["eob"] = 0
+                for b in br:
+                    w.write(b, 1)
+                br.clear()
+            assert not br  # corrections only buffer under a pending run
+
+        for seq in seqs:
+            band = [abs(seq[k]) >> al for k in range(ss, se + 1)]
+            n = len(band)
+            sig = [i for i, t in enumerate(band) if t == 1]
+            if not sig:
+                # whole block rides the EOB run; its corrections flush
+                # after the eventual EOBn symbol, in block/position order
+                state["eob"] += 1
+                br.extend(t & 1 for t in band if t > 1)
+                if state["eob"] == 0x7FFF:
+                    emit_eobrun()
+                continue
+            k = 0
+            for s_pos in sig:
+                r = sum(1 for i in range(k, s_pos) if band[i] == 0)
+                while r > 15:
+                    emit_eobrun()
+                    code, length = ac_tab[0xF0]
+                    w.write(code, length)
+                    cnt = 0  # decoder walk: 16 zero-history skips,
+                    while cnt < 16:  # corrections read inline
+                        if band[k] == 0:
+                            cnt += 1
+                        elif band[k] > 1:
+                            w.write(band[k] & 1, 1)
+                        k += 1
+                    r -= 16
+                emit_eobrun()
+                code, length = ac_tab[(r << 4) | 1]
+                w.write(code, length)
+                w.write(1 if seq[ss + s_pos] > 0 else 0, 1)
+                while k < s_pos:
+                    if band[k] > 1:
+                        w.write(band[k] & 1, 1)
+                    k += 1
+                k = s_pos + 1
+            if k < n:
+                # trailing zero-history tail: joins the EOB run
+                state["eob"] += 1
+                br.extend(band[i] & 1 for i in range(k, n) if band[i] > 1)
+                if state["eob"] == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE[zz[i]]
+                                           for i in range(64)))
+    out += seg(0xC2, struct.pack(">BHHB", 8, height, width, 1)
+               + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(prog_ac_bits)
+               + bytes(prog_ac_vals))
+
+    script = [
+        ("dc_first", 0, 0, 0, 1),
+        ("ac_first", 1, 5, 0, 2),
+        ("ac_first", 6, 63, 0, 2),
+        ("ac_refine", 1, 5, 2, 1),
+        ("ac_refine", 6, 63, 2, 1),
+        ("ac_refine", 1, 5, 1, 0),
+        ("ac_refine", 6, 63, 1, 0),
+        ("dc_refine", 0, 0, 1, 0),
+    ]
+    for kind, ss, se, ah, al in script:
+        w = _BitWriter()
+        {"dc_first": lambda: dc_first(w, al),
+         "dc_refine": lambda: dc_refine(w, al),
+         "ac_first": lambda: ac_first(w, ss, se, al),
+         "ac_refine": lambda: ac_refine(w, ss, se, al)}[kind]()
+        w.flush()
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += bytes(w.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # Annex-K-style chroma quantization table (row-major). Huffman tables for
 # the chroma ids simply REUSE the luma tables (stored under table id 1 in
 # the DHT segments — spec-legal and self-consistent; decoders read the
@@ -765,17 +980,18 @@ def _extend(bits: int, size: int) -> int:
 def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     """Baseline sequential JPEG -> (width, height, LUMA pixels).
 
-    Parses DQT/SOF0/DHT/SOS/DRI from the stream (any conformant baseline
-    file, not just our encoder's — 0xFF fill bytes per T.81 B.1.1.2
-    included), huffman-decodes, dequantizes, inverse-DCTs with numpy.
-    Handles grayscale AND interleaved multi-component color (r4.1: any
-    sampling-factor layout — 4:4:4, 4:2:0, 4:2:2, ... — with the luma
-    component at full resolution); the output is the LUMA plane (Y is
-    BT.601 luma directly — chroma components are entropy-decoded to keep
-    the stream in sync and discarded). Progressive (SOF2), arithmetic
-    coding, 16-bit quant tables and subsampled-luma layouts raise
-    NotImplementedError — the documented codec seam. Malformed / truncated
-    input raises ValueError."""
+    Parses DQT/SOF/DHT/SOS/DRI from the stream (any conformant file, not
+    just our encoder's — 0xFF fill bytes per T.81 B.1.1.2 included),
+    huffman-decodes, dequantizes, inverse-DCTs with numpy. Handles
+    baseline (SOF0) AND progressive (SOF2, r5) streams, grayscale AND
+    interleaved multi-component color (any sampling-factor layout —
+    4:4:4, 4:2:0, 4:2:2, ... — with the luma component at full
+    resolution); the output is the LUMA plane (Y is BT.601 luma directly
+    — chroma components are decoded to keep the stream in sync and
+    discarded). Arithmetic coding, hierarchical mode, 16-bit quant tables
+    and subsampled-luma layouts raise NotImplementedError — the
+    documented codec seam. Malformed / truncated input raises
+    ValueError."""
     import numpy as np
 
     try:
@@ -800,8 +1016,9 @@ def decode_jpeg(data: bytes, upsample: str = "nearest",
     choice our oracles use — or ``"bilinear"``, the
     centered-sample triangular filter), then converted per the JFIF
     YCbCr<->RGB matrix with floor(x+0.5) rounding and [0,255] clamping.
-    Same seam as :func:`decode_jpeg_gray` for progressive/arithmetic
-    streams; ValueError on malformed input."""
+    Baseline and progressive streams both decode (r5); same seam as
+    :func:`decode_jpeg_gray` for arithmetic/hierarchical streams;
+    ValueError on malformed input."""
     import numpy as np
 
     if upsample not in ("nearest", "bilinear"):
@@ -916,10 +1133,16 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:
+            # progressive DCT (SOF2): own scan loop — spectral selection
+            # + successive approximation (r5)
+            return _decode_progressive(data, render_all)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) JPEG is supported")
+                "only baseline sequential (SOF0) and progressive (SOF2) "
+                "JPEG are supported (arithmetic coding / hierarchical "
+                "modes remain the codec seam)")
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -1058,6 +1281,309 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
     if done < n_mcus:
         raise ValueError("JPEG entropy data truncated")
     return width, height, comps, planes, hmax, vmax
+
+
+def _scan_entropy_end(data: bytes, pos: int) -> int:
+    """End of an entropy-coded segment starting at ``pos``: the first 0xFF
+    followed by a real marker (not a stuffed 0x00, not RSTn — those stay
+    inside the segment)."""
+    i = pos
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+            continue
+        break
+    return i
+
+
+def _split_restart_intervals(ecs: bytes) -> list[bytes]:
+    """Split entropy bytes on RSTn markers (same contract as baseline)."""
+    intervals, start, i = [], 0, 0
+    while i + 1 < len(ecs):
+        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
+            intervals.append(ecs[start:i])
+            i += 2
+            start = i
+        elif ecs[i] == 0xFF and ecs[i + 1] == 0x00:
+            i += 2
+        else:
+            i += 1
+    intervals.append(ecs[start:])
+    return intervals
+
+
+def _decode_progressive(data: bytes, render_all: bool):
+    """Progressive (SOF2) JPEG: spectral-selection + successive-
+    approximation scan decode per ITU T.81 G.2 (huffman coding), then the
+    same dequant/IDCT as baseline. Returns the ``_decode_jpeg_planes``
+    tuple. Implements DC first/refine (interleaved or single-component)
+    and AC first/refine (single-component, EOBRUN semantics, ZRL,
+    correction bits); restart intervals reset predictors and EOBRUN.
+    Same strict truncation contract as baseline: a band pass that consumed
+    zero-fill bits past end-of-stream raises."""
+    import numpy as np
+
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comps: list[dict] = []
+    restart_interval = 0
+    scans: list[dict] = []
+    pos = 2
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = list(body[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC2:
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                huff[(tc, th)] = _huff_decode_tree(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            by_id = {c["id"]: c for c in comps}
+            scomps = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                scomps.append((by_id[cid], huff.get((0, tt >> 4)),
+                               huff.get((1, tt & 0x0F))))
+            ss, se, a = body[1 + 2 * ns:4 + 2 * ns]
+            end = _scan_entropy_end(data, pos)
+            scans.append({"comps": scomps, "ss": ss, "se": se,
+                          "ah": a >> 4, "al": a & 0x0F,
+                          "ecs": data[pos:end],
+                          "dri": restart_interval})
+            pos = end
+    if width is None or not scans:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+        raise NotImplementedError(
+            "luma component must be at full resolution (subsampled-luma "
+            "layouts need a real resampler — PIL's seam)")
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    zz = _JPEG_ZIGZAG
+    for c in comps:
+        # full MCU-covering block grid (interleaved DC scans touch padding
+        # blocks); non-interleaved scans only iterate the real grid below
+        c["coef"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                             dtype=np.int32)
+        cw = -(-width * c["h"] // hmax)   # ceil(width * h / hmax)
+        ch = -(-height * c["v"] // vmax)
+        c["nbx"] = -(-cw // 8)
+        c["nby"] = -(-ch // 8)
+
+    for scan in scans:
+        scomps = scan["comps"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        intervals = _split_restart_intervals(scan["ecs"])
+        dri = scan["dri"]
+        if len(intervals) > 1 and dri == 0:
+            raise ValueError("restart markers present but no DRI segment")
+
+        if ss == 0:  # DC scan (may be interleaved)
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            if len(scomps) > 1:
+                units = mcus_x * mcus_y  # MCUs
+            else:
+                comp = scomps[0][0]
+                units = comp["nbx"] * comp["nby"]
+        else:  # AC scan: T.81 G.1.1.1 — single component only
+            if len(scomps) != 1:
+                raise ValueError("interleaved AC scan in progressive JPEG")
+            comp = scomps[0][0]
+            units = comp["nbx"] * comp["nby"]
+
+        done = 0
+        for ci, chunk in enumerate(intervals):
+            reader = _BitReader(chunk)
+            preds = {c[0]["id"]: 0 for c in scomps}
+            eobrun = 0
+            in_chunk = (dri if dri and ci < len(intervals) - 1
+                        else units - done)
+            for _ in range(in_chunk):
+                if done >= units:
+                    break
+                if ss == 0 and len(scomps) > 1:
+                    my, mx = divmod(done, mcus_x)
+                    for comp, dc_tab, _ac in scomps:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                blk = comp["coef"][my * comp["v"] + by,
+                                                   mx * comp["h"] + bx]
+                                preds[comp["id"]] = _dc_pass(
+                                    reader, dc_tab, blk, ah, al,
+                                    preds[comp["id"]])
+                else:
+                    comp, dc_tab, ac_tab = scomps[0]
+                    by, bx = divmod(done, comp["nbx"])
+                    blk = comp["coef"][by, bx]
+                    if ss == 0:
+                        preds[comp["id"]] = _dc_pass(
+                            reader, dc_tab, blk, ah, al, preds[comp["id"]])
+                    elif ah == 0:
+                        eobrun = _ac_first_pass(
+                            reader, ac_tab, blk, ss, se, al, eobrun, zz)
+                    else:
+                        eobrun = _ac_refine_pass(
+                            reader, ac_tab, blk, ss, se, al, eobrun, zz)
+                done += 1
+                if reader.consumed_synthetic():
+                    raise ValueError(
+                        "JPEG entropy data truncated (progressive scan "
+                        "ended mid-band)")
+        if done < units:
+            raise ValueError("JPEG entropy data truncated")
+
+    # dequant + IDCT every rendered component in one vectorized pass
+    C = _dct_matrix()
+    qnat: dict[int, np.ndarray] = {}
+    for tq, vals in qtables.items():
+        flatq = np.empty(64)
+        for i in range(64):
+            flatq[zz[i]] = vals[i]
+        qnat[tq] = flatq
+    render = comps if render_all else comps[:1]
+    planes = {}
+    for c in render:
+        coefs = c["coef"].astype(np.float64) * qnat[c["tq"]]
+        nby, nbx = coefs.shape[0], coefs.shape[1]
+        blocks = coefs.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ji,yxjk,kl->yxil", C, blocks, C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        planes[c["id"]] = plane
+    return width, height, comps, planes, hmax, vmax
+
+
+def _dc_pass(reader: _BitReader, dc_tab, blk, ah: int, al: int,
+             pred: int) -> int:
+    """One block's DC contribution: first pass (Ah=0) huffman-decodes the
+    diff at Al precision; refinement ORs in the next bit."""
+    if ah == 0:
+        size = _read_huff(reader, dc_tab)
+        pred += _extend(reader.read_bits(size), size)
+        blk[0] = pred << al
+    else:
+        if reader.read_bit():
+            blk[0] |= (1 << al)
+    return pred
+
+
+def _ac_first_pass(reader: _BitReader, ac_tab, blk, ss: int, se: int,
+                   al: int, eobrun: int, zz) -> int:
+    """G.1.2.2: first AC pass of a band — RS symbols with EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun in progressive scan")
+        blk[zz[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_pass(reader: _BitReader, ac_tab, blk, ss: int, se: int,
+                    al: int, eobrun: int, zz) -> int:
+    """G.1.2.3: AC successive-approximation refinement — newly-significant
+    coefficients arrive as ±1<<Al; already-significant ones receive one
+    correction bit each."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid newly-significant magnitude in AC "
+                        "refinement scan")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = zz[k]
+                cur = int(blk[z])
+                if cur != 0:
+                    if reader.read_bit() and (cur & p1) == 0:
+                        blk[z] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        if val:
+                            blk[z] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = zz[k]
+            cur = int(blk[z])
+            if cur != 0:
+                if reader.read_bit() and (cur & p1) == 0:
+                    blk[z] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ---------------------------------------------------------------------------

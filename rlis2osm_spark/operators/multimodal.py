@@ -7,13 +7,14 @@ shapes, partitioning, the UDF signatures. The codec step:
 - ``decode_stub=True`` (default) runs a deterministic fake decoder over the
   raw bytes (no codec needed);
 - ``decode_stub=False`` REALLY decodes PNG (stdlib zlib/struct), GIF
-  (pure-Python LZW, r4), baseline JPEG — grayscale AND interleaved
+  (pure-Python LZW, r4), JPEG — baseline AND progressive (SOF2 spectral
+  selection + successive approximation, r5), grayscale AND interleaved
   color, any sampling layout, full-RGB output with nearest/bilinear
-  chroma upsampling (pure Python + numpy huffman/DCT, r4; chroma r5) —
-  MJPEG-AVI video and WAV (struct over RIFF) via functions/codecs.py;
-  what remains behind ``NotImplementedError`` is progressive/arithmetic
-  JPEG and non-MJPG video codecs — the exact seam where PIL / pyav
-  plug in.
+  chroma upsampling (pure Python + numpy huffman/DCT, r4; chroma +
+  progressive r5) — MJPEG-AVI video and WAV (struct over RIFF) via
+  functions/codecs.py; what remains behind ``NotImplementedError`` is
+  arithmetic-coded/hierarchical JPEG and non-MJPG video codecs — the
+  exact seam where PIL / pyav plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -99,15 +100,16 @@ def extract_image_features(
                     raise NotImplementedError(
                         f"real image decoding for {fmt!r} requires an image "
                         "codec library; plug PIL/pyav in here (png, gif and "
-                        "baseline jpeg — grayscale or full-RGB color — "
-                        "decode natively via functions/codecs.py)")
+                        "baseline/progressive jpeg — grayscale or full-RGB "
+                        "color — decode natively via functions/codecs.py)")
                 from rlis2osm_spark.functions.codecs import (
                     decode_gif, decode_jpeg, decode_png)
 
                 if fmt == "jpeg":
                     # decode_jpeg raises NotImplementedError itself for
-                    # progressive/arithmetic streams — the remaining seam;
-                    # color output is full RGB (r5, nearest chroma upsample)
+                    # arithmetic-coded/hierarchical streams — the remaining
+                    # seam; color is full RGB (r5, nearest chroma upsample),
+                    # progressive decodes for real (r5)
                     w, h, nch, px = decode_jpeg(b)
                 else:
                     dec = {"png": decode_png, "gif": decode_gif}[fmt]

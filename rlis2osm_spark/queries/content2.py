@@ -441,16 +441,27 @@ def _m1_payload_frames(spark, sf_dir):
                 by, bx = divmod(k, bw)
                 img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
                     2 * ((d * 13 + k * 29) % 128)
-            # alternate grayscale / 4:4:4 color / 4:2:0 color encoders.
-            # Color modes carry REAL chroma (r5): constant-per-image
-            # Cb/Cr = 128 + 17k — 17 is the chroma DC quant step, so the
-            # DC-only chroma blocks round-trip exactly and the decoded RGB
-            # (nearest-upsampled, floor(x+0.5) JFIF conversion) is
-            # analytically predictable per block
-            mode = d % 3
+            # alternate grayscale / 4:4:4 color / 4:2:0 color / PROGRESSIVE
+            # grayscale encoders. Color modes carry REAL chroma (r5):
+            # constant-per-image Cb/Cr = 128 + 17k — 17 is the chroma DC
+            # quant step, so the DC-only chroma blocks round-trip exactly
+            # and the decoded RGB (nearest-upsampled, floor(x+0.5) JFIF
+            # conversion) is analytically predictable per block. Mode 3
+            # (r5) encodes the same DCT-exact blocks with the SOF2
+            # spectral-selection + successive-approximation script, so its
+            # oracle is the plain luma sum — proving the progressive
+            # decoder end-to-end in the driver gate. (doc_ids here are
+            # multiples of 4, so the mode selector is d//4.)
+            mode = (d // 4) % 4
             if mode == 0:
                 blob = encode_jpeg_gray(bw * 8, bh * 8, img.tobytes(),
                                         restart_every=d % 4)
+            elif mode == 3:
+                from rlis2osm_spark.functions.codecs import (
+                    encode_jpeg_progressive)
+
+                blob = encode_jpeg_progressive(bw * 8, bh * 8,
+                                               img.tobytes())
             else:
                 cb = 128 + 17 * (d % 5 - 2)
                 cr = 128 + 17 * ((d // 5) % 5 - 2)
@@ -544,20 +555,23 @@ gif_leg AS (
 ),
 jpg AS (
   SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + (doc_id // 3) % 3 AS bh,
-         doc_id % 3 AS mode,
+         (doc_id // 4) % 4 AS mode,
          CAST(17 * (doc_id % 5 - 2) AS DOUBLE) AS cbv,
          CAST(17 * ((doc_id // 5) % 5 - 2) AS DOUBLE) AS crv
   FROM documents WHERE doc_id % 4 = 0
 ),
--- mode 0: grayscale, v = luma sum. modes 1/2 (4:4:4 / 4:2:0 color):
--- v = RGB sum — per-block constant Y plus per-image constant chroma
--- (128 + 17k round-trips the chroma DC quant exactly), JFIF conversion
--- with floor(x+0.5) and [0,255] clamp, matching codecs._ycbcr_to_rgb
--- term-for-term (same literal coefficients, same association order)
+-- mode 0: baseline grayscale; mode 3: PROGRESSIVE grayscale (SOF2,
+-- spectral selection + successive approximation — same DCT-exact
+-- quantized coefficients, so same luma sum). modes 1/2 (4:4:4 / 4:2:0
+-- color): v = RGB sum — per-block constant Y plus per-image constant
+-- chroma (128 + 17k round-trips the chroma DC quant exactly), JFIF
+-- conversion with floor(x+0.5) and [0,255] clamp, matching
+-- codecs._ycbcr_to_rgb term-for-term (same literal coefficients, same
+-- association order)
 jpeg_leg AS (
   SELECT 'jpeg' AS kind, 'doc:' || doc_id AS media_ref,
          CAST(bw * 8 AS INT) AS d1, CAST(bh * 8 AS INT) AS d2,
-         CAST(CASE WHEN mode = 0 THEN
+         CAST(CASE WHEN mode = 0 OR mode = 3 THEN
            64 * list_aggregate(list_transform(
                 generate_series(0, bw * bh - 1),
                 k -> 2 * ((doc_id * 13 + k * 29) % 128)), 'sum')
