@@ -522,30 +522,42 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
             + b"\xff\xd9")
 
 
-def encode_jpeg_progressive(width: int, height: int, pixels: bytes) -> bytes:
-    """Progressive (SOF2) grayscale JPEG — T.81 Annex G huffman coding.
+def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
+                            subsampling: str | None = None,
+                            cb_pixels: bytes | None = None,
+                            cr_pixels: bytes | None = None) -> bytes:
+    """Progressive (SOF2) JPEG — T.81 Annex G huffman coding. Grayscale
+    by default; pass ``subsampling`` ("4:4:4" / "4:2:0", with optional
+    chroma planes at chroma resolution like :func:`encode_jpeg_color`)
+    for 3-component YCbCr — the DC scans are then MCU-interleaved across
+    components (the multi-component progressive decode path).
 
     Scan script exercises every progressive decode mode: DC first at Al=1
     then a DC refinement bit; each AC band (1-5, 6-63) encoded by spectral
     selection at Al=2 followed by TWO successive-approximation refinement
-    scans (2->1, 1->0) carrying real correction bits and EOBRUN joins.
-    Quantized coefficients are identical to :func:`encode_jpeg_gray`'s, so
-    a progressive stream must decode to EXACTLY the same pixels as the
-    baseline encoding of the same image — the differential oracle the
-    tests pin."""
+    scans (2->1, 1->0) carrying real correction bits and EOBRUN joins;
+    AC scans are per-component as the spec requires. Quantized
+    coefficients are identical to :func:`encode_jpeg_gray` /
+    :func:`encode_jpeg_color`'s, so a progressive stream must decode to
+    EXACTLY the same pixels as the baseline encoding of the same image —
+    the differential oracle the tests pin."""
     import numpy as np
 
     if len(pixels) != width * height:
         raise ValueError("pixels must be width*height bytes")
+    if subsampling not in (None, "4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be None, '4:4:4' or '4:2:0'")
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    nby, nbx = (height + 7) // 8, (width + 7) // 8
-    padded = np.empty((nby * 8, nbx * 8), dtype=np.float64)
+    hy = vy = (2 if subsampling == "4:2:0" else 1)
+    tile = 8 * hy if subsampling else 8
+    ph = (height + tile - 1) // tile * tile
+    pw = (width + tile - 1) // tile * tile
+    padded = np.empty((ph, pw), dtype=np.float64)
     padded[:height, :width] = img
     padded[height:, :width] = img[-1:, :]
     padded[:, width:] = padded[:, width - 1:width]
 
     C = _dct_matrix()
-    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     zz = _JPEG_ZIGZAG
     dc_tab = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     # progressive AC scans need EOBn symbols (n<<4, n=1..14), which the
@@ -560,31 +572,96 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes) -> bytes:
     prog_ac_bits[7] = len(prog_ac_vals)
     ac_tab = _huff_codes(prog_ac_bits, prog_ac_vals)
 
-    # quantized zigzag coefficient sequences, block raster order
-    seqs: list[list[int]] = []
-    for by in range(nby):
-        for bx in range(nbx):
-            block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-            quant = np.round((C @ block @ C.T) / q).astype(np.int64)
-            flat = quant.reshape(-1)
-            seqs.append([int(flat[zz[i]]) for i in range(64)])
+    def quantize_plane(plane, qmat):
+        """plane (8-multiple dims) -> {(by, bx): zigzag seq}."""
+        out = {}
+        for by in range(plane.shape[0] // 8):
+            for bx in range(plane.shape[1] // 8):
+                block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                quant = np.round((C @ block @ C.T) / qmat).astype(np.int64)
+                flat = quant.reshape(-1)
+                out[(by, bx)] = [int(flat[zz[i]]) for i in range(64)]
+        return out
+
+    qy = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    if subsampling is None:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0,
+                  "blocks": quantize_plane(padded, qy),
+                  "nbx": (width + 7) // 8, "nby": (height + 7) // 8}]
+    else:
+        qc = np.array(_JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+        cw, chh = -(-width // hy), -(-height // vy)
+        cpw, cph = pw // hy, ph // vy
+
+        def chroma_plane(pix, name):
+            if pix is None:
+                return np.full((cph, cpw), 128.0)
+            if len(pix) != cw * chh:
+                raise ValueError(
+                    f"{name} must be {cw}*{chh} bytes at {subsampling}")
+            c = np.frombuffer(pix, dtype=np.uint8).reshape(chh, cw)
+            out = np.empty((cph, cpw), dtype=np.float64)
+            out[:chh, :cw] = c
+            out[chh:, :cw] = c[-1:, :]
+            out[:, cw:] = out[:, cw - 1:cw]
+            return out
+
+        comps = [
+            {"id": 1, "h": hy, "v": vy, "tq": 0,
+             "blocks": quantize_plane(padded, qy),
+             "nbx": (width + 7) // 8, "nby": (height + 7) // 8},
+            {"id": 2, "h": 1, "v": 1, "tq": 1,
+             "blocks": quantize_plane(chroma_plane(cb_pixels, "cb_pixels"),
+                                      qc),
+             "nbx": -(-cw // 8), "nby": -(-chh // 8)},
+            {"id": 3, "h": 1, "v": 1, "tq": 1,
+             "blocks": quantize_plane(chroma_plane(cr_pixels, "cr_pixels"),
+                                      qc),
+             "nbx": -(-cw // 8), "nby": -(-chh // 8)},
+        ]
+    mcus_x, mcus_y = pw // tile, ph // tile
+
+    def dc_units():
+        """(comp_id, seq) in decode order: MCU-interleaved when ns > 1,
+        else the single component's full padded block grid raster."""
+        if len(comps) == 1:
+            c = comps[0]
+            for by in range(c["nby"]):
+                for bx in range(c["nbx"]):
+                    yield c["id"], c["blocks"][(by, bx)]
+            return
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield c["id"], c["blocks"][
+                                (my * c["v"] + by, mx * c["h"] + bx)]
+
+    def ac_units(comp):
+        """Non-interleaved AC scan order: the component's REAL block grid
+        (ceil(comp_samples/8)), raster order — padding blocks that exist
+        only to complete an MCU are not coded in AC scans."""
+        for by in range(comp["nby"]):
+            for bx in range(comp["nbx"]):
+                yield comp["blocks"][(by, bx)]
 
     def dc_first(w, al):
-        pred = 0
-        for seq in seqs:
+        preds = {c["id"]: 0 for c in comps}
+        for cid, seq in dc_units():
             t = seq[0] >> al  # arithmetic shift = the DC point transform
-            size, bits = _magnitude(t - pred)
-            pred = t
+            size, bits = _magnitude(t - preds[cid])
+            preds[cid] = t
             code, length = dc_tab[size]
             w.write(code, length)
             if size:
                 w.write(bits, size)
 
     def dc_refine(w, al):
-        for seq in seqs:
+        for _cid, seq in dc_units():
             w.write((seq[0] >> al) & 1, 1)
 
-    def ac_first(w, ss, se, al):
+    def ac_first(w, seqs, ss, se, al):
         state = {"eob": 0}
 
         def emit_eobrun():
@@ -631,7 +708,7 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes) -> bytes:
                     emit_eobrun()
         emit_eobrun()
 
-    def ac_refine(w, ss, se, al):
+    def ac_refine(w, seqs, ss, se, al):
         """Successive-approximation refinement, emitted as an exact
         simulation of the decoder's walk (G.1.2.3): correction bits for
         already-significant coefficients are written at the position the
@@ -704,31 +781,49 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes) -> bytes:
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE[zz[i]]
                                            for i in range(64)))
-    out += seg(0xC2, struct.pack(">BHHB", 8, height, width, 1)
-               + bytes([1, 0x11, 0]))
+    if subsampling:
+        out += seg(0xDB, bytes([0x01]) + bytes(_JPEG_QTABLE_CHROMA[zz[i]]
+                                               for i in range(64)))
+    sof_comps = b"".join(
+        bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]]) for c in comps)
+    out += seg(0xC2, struct.pack(">BHHB", 8, height, width, len(comps))
+               + sof_comps)
     out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
                + bytes(_JPEG_DC_VALS))
     out += seg(0xC4, bytes([0x10]) + bytes(prog_ac_bits)
                + bytes(prog_ac_vals))
 
-    script = [
-        ("dc_first", 0, 0, 0, 1),
-        ("ac_first", 1, 5, 0, 2),
-        ("ac_first", 6, 63, 0, 2),
-        ("ac_refine", 1, 5, 2, 1),
-        ("ac_refine", 6, 63, 2, 1),
-        ("ac_refine", 1, 5, 1, 0),
-        ("ac_refine", 6, 63, 1, 0),
-        ("dc_refine", 0, 0, 1, 0),
-    ]
-    for kind, ss, se, ah, al in script:
+    # scan script: one interleaved DC pair; per-component AC band scans
+    # with two successive-approximation refinements each
+    dc_comps = comps
+    script = [("dc_first", None, 0, 0, 0, 1)]
+    for c in comps:
+        script += [("ac_first", c, 1, 5, 0, 2),
+                   ("ac_first", c, 6, 63, 0, 2)]
+    for c in comps:
+        script += [("ac_refine", c, 1, 5, 2, 1),
+                   ("ac_refine", c, 6, 63, 2, 1),
+                   ("ac_refine", c, 1, 5, 1, 0),
+                   ("ac_refine", c, 6, 63, 1, 0)]
+    script += [("dc_refine", None, 0, 0, 1, 0)]
+
+    for kind, comp, ss, se, ah, al in script:
         w = _BitWriter()
-        {"dc_first": lambda: dc_first(w, al),
-         "dc_refine": lambda: dc_refine(w, al),
-         "ac_first": lambda: ac_first(w, ss, se, al),
-         "ac_refine": lambda: ac_refine(w, ss, se, al)}[kind]()
+        if kind == "dc_first":
+            dc_first(w, al)
+        elif kind == "dc_refine":
+            dc_refine(w, al)
+        elif kind == "ac_first":
+            ac_first(w, list(ac_units(comp)), ss, se, al)
+        else:
+            ac_refine(w, list(ac_units(comp)), ss, se, al)
         w.flush()
-        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        if kind.startswith("dc"):
+            hdr = bytes([len(dc_comps)]) + b"".join(
+                bytes([c["id"], 0x00]) for c in dc_comps)
+        else:
+            hdr = bytes([1, comp["id"], 0x00])
+        out += seg(0xDA, hdr + bytes([ss, se, (ah << 4) | al]))
         out += bytes(w.out)
     out += b"\xff\xd9"
     return bytes(out)

@@ -589,6 +589,30 @@ def test_jpeg_progressive_matches_baseline_decode():
     assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), img)
 
 
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_jpeg_progressive_color_matches_baseline(subsampling):
+    """Color progressive: MCU-interleaved DC scans across three
+    components + per-component AC band/refinement scans must decode to
+    the same RGB as the baseline color encoding of the same planes."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(19)
+    for w, h in [(16, 16), (24, 16), (21, 13)]:
+        hy = 2 if subsampling == "4:2:0" else 1
+        cw, ch = -(-w // hy), -(-h // hy)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        cb = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        cr = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        base = C.decode_jpeg(C.encode_jpeg_color(
+            w, h, img.tobytes(), subsampling, cb.tobytes(), cr.tobytes()))
+        prog = C.decode_jpeg(C.encode_jpeg_progressive(
+            w, h, img.tobytes(), subsampling, cb.tobytes(), cr.tobytes()))
+        assert base == prog
+        assert base[2] == 3
+
+
 def test_jpeg_progressive_truncation_raises():
     """A progressive stream cut inside any scan must raise, same strict
     contract as baseline (zero-fill bits are never silently decoded)."""
