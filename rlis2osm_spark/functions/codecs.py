@@ -1732,18 +1732,88 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
-    """AVI -> (width, height, [jpeg frame bytes]). Parses any RIFF/AVI
-    layout (walks chunks, finds LIST movi, collects 00dc/00db); a stream
-    whose handler is not MJPG raises NotImplementedError (real codecs —
-    pyav's seam)."""
+def encode_avi_raw(frames_gray: list[bytes], width: int, height: int,
+                   fps: int = 10) -> bytes:
+    """Minimal single-stream UNCOMPRESSED AVI (handler 'DIB ',
+    biCompression=0): each frame is a classic bottom-up 24-bit BGR DIB
+    with rows padded to 4 bytes.  ``frames_gray`` supplies width*height
+    grayscale bytes per frame (replicated into B=G=R)."""
+    if not frames_gray:
+        raise ValueError("need at least one frame")
+    import numpy as np
+
+    stride = (width * 3 + 3) & ~3
+    dibs = []
+    for g in frames_gray:
+        if len(g) != width * height:
+            raise ValueError("each frame must be width*height bytes")
+        a = np.frombuffer(g, dtype=np.uint8).reshape(height, width)
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rgb = np.repeat(a[::-1, :, None], 3, axis=2)  # bottom-up, B=G=R
+        rows[:, :width * 3] = rgb.reshape(height, width * 3)
+        dibs.append(rows.tobytes())
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_bytes = stride * height
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_bytes * fps, 0, 0x10, len(dibs),
+        0, 1, max_bytes, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB "
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                          len(dibs), max_bytes, 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, width, height))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       max_bytes, 0, 0, 0, 0)
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + list_chunk(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", f) for f in dibs))
+    entries = bytearray()
+    off = 4
+    for f in dibs:
+        entries += b"00db" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", bytes(entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_dib_frame(frame: bytes, width: int, height: int,
+                     ) -> "tuple[int, int, int, bytes]":
+    """One 24-bit BI_RGB DIB frame -> (width, height, 3, interleaved RGB
+    top-down). Rows are bottom-up and 4-byte padded in the container."""
+    import numpy as np
+
+    stride = (width * 3 + 3) & ~3
+    if len(frame) < stride * height:
+        raise ValueError("DIB frame truncated")
+    rows = np.frombuffer(frame[:stride * height],
+                         dtype=np.uint8).reshape(height, stride)
+    bgr = rows[:, :width * 3].reshape(height, width, 3)[::-1, :, :]
+    rgb = bgr[:, :, ::-1]
+    return width, height, 3, np.ascontiguousarray(rgb).tobytes()
+
+
+def decode_avi_frames(data: bytes) -> tuple[int, int, str, list[bytes]]:
+    """AVI -> (width, height, codec, [frame bytes]). Parses any RIFF/AVI
+    layout (walks chunks, finds LIST movi, collects 00dc/00db). ``codec``
+    is ``"mjpg"`` (frames are baseline JPEGs) or ``"dib"`` (frames are
+    uncompressed bottom-up BGR — decode with :func:`decode_dib_frame`);
+    any other handler raises NotImplementedError (real codecs — pyav's
+    seam)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     width = height = None
+    codec = None
     frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal width, height
+        nonlocal width, height, codec
         while pos + 8 <= end:
             tag = data[pos:pos + 4]
             (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -1756,10 +1826,16 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
             elif tag == b"strh":
                 fcc_type = data[body_start:body_start + 4]
                 handler = data[body_start + 4:body_start + 8]
-                if fcc_type == b"vids" and handler not in (b"MJPG", b"mjpg"):
-                    raise NotImplementedError(
-                        f"video codec {handler!r} needs a real decoder "
-                        "(pyav plugs in here); only MJPG decodes natively")
+                if fcc_type == b"vids":
+                    if handler in (b"MJPG", b"mjpg"):
+                        codec = "mjpg"
+                    elif handler in (b"DIB ", b"RGB ", b"\x00\x00\x00\x00"):
+                        codec = "dib"
+                    else:
+                        raise NotImplementedError(
+                            f"video codec {handler!r} needs a real decoder "
+                            "(pyav plugs in here); MJPG and uncompressed "
+                            "DIB decode natively")
             elif tag in (b"00dc", b"00db"):
                 frames.append(data[body_start:body_start + ln])
             pos = body_start + ln + (ln & 1)
@@ -1767,6 +1843,15 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
     walk(12, len(data))
     if width is None or not frames:
         raise ValueError("AVI missing header or frames")
+    return width, height, codec or "mjpg", frames
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Back-compat wrapper: AVI -> (width, height, [jpeg frame bytes])."""
+    width, height, codec, frames = decode_avi_frames(data)
+    if codec != "mjpg":
+        raise ValueError("decode_avi_mjpeg called on a non-MJPG stream; "
+                         "use decode_avi_frames")
     return width, height, frames
 
 

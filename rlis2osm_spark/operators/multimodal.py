@@ -192,19 +192,21 @@ def extract_video_frames(
     every_n: int = 1,
     decode_stub: bool = True,
 ) -> DataFrame:
-    """REAL video frame sampling + decode (r4): parse the RIFF/AVI
-    container, take every ``every_n``-th frame, decode each MJPEG frame
-    through the baseline JPEG decoder -> one row per sampled frame with
-    exact decoded pixel sums. One Arrow pass; no per-pixel Python (numpy
-    inside the batch). Non-MJPG codecs raise NotImplementedError from the
-    codec layer — the pyav seam. ``decode_stub=True`` (default — the same
-    contract as the image/audio extractors) keeps the container parse real
-    but skips the per-frame JPEG decode (px_sum null); pass
-    ``decode_stub=False`` to really decode MJPEG frames."""
+    """REAL video frame sampling + decode (r4; DIB r5): parse the
+    RIFF/AVI container, take every ``every_n``-th frame, decode each
+    frame — MJPEG through the baseline JPEG decoder (px_sum = luma sum),
+    uncompressed 'DIB ' as bottom-up 24-bit BGR (px_sum over all RGB
+    samples) -> one row per sampled frame with exact decoded pixel sums.
+    One Arrow pass; no per-pixel Python (numpy inside the batch). Other
+    codecs raise NotImplementedError from the codec layer — the pyav
+    seam. ``decode_stub=True`` (default — the same contract as the
+    image/audio extractors) keeps the container parse real but skips the
+    per-frame decode (px_sum null); pass ``decode_stub=False`` to really
+    decode frames."""
 
     def batches(frames_it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rlis2osm_spark.functions.codecs import (
-            decode_avi_mjpeg, decode_jpeg_gray)
+            decode_avi_frames, decode_dib_frame, decode_jpeg_gray)
 
         for pdf in frames_it:
             rows = []
@@ -212,12 +214,16 @@ def extract_video_frames(
                 if payload is None:
                     rows.append((ref, None, None, None, None, None))
                     continue
-                w, h, frames = decode_avi_mjpeg(bytes(payload))
+                w, h, codec, frames = decode_avi_frames(bytes(payload))
                 for idx in range(0, len(frames), every_n):
                     if decode_stub:
                         rows.append((ref, len(frames), idx, w, h, None))
                         continue
-                    fw, fh, px = decode_jpeg_gray(frames[idx])
+                    if codec == "dib":
+                        fw, fh, _nch, px = decode_dib_frame(
+                            frames[idx], w, h)
+                    else:
+                        fw, fh, px = decode_jpeg_gray(frames[idx])
                     arr = np.frombuffer(px, dtype=np.uint8)
                     rows.append((ref, len(frames), idx, fw, fh,
                                  int(arr.sum(dtype=np.int64))))

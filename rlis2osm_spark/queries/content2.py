@@ -480,20 +480,23 @@ def _m1_payload_frames(spark, sf_dir):
         import numpy as np
 
         from rlis2osm_spark.functions.codecs import (
-            encode_avi_mjpeg, encode_jpeg_gray)
+            encode_avi_mjpeg, encode_avi_raw, encode_jpeg_gray)
 
         out = []
         for d in doc_ids:
             d = int(d)
             n = 2 + d % 3
+            raw = (d // 4) % 2 == 1  # alternate MJPEG / uncompressed DIB
             frames = []
             for f in range(n):
                 img = np.zeros((8, 16), dtype=np.uint8)
                 for k in range(2):
                     img[:, k * 8:(k + 1) * 8] = \
                         2 * ((d * 11 + f * 17 + k * 23) % 128)
-                frames.append(encode_jpeg_gray(16, 8, img.tobytes()))
-            out.append(encode_avi_mjpeg(frames, 16, 8))
+                frames.append(img.tobytes() if raw
+                              else encode_jpeg_gray(16, 8, img.tobytes()))
+            out.append(encode_avi_raw(frames, 16, 8) if raw
+                       else encode_avi_mjpeg(frames, 16, 8))
         return pd.Series(out, dtype=object)
 
     @F.pandas_udf(BinaryType())
@@ -593,11 +596,14 @@ jpeg_leg AS (
 avi AS (
   SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents WHERE doc_id % 4 = 0
 ),
+-- (doc_id//4)%2 picks the container codec: MJPEG (luma sum) vs
+-- uncompressed DIB (B=G=R replication -> exactly 3x the luma sum)
 avi_leg AS (
   SELECT 'avi' AS kind, 'doc:' || doc_id AS media_ref,
          CAST(f AS INT) AS d1, CAST(nf AS INT) AS d2,
-         CAST(64 * (2 * ((doc_id * 11 + f * 17) % 128)
-                    + 2 * ((doc_id * 11 + f * 17 + 23) % 128))
+         CAST((CASE WHEN (doc_id // 4) % 2 = 1 THEN 3 ELSE 1 END)
+              * 64 * (2 * ((doc_id * 11 + f * 17) % 128)
+                      + 2 * ((doc_id * 11 + f * 17 + 23) % 128))
               AS BIGINT) AS v
   FROM (SELECT doc_id, nf, unnest(generate_series(0, nf - 1, 2)) AS f
         FROM avi)

@@ -629,6 +629,43 @@ def test_jpeg_progressive_truncation_raises():
             decode_jpeg_gray(blob[:cut])
 
 
+def test_avi_raw_dib_roundtrip_and_codec_routing():
+    """r5: uncompressed 'DIB ' AVI — bottom-up 24-bit BGR frames with
+    4-byte row padding — decodes exactly; the container parser reports
+    the codec so extract_video_frames can route; unknown handlers still
+    hit the seam."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(2)
+    # odd width exercises the stride padding
+    for w, h in [(16, 8), (10, 5), (7, 3)]:
+        frames = [rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+                  for _ in range(3)]
+        blob = C.encode_avi_raw(frames, w, h)
+        dw, dh, codec, fr = C.decode_avi_frames(blob)
+        assert (dw, dh, codec, len(fr)) == (w, h, "dib", 3)
+        for g, f in zip(frames, fr):
+            fw, fh, nch, px = C.decode_dib_frame(f, dw, dh)
+            rgb = np.frombuffer(px, np.uint8).reshape(fh, fw, 3)
+            gray = np.frombuffer(g, np.uint8).reshape(h, w)
+            assert nch == 3
+            for c in range(3):  # B=G=R replication round-trips exactly
+                assert np.array_equal(rgb[:, :, c], gray)
+    # mjpeg still routes through the back-compat API
+    jb = C.encode_jpeg_gray(16, 8, bytes(128 for _ in range(128)))
+    mb = C.encode_avi_mjpeg([jb], 16, 8)
+    assert C.decode_avi_frames(mb)[2] == "mjpg"
+    assert len(C.decode_avi_mjpeg(mb)[2]) == 1
+    with pytest.raises(ValueError):
+        C.decode_avi_mjpeg(C.encode_avi_raw([bytes(128)], 16, 8))
+    with pytest.raises(NotImplementedError, match="XVID"):
+        C.decode_avi_frames(mb.replace(b"vidsMJPG", b"vidsXVID"))
+    with pytest.raises(ValueError):
+        C.decode_dib_frame(b"\x00" * 10, 16, 8)  # truncated frame
+
+
 def test_jpeg_bilinear_upsample_matches_reference():
     """Bilinear chroma reconstruction: centered-sample triangular filter
     against an independent numpy implementation on a random (but exactly
