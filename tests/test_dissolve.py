@@ -209,6 +209,17 @@ def test_dissolve_auto_routes_degenerate_group(spark):
     # the degenerate group really did split into its two chains
     svc = [r for r in auto.collect() if r.highway == "service"]
     assert sorted(r.n_members for r in svc) == [10, 60]
+    # ordered=True on the HYBRID path (fused small side + iterative big
+    # side unioned) is still a deterministic total order (r5)
+    o1 = dissolve_ways(df, algorithm="auto", max_group_rows=20,
+                       ordered=True).collect()
+    o2 = dissolve_ways(df, algorithm="auto", max_group_rows=20,
+                       ordered=True).collect()
+    assert [r.component_id for r in o1] == [r.component_id for r in o2]
+    assert [r.component_id for r in o1] == sorted(
+        r.component_id for r in o1)
+    assert canon(dissolve_ways(df, algorithm="auto", max_group_rows=20,
+                               ordered=True)) == canon(uf)
 
 
 def test_dissolve_same_tag_fork_divergence_pin(spark):
