@@ -117,11 +117,16 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     docs_per_sec = round(n_docs / flagship_sec, 1)
 
     # per-query min over repeats: sandbox host timings swing 2-3x under
-    # noisy neighbors; min is the robust estimator of the engine's cost
+    # noisy neighbors; min is the robust estimator of the engine's cost.
+    # One untimed warm run per query first (r5): whole-stage codegen
+    # compilation of the wide translation projections costs ~0.6s on the
+    # first call and was sometimes landing inside every timed repeat,
+    # recording compiler cost as engine cost.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     jvm_gc = spark.sparkContext._jvm.System.gc
     t_all = time.time()
     for name in HEADLINE:
+        _materialize(queries[name](spark, sf_dir))  # warm: codegen + stages
         best = None
         for _ in range(repeats):
             jvm_gc()

@@ -18,7 +18,8 @@
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
 ``NotImplementedError`` seam (operators/multimodal.py) is
-arithmetic-coded/hierarchical JPEG and non-MJPG video codecs.
+arithmetic-coded/hierarchical JPEG and compressed non-MJPG video
+codecs (uncompressed DIB AVI decodes natively, r5).
 """
 
 from __future__ import annotations

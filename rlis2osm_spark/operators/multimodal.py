@@ -13,7 +13,7 @@ shapes, partitioning, the UDF signatures. The codec step:
   chroma upsampling (pure Python + numpy huffman/DCT, r4; chroma +
   progressive r5) — MJPEG-AVI video and WAV (struct over RIFF) via
   functions/codecs.py; what remains behind ``NotImplementedError`` is
-  arithmetic-coded/hierarchical JPEG and non-MJPG video codecs — the
+  arithmetic-coded/hierarchical JPEG and compressed non-MJPG video codecs — the
   exact seam where PIL / pyav plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
