@@ -116,3 +116,48 @@ def test_linemerge_conserves_segments(pts, n_chains):
     # shared endpoints of merged runs
     assert total_pts <= 2 * len(segs)
     assert total_pts >= len(set((float(x), float(y)) for x, y in pts)) - len(out)
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (r5): the progressive encoder/decoder pair must agree
+# with baseline on ARBITRARY images — hypothesis explores dims and content
+# the hand-picked differential cases don't.
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2 ** 31 - 1))
+def test_progressive_equals_baseline_decode(w, h, seed):
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_jpeg_gray, encode_jpeg_gray, encode_jpeg_progressive)
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, (h, w), dtype=np.uint8).tobytes()
+    assert decode_jpeg_gray(encode_jpeg_progressive(w, h, img)) == \
+        decode_jpeg_gray(encode_jpeg_gray(w, h, img))
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(st.integers(min_value=1, max_value=24),
+       st.integers(min_value=1, max_value=24),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=0, max_value=2 ** 31 - 1))
+def test_dib_avi_roundtrip(w, h, n_frames, seed):
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_avi_frames, decode_dib_frame, encode_avi_raw)
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+              for _ in range(n_frames)]
+    dw, dh, codec, fr = decode_avi_frames(encode_avi_raw(frames, w, h))
+    assert (dw, dh, codec, len(fr)) == (w, h, "dib", n_frames)
+    for g, f in zip(frames, fr):
+        _, _, _, px = decode_dib_frame(f, w, h)
+        rgb = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+        assert np.array_equal(
+            rgb[:, :, 0], np.frombuffer(g, np.uint8).reshape(h, w))
