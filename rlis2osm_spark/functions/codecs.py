@@ -6,12 +6,13 @@
 - GIF: pure-Python LZW over the public GIF87a/GIF89a spec (8-bit
   palettized, variable-width codes up to 12 bits, interlaced or not;
   first frame of animations);
-- JPEG (r4/r5): huffman+DCT over the public ITU T.81 spec — baseline
-  sequential AND progressive (SOF2 spectral selection + successive
-  approximation, EOBRUN, correction bits), grayscale and interleaved
-  multi-component color with full-RGB output (nearest/bilinear chroma
-  upsampling), any sampling layout, restart intervals, fill bytes,
-  strict truncation detection;
+- JPEG (r4/r5): huffman modes of the public ITU T.81 spec — baseline
+  sequential, progressive (SOF2 spectral selection + successive
+  approximation, EOBRUN, correction bits) AND lossless (SOF3
+  predictive, predictors 1-7, point transform), grayscale and
+  interleaved multi-component color with full-RGB output
+  (nearest/bilinear chroma upsampling), any sampling layout, restart
+  intervals, fill bytes, strict truncation detection;
 - AVI/MJPEG (r4): RIFF-AVI container walk + per-frame baseline-JPEG
   decode + idx1 index.
 
@@ -830,6 +831,175 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
     return bytes(out)
 
 
+def encode_jpeg_lossless(width: int, height: int, pixels: bytes,
+                         predictor: int = 4,
+                         point_transform: int = 0) -> bytes:
+    """LOSSLESS JPEG (SOF3, T.81 Annex H) — grayscale, 8-bit precision.
+
+    Huffman-codes prediction differences (predictor 1-7, selected by the
+    scan header's Ss field) modulo 2^16; the first sample predicts from
+    2^(P-1-Pt), the rest of the first line from `a`, each line start from
+    `b`.  ``point_transform`` (Al) drops low bits before prediction —
+    decode then left-shifts them back in (near-lossless mode); 0 is fully
+    lossless.  The DHT is a custom flat 5-bit table because the Annex-K
+    DC table stops at SSSS=11 and lossless differences need SSSS 0-16."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 0 <= point_transform <= 7:
+        raise ValueError("point_transform must be 0..7")
+    img = (np.frombuffer(pixels, dtype=np.uint8)
+           .reshape(height, width).astype(np.int64) >> point_transform)
+
+    ll_vals = list(range(17))  # SSSS 0..16
+    ll_bits = [0] * 16
+    ll_bits[4] = 17  # all codes 5 bits (17 <= 32, prefix-free)
+    tab = _huff_codes(ll_bits, ll_vals)
+    default = 1 << (8 - 1 - point_transform)
+
+    w = _BitWriter()
+    for y in range(height):
+        for x in range(width):
+            if y == 0 and x == 0:
+                pred = default
+            elif y == 0:
+                pred = int(img[0, x - 1])             # first line: a
+            elif x == 0:
+                pred = int(img[y - 1, 0])             # line start: b
+            else:
+                a = int(img[y, x - 1])
+                b = int(img[y - 1, x])
+                c = int(img[y - 1, x - 1])
+                pred = {1: a, 2: b, 3: c,
+                        4: a + b - c,
+                        5: a + ((b - c) >> 1),
+                        6: b + ((a - c) >> 1),
+                        7: (a + b) >> 1}[predictor]
+            d = (int(img[y, x]) - pred + 32768) % 65536 - 32768
+            if d == -32768:
+                code, length = tab[16]  # SSSS=16: diff 32768, no extra bits
+                w.write(code, length)
+                continue
+            size, bits = _magnitude(d)
+            code, length = tab[size]
+            w.write(code, length)
+            if size:
+                w.write(bits, size)
+    w.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof = seg(0xC3, struct.pack(">BHHB", 8, height, width, 1)
+              + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(ll_bits) + bytes(ll_vals))
+    sos = seg(0xDA, bytes([1, 1, 0x00, predictor, 0, point_transform]))
+    return (b"\xff\xd8" + sof + dht + sos + bytes(w.out) + b"\xff\xd9")
+
+
+def _decode_lossless(data: bytes, render_all: bool):
+    """SOF3 lossless decode (single-component, 8-bit) -> the
+    ``_decode_jpeg_planes`` tuple. Restart intervals raise
+    NotImplementedError (prediction-reset semantics untested without a
+    second implementation to differ against)."""
+    import numpy as np
+
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comps: list[dict] = []
+    scan = None
+    restart_interval = 0
+    pos = 2
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xC3:
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "lossless JPEG decode supports 8-bit single-component "
+                    "streams (the PIL/DNG seam for the rest)")
+            cid, hv, tq = body[6:9]
+            comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                          "tq": tq})
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                huff[(tc, th)] = _huff_decode_tree(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            tt = body[2]
+            predictor = body[1 + 2 * ns]
+            al = body[3 + 2 * ns] & 0x0F
+            if ns != 1:
+                raise NotImplementedError("interleaved lossless scan")
+            scan_tab = huff[(0, tt >> 4)]
+            end = _scan_entropy_end(data, pos)
+            scan = (predictor, al, scan_tab, data[pos:end])
+            pos = end
+    if width is None or scan is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+    if restart_interval:
+        raise NotImplementedError(
+            "restart intervals in lossless JPEG are not supported")
+    predictor, al, tab, ecs = scan
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    reader = _BitReader(ecs)
+    out = np.empty((height, width), dtype=np.int64)
+    default = 1 << (8 - 1 - al)
+    for y in range(height):
+        for x in range(width):
+            size = _read_huff(reader, tab)
+            if size == 16:
+                d = 32768
+            else:
+                d = _extend(reader.read_bits(size), size)
+            if y == 0 and x == 0:
+                pred = default
+            elif y == 0:
+                pred = int(out[0, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            else:
+                a = int(out[y, x - 1])
+                b = int(out[y - 1, x])
+                c = int(out[y - 1, x - 1])
+                pred = {1: a, 2: b, 3: c,
+                        4: a + b - c,
+                        5: a + ((b - c) >> 1),
+                        6: b + ((a - c) >> 1),
+                        7: (a + b) >> 1}[predictor]
+            out[y, x] = (pred + d) % 65536
+            if reader.consumed_synthetic():
+                raise ValueError(
+                    "JPEG entropy data truncated (lossless scan)")
+    plane = ((out & 0xFFFF) << al).astype(np.float64)
+    return width, height, comps, {comps[0]["id"]: plane}, 1, 1
+
+
 # Annex-K-style chroma quantization table (row-major). Huffman tables for
 # the chroma ids simply REUSE the luma tables (stored under table id 1 in
 # the DHT segments — spec-legal and self-consistent; decoders read the
@@ -1233,12 +1403,15 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
             # progressive DCT (SOF2): own scan loop — spectral selection
             # + successive approximation (r5)
             return _decode_progressive(data, render_all)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:
+            # lossless (SOF3): predictive huffman decode (r5)
+            return _decode_lossless(data, render_all)
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) and progressive (SOF2) "
-                "JPEG are supported (arithmetic coding / hierarchical "
-                "modes remain the codec seam)")
+                "only baseline sequential (SOF0), progressive (SOF2) and "
+                "lossless (SOF3) JPEG are supported (arithmetic coding / "
+                "hierarchical modes remain the codec seam)")
         elif marker == 0xC4:
             i = 0
             while i < len(body):

@@ -7,9 +7,9 @@ shapes, partitioning, the UDF signatures. The codec step:
 - ``decode_stub=True`` (default) runs a deterministic fake decoder over the
   raw bytes (no codec needed);
 - ``decode_stub=False`` REALLY decodes PNG (stdlib zlib/struct), GIF
-  (pure-Python LZW, r4), JPEG — baseline AND progressive (SOF2 spectral
-  selection + successive approximation, r5), grayscale AND interleaved
-  color, any sampling layout, full-RGB output with nearest/bilinear
+  (pure-Python LZW, r4), JPEG — baseline, progressive (SOF2 spectral
+  selection + successive approximation, r5) AND lossless (SOF3, r5),
+  grayscale AND interleaved color, any sampling layout, full-RGB output with nearest/bilinear
   chroma upsampling (pure Python + numpy huffman/DCT, r4; chroma +
   progressive r5) — MJPEG-AVI video and WAV (struct over RIFF) via
   functions/codecs.py; what remains behind ``NotImplementedError`` is

@@ -629,6 +629,39 @@ def test_jpeg_progressive_truncation_raises():
             decode_jpeg_gray(blob[:cut])
 
 
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """r5: SOF3 lossless JPEG — every predictor must round-trip ANY image
+    bit-for-bit (no DCT-exactness precondition); point transform is the
+    documented near-lossless mode; truncation raises."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(8)
+    for pred in range(1, 8):
+        w, h = int(rng.integers(1, 33)), int(rng.integers(1, 33))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        blob = C.encode_jpeg_lossless(w, h, img.tobytes(), predictor=pred)
+        W, H, px = C.decode_jpeg_gray(blob)
+        assert (W, H) == (w, h)
+        assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), img)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    blob = C.encode_jpeg_lossless(16, 16, img.tobytes(), point_transform=1)
+    _, _, px = C.decode_jpeg_gray(blob)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(16, 16),
+                          (img >> 1) << 1)
+    W, H, nch, px = C.decode_jpeg(C.encode_jpeg_lossless(9, 7,
+                                                         bytes(range(63))))
+    assert (W, H, nch) == (9, 7, 1) and px == bytes(range(63))
+    full = C.encode_jpeg_lossless(
+        32, 32, rng.integers(0, 256, 1024, dtype=np.uint8).tobytes())
+    for cut in (len(full) // 2, len(full) - 4):
+        with pytest.raises(ValueError):
+            C.decode_jpeg_gray(full[:cut])
+    with pytest.raises(ValueError):
+        C.encode_jpeg_lossless(4, 4, bytes(16), predictor=9)
+
+
 def test_avi_raw_dib_roundtrip_and_codec_routing():
     """r5: uncompressed 'DIB ' AVI — bottom-up 24-bit BGR frames with
     4-byte row padding — decodes exactly; the container parser reports
