@@ -1,8 +1,10 @@
 """Real media codecs with no external libraries (VERDICT r2 #3, r3 #3):
 
 - PNG: stdlib ``zlib`` + ``struct`` over the public PNG spec (8-bit
-  grayscale, scanline filters 0-4 on decode, 0-2 on encode);
-- WAV: ``struct`` over the public RIFF/WAVE spec (16-bit PCM mono);
+  grayscale/RGB/gray+alpha/RGBA on decode — bpp-aware scanline filters
+  0-4 — grayscale filters 0-2 on encode; palette/16-bit/Adam7 = seam);
+- WAV: ``struct`` over the public RIFF/WAVE spec (integer PCM 8/16-bit
+  and IEEE float32, mono/stereo; ADPCM/a-law/24-bit = seam);
 - GIF: pure-Python LZW over the public GIF87a/GIF89a spec (8-bit
   palettized, variable-width codes up to 12 bits, interlaced or not;
   first frame of animations);
@@ -77,14 +79,22 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> tuple[int, int, bytes]:
-    """PNG -> (width, height, row-major grayscale pixels). Supports 8-bit
-    grayscale (color type 0) with any standard scanline filter; other
-    color types / bit depths raise NotImplementedError (the codec seam)."""
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
+    """PNG -> (width, height, n_channels, channel-interleaved pixels).
+
+    Supports non-interlaced 8-bit grayscale (type 0), RGB (2),
+    gray+alpha (4) and RGBA (6) with any standard scanline filter —
+    the filter left-neighbor distance is the pixel's byte width (bpp),
+    per the spec. Palette (3), 16-bit depths and Adam7 interlace raise
+    NotImplementedError (the PIL seam)."""
     if not data.startswith(PNG_SIG):
         raise ValueError("not a PNG")
     pos = len(PNG_SIG)
     width = height = None
+    bpp = None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -94,19 +104,25 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         if tag == b"IHDR":
             width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
             interlace = body[12]
-            if depth != 8 or ctype != 0 or interlace != 0:
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
                 raise NotImplementedError(
-                    f"decode_png supports non-interlaced 8-bit grayscale "
-                    f"only (got depth={depth}, color_type={ctype}, "
-                    f"interlace={interlace})")
+                    f"decode_png supports non-interlaced 8-bit color "
+                    f"types 0/2/4/6 (got depth={depth}, "
+                    f"color_type={ctype}, interlace={interlace}) — "
+                    "palette/16-bit/Adam7 is the PIL seam")
+            bpp = _PNG_CHANNELS[ctype]
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    stride = width + 1
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad or missing IDAT stream: {e}") from e
+    rowbytes = width * bpp
+    stride = rowbytes + 1
     if len(raw) != stride * height:
         raise ValueError("IDAT size mismatch")
     import numpy as np
@@ -114,36 +130,47 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
     fts = scan[:, 0]
     rows = scan[:, 1:]
-    out = np.empty((height, width), dtype=np.uint8)
-    prior = np.zeros(width, dtype=np.uint8)
+    out = np.empty((height, rowbytes), dtype=np.uint8)
+    prior = np.zeros(rowbytes, dtype=np.uint8)
     for r in range(height):
         ft = int(fts[r])
         row = rows[r]
         if ft == 0:
             cur = row.copy()
-        elif ft == 1:  # Sub: prefix-sum per row (uint8 wraps mod 256)
-            cur = np.cumsum(row, dtype=np.uint8)
+        elif ft == 1:  # Sub: per-channel prefix-sum (uint8 wraps mod 256)
+            cur = np.cumsum(row.reshape(width, bpp), axis=0,
+                            dtype=np.uint8).reshape(rowbytes)
         elif ft == 2:  # Up: one vector add
             cur = row + prior
         elif ft == 3:  # Average (sequential left-dependency: scalar loop)
-            cur = np.empty(width, dtype=np.uint8)
-            left = 0
-            for i in range(width):
+            cur = np.empty(rowbytes, dtype=np.uint8)
+            for i in range(rowbytes):
+                left = int(cur[i - bpp]) if i >= bpp else 0
                 cur[i] = (int(row[i]) + (left + int(prior[i])) // 2) & 0xFF
-                left = int(cur[i])
         elif ft == 4:  # Paeth (sequential left-dependency: scalar loop)
-            cur = np.empty(width, dtype=np.uint8)
-            left = upleft = 0
-            for i in range(width):
+            cur = np.empty(rowbytes, dtype=np.uint8)
+            for i in range(rowbytes):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                upleft = int(prior[i - bpp]) if i >= bpp else 0
                 cur[i] = (int(row[i])
                           + _paeth(left, int(prior[i]), upleft)) & 0xFF
-                left = int(cur[i])
-                upleft = int(prior[i])
         else:
             raise ValueError(f"bad filter {ft}")
         out[r] = cur
         prior = cur
-    return width, height, out.tobytes()
+    return width, height, bpp, out.tobytes()
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """PNG -> (width, height, row-major GRAYSCALE pixels) — the original
+    single-channel contract; color streams decode via
+    :func:`decode_png_ex` and are rejected here."""
+    width, height, nch, px = decode_png_ex(data)
+    if nch != 1:
+        raise ValueError(
+            "decode_png is the grayscale API; use decode_png_ex for "
+            f"{nch}-channel streams")
+    return width, height, px
 
 
 _GIF_GRAY_PALETTE = b"".join(bytes((i, i, i)) for i in range(256))
@@ -2042,30 +2069,52 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
-def decode_wav(data: bytes) -> tuple[int, list[int]]:
-    """WAV -> (sample_rate, int16 samples). 16-bit PCM mono only; other
-    encodings raise NotImplementedError (the codec seam)."""
+def decode_wav(data: bytes) -> tuple[int, list]:
+    """WAV -> (sample_rate, channel-interleaved samples).
+
+    Supported (r2 mono PCM16; widened r5): integer PCM (format 1) at 8
+    bits (unsigned, returned re-centred to signed -128..127) or 16 bits
+    (signed), 1-2 channels, and IEEE float (format 3) at 32 bits
+    (returned as Python floats). Anything else — ADPCM, a-law/mu-law,
+    24-bit packing, >2 channels — raises NotImplementedError (the
+    soundfile/torchaudio seam)."""
+    import numpy as np
+
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     rate = None
-    samples: list[int] = []
+    afmt = bits = channels = None
+    samples: list = []
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + length]
         pos += 8 + length + (length & 1)
         if tag == b"fmt ":
-            afmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if afmt != 1 or channels != 1 or bits != 16:
+            afmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            supported = (afmt == 1 and bits in (8, 16)
+                         and channels in (1, 2)) or (
+                afmt == 3 and bits == 32 and channels in (1, 2))
+            if not supported:
                 raise NotImplementedError(
-                    f"decode_wav supports 16-bit PCM mono only "
-                    f"(got fmt={afmt}, ch={channels}, bits={bits})")
+                    f"decode_wav supports integer PCM 8/16-bit and IEEE "
+                    f"float32, mono/stereo (got fmt={afmt}, ch={channels}, "
+                    f"bits={bits}) — ADPCM/a-law/24-bit is the "
+                    "soundfile/torchaudio seam")
         elif tag == b"data":
-            import numpy as np
-
-            samples = np.frombuffer(
-                body[:len(body) & ~1], dtype="<i2").tolist()
+            if afmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            if afmt == 3:
+                samples = np.frombuffer(
+                    body[:len(body) & ~3], dtype="<f4").tolist()
+            elif bits == 8:
+                samples = (np.frombuffer(body, dtype=np.uint8)
+                           .astype(np.int16) - 128).tolist()
+            else:
+                samples = np.frombuffer(
+                    body[:len(body) & ~1], dtype="<i2").tolist()
     if rate is None:
         raise ValueError("missing fmt chunk")
     return rate, samples

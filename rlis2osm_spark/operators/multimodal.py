@@ -6,7 +6,8 @@ shapes, partitioning, the UDF signatures. The codec step:
 
 - ``decode_stub=True`` (default) runs a deterministic fake decoder over the
   raw bytes (no codec needed);
-- ``decode_stub=False`` REALLY decodes PNG (stdlib zlib/struct), GIF
+- ``decode_stub=False`` REALLY decodes PNG (stdlib zlib/struct —
+  gray/RGB/gray+alpha/RGBA), GIF
   (pure-Python LZW, r4), JPEG — baseline, progressive (SOF2 spectral
   selection + successive approximation, r5) AND lossless (SOF3, r5),
   grayscale AND interleaved color, any sampling layout, full-RGB output with nearest/bilinear
@@ -103,17 +104,20 @@ def extract_image_features(
                         "baseline/progressive jpeg — grayscale or full-RGB "
                         "color — decode natively via functions/codecs.py)")
                 from rlis2osm_spark.functions.codecs import (
-                    decode_gif, decode_jpeg, decode_png)
+                    decode_gif, decode_jpeg, decode_png_ex)
 
                 if fmt == "jpeg":
                     # decode_jpeg raises NotImplementedError itself for
                     # arithmetic-coded/hierarchical streams — the remaining
                     # seam; color is full RGB (r5, nearest chroma upsample),
-                    # progressive decodes for real (r5)
+                    # progressive and lossless decode for real (r5)
                     w, h, nch, px = decode_jpeg(b)
+                elif fmt == "png":
+                    # gray/RGB/gray+A/RGBA (r5); palette/16-bit/Adam7
+                    # raise from the codec layer
+                    w, h, nch, px = decode_png_ex(b)
                 else:
-                    dec = {"png": decode_png, "gif": decode_gif}[fmt]
-                    w, h, px = dec(b)
+                    w, h, px = decode_gif(b)
                     nch = 1
                 arr = np.frombuffer(px, dtype=np.uint8)
                 hist = np.bincount(arr % feat_dim,
@@ -282,9 +286,14 @@ def extract_audio_features(
                     from rlis2osm_spark.functions.codecs import decode_wav
 
                     _, samples = decode_wav(b)
-                    s = np.asarray(samples, dtype=np.int64)
-                    extra = (len(s), int(np.abs(s).sum()),
-                             int(np.abs(s).max()) if len(s) else 0)
+                    s = np.asarray(samples)
+                    if s.dtype.kind != "f":  # integer PCM: exact features
+                        s = s.astype(np.int64)
+                    extra = (len(s),
+                             int(round(float(np.abs(s).sum())))
+                             if len(s) else 0,
+                             int(round(float(np.abs(s).max())))
+                             if len(s) else 0)
                     sig = s.astype("float32")
                 n_win = min(max(len(sig) // window, 1), max_windows)
                 used = sig[: n_win * window] if len(sig) >= window else sig

@@ -55,9 +55,15 @@ def test_png_decode_average_and_paeth_filters():
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
-    rgb_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # color type 2
-    data = (PNG_SIG + _chunk(b"IHDR", rgb_ihdr) + _chunk(b"IEND", b""))
+    # palette (type 3) stays behind the seam (RGB decodes as of r5)
+    pal_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    data = (PNG_SIG + _chunk(b"IHDR", pal_ihdr) + _chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
+        decode_png(data)
+    # a supported header with NO IDAT is malformed input, not a zlib crash
+    rgb_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    data = (PNG_SIG + _chunk(b"IHDR", rgb_ihdr) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT"):
         decode_png(data)
 
 
@@ -73,8 +79,8 @@ def test_wav_roundtrip_and_clamp():
 def test_wav_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_wav(b"RIFX....nope")
-    # stereo header
-    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    # 24-bit packing stays behind the seam (stereo decodes as of r5)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 48000, 6, 24)
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", 0))
     data = b"RIFF" + struct.pack("<I", len(body)) + body
@@ -627,6 +633,110 @@ def test_jpeg_progressive_truncation_raises():
     for cut in (int(len(blob) * 0.4), int(len(blob) * 0.7), len(blob) - 6):
         with pytest.raises(ValueError):
             decode_jpeg_gray(blob[:cut])
+
+
+def _build_png(img, ctype, filters):
+    """Independent PNG writer (filters applied with plain numpy, not the
+    codec's logic): img is (h, w, ch) uint8."""
+    import struct as _st
+    import zlib as _zl
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    bpp = ch
+    raw = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for r in range(h):
+        row = img[r].reshape(-1).astype(np.int64)
+        ft = filters[r % len(filters)]
+        left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+        pleft = np.concatenate([np.zeros(bpp, np.int64), prior[:-bpp]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = row - left
+        elif ft == 2:
+            enc = row - prior
+        elif ft == 3:
+            enc = row - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - pleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prior),
+                          np.abs(p - pleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, pleft))
+            enc = row - pred
+        raw.append(ft)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prior = row
+
+    def chunk(tag, body):
+        return (_st.pack(">I", len(body)) + tag + body
+                + _st.pack(">I", _zl.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = _st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zl.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ctype,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_color_types_decode_all_filters(ctype, ch):
+    """r5: color-type 0/2/4/6 PNG decode against an INDEPENDENT writer —
+    every standard filter, with the left-neighbor at bpp distance."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import decode_png, decode_png_ex
+
+    rng = np.random.default_rng(31)
+    for w, h in [(1, 1), (5, 4), (16, 11)]:
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        blob = _build_png(img, ctype, filters=[0, 1, 2, 3, 4])
+        dw, dh, nch, px = decode_png_ex(blob)
+        assert (dw, dh, nch) == (w, h, ch)
+        assert np.array_equal(
+            np.frombuffer(px, np.uint8).reshape(h, w, ch), img)
+    if ch != 1:
+        with pytest.raises(ValueError, match="grayscale API"):
+            decode_png(blob)
+    # palette stays behind the seam
+    with pytest.raises(NotImplementedError):
+        decode_png_ex(_build_png(
+            rng.integers(0, 256, (4, 4, 1), dtype=np.uint8), 3, [0]))
+
+
+def test_wav_formats_decode():
+    """r5: 8-bit unsigned PCM, stereo 16-bit PCM and IEEE float32 WAVs
+    decode; ADPCM stays behind the seam."""
+    import struct as _st
+
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import decode_wav
+
+    def wav(afmt, channels, bits, body):
+        fmt = _st.pack("<HHIIHH", afmt, channels, 8000,
+                       8000 * channels * bits // 8,
+                       channels * bits // 8, bits)
+        riff = (b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+                + b"data" + _st.pack("<I", len(body)) + body)
+        return b"RIFF" + _st.pack("<I", len(riff)) + riff
+
+    # 8-bit unsigned -> re-centred signed
+    rate, s = decode_wav(wav(1, 1, 8, bytes([0, 128, 255, 200])))
+    assert rate == 8000 and s == [-128, 0, 127, 72]
+    # stereo 16-bit: interleaved
+    body = np.array([100, -100, 32767, -32768], dtype="<i2").tobytes()
+    _, s = decode_wav(wav(1, 2, 16, body))
+    assert s == [100, -100, 32767, -32768]
+    # float32
+    body = np.array([0.5, -0.25], dtype="<f4").tobytes()
+    _, s = decode_wav(wav(3, 1, 32, body))
+    assert s == [0.5, -0.25]
+    # ADPCM (fmt 2) is the seam
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(2, 1, 4, b"\x00\x00"))
 
 
 def test_jpeg_lossless_roundtrip_all_predictors():
