@@ -38,25 +38,33 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
 
+_PNG_CTYPE_OF = {1: 0, 3: 2, 2: 4, 4: 6}  # channels -> PNG color type
+
+
 def encode_png(width: int, height: int, pixels: bytes,
-               filter_type: int = 0) -> bytes:
-    """8-bit grayscale PNG. ``pixels`` is row-major ``width*height`` bytes;
-    ``filter_type`` in {0 (None), 1 (Sub), 2 (Up)} is applied to every
+               filter_type: int = 0, channels: int = 1) -> bytes:
+    """8-bit PNG — grayscale by default, or RGB / gray+alpha / RGBA via
+    ``channels`` (r5). ``pixels`` is row-major channel-interleaved
+    ``width*height*channels`` bytes; ``filter_type`` in {0 (None),
+    1 (Sub, left neighbor at bpp distance), 2 (Up)} is applied to every
     scanline (the decoder handles all five standard filters)."""
-    if len(pixels) != width * height:
-        raise ValueError("pixels must be width*height bytes")
+    if channels not in _PNG_CTYPE_OF:
+        raise ValueError("channels must be 1, 2, 3 or 4")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels must be width*height*channels bytes")
     if filter_type not in (0, 1, 2):
         raise ValueError("encoder supports filters 0/1/2")
     # vectorized filtering (r4): uint8 wraparound IS the mod-256 the spec
     # wants, so Sub/Up are one numpy subtraction per image
     import numpy as np
 
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width * channels)
     if filter_type == 0:
         filt = img
-    elif filter_type == 1:  # Sub: delta vs left neighbor
+    elif filter_type == 1:  # Sub: delta vs left neighbor (bpp bytes back)
         filt = img.copy()
-        filt[:, 1:] -= img[:, :-1]
+        filt[:, channels:] -= img[:, :-channels]
     else:  # Up: delta vs same column of prior row
         filt = img.copy()
         filt[1:, :] -= img[:-1, :]
@@ -65,7 +73,8 @@ def encode_png(width: int, height: int, pixels: bytes,
     for r in range(height):
         raw += ft
         raw += filt[r].tobytes()
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8,
+                       _PNG_CTYPE_OF[channels], 0, 0, 0)
     return (PNG_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(raw)))
             + _chunk(b"IEND", b""))

@@ -136,22 +136,51 @@ def extract_image_features(
 
 def resize_stub(media: DataFrame, width: int, height: int,
                 decode_stub: bool = True) -> DataFrame:
-    """Resize plumbing: binary in -> binary out, one Arrow pass. The stub
-    'resize' truncates/pads the payload deterministically to w*h bytes —
-    the real implementation swaps only the inner function."""
+    """Resize: binary in -> binary out, one Arrow pass.
+
+    ``decode_stub=True`` truncates/pads the payload deterministically to
+    w*h bytes (codec-free plumbing). ``decode_stub=False`` (REAL as of
+    r5): decode the image through the native codecs (png/gif/jpeg — any
+    supported subformat), nearest-neighbor resample each channel to
+    (width, height), and re-encode as PNG preserving the channel count —
+    the spatial-pipeline shape of an image-normalization stage. Formats
+    the codec layer can't decode raise its NotImplementedError seam."""
     target = width * height
 
     def batches(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rlis2osm_spark.functions.codecs import (
+            decode_gif, decode_jpeg, decode_png_ex, encode_png)
+
         for pdf in frames:
             out = []
             for payload in pdf["payload"]:
                 if payload is None:
                     out.append(None)
                     continue
-                if not decode_stub:
-                    raise NotImplementedError("plug a real resampler in here")
                 b = bytes(payload)
-                out.append((b * (target // max(len(b), 1) + 1))[:target])
+                if decode_stub:
+                    out.append((b * (target // max(len(b), 1) + 1))[:target])
+                    continue
+                fmt = _sniff(b)
+                if fmt == "png":
+                    w, h, nch, px = decode_png_ex(b)
+                elif fmt == "jpeg":
+                    w, h, nch, px = decode_jpeg(b)
+                elif fmt == "gif":
+                    w, h, px = decode_gif(b)
+                    nch = 1
+                else:
+                    raise NotImplementedError(
+                        f"real resize for {fmt!r} payloads requires an "
+                        "image codec library (PIL's seam); png/gif/jpeg "
+                        "resize natively")
+                src = np.frombuffer(px, dtype=np.uint8).reshape(h, w, nch)
+                ys = (np.arange(height) * h // height).clip(0, h - 1)
+                xs = (np.arange(width) * w // width).clip(0, w - 1)
+                resized = src[np.ix_(ys, xs)]
+                out.append(encode_png(
+                    width, height, np.ascontiguousarray(resized).tobytes(),
+                    channels=nch))
             pdf = pdf.copy()
             pdf["payload"] = out
             yield pdf

@@ -706,6 +706,27 @@ def test_png_color_types_decode_all_filters(ctype, ch):
             rng.integers(0, 256, (4, 4, 1), dtype=np.uint8), 3, [0]))
 
 
+def test_png_color_encode_roundtrip():
+    """r5: encode_png channels=2/3/4 round-trips through decode_png_ex
+    for every supported encode filter."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import decode_png_ex, encode_png
+
+    rng = np.random.default_rng(13)
+    for ch in (1, 2, 3, 4):
+        for ft in (0, 1, 2):
+            img = rng.integers(0, 256, (7, 9, ch), dtype=np.uint8)
+            blob = encode_png(9, 7, img.tobytes(), filter_type=ft,
+                              channels=ch)
+            w, h, nch, px = decode_png_ex(blob)
+            assert (w, h, nch) == (9, 7, ch)
+            assert np.array_equal(
+                np.frombuffer(px, np.uint8).reshape(7, 9, ch), img)
+    with pytest.raises(ValueError):
+        encode_png(2, 2, bytes(20), channels=5)
+
+
 def test_wav_formats_decode():
     """r5: 8-bit unsigned PCM, stereo 16-bit PCM and IEEE float32 WAVs
     decode; ADPCM stays behind the seam."""

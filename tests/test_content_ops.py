@@ -118,6 +118,46 @@ def test_multimodal_plumbing(spark):
                                      8, 8).collect()
     assert all(len(bytes(r.payload)) == 64 for r in resized)
 
+
+def test_real_resize_decodes_resamples_reencodes(spark):
+    """r5: resize_stub(decode_stub=False) really decodes, nearest-
+    resamples and re-encodes as PNG — channel count preserved, pixel
+    values exactly the nearest source samples."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_png_ex, encode_jpeg_lossless, encode_png)
+
+    rng = np.random.default_rng(23)
+    gray = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (8, 12, 3), dtype=np.uint8)
+    rows = [
+        ("g", encode_png(16, 16, gray.tobytes())),
+        ("c", encode_png(12, 8, rgb.tobytes(), channels=3)),
+        ("j", encode_jpeg_lossless(16, 16, gray.tobytes())),
+    ]
+    media = spark.createDataFrame(rows, "media_ref string, payload binary")
+    out = {r.media_ref: bytes(r.payload) for r in multimodal.resize_stub(
+        media, 4, 4, decode_stub=False).collect()}
+
+    def nearest(src, w, h):
+        ys = (np.arange(h) * src.shape[0] // h).clip(0, src.shape[0] - 1)
+        xs = (np.arange(w) * src.shape[1] // w).clip(0, src.shape[1] - 1)
+        return src[np.ix_(ys, xs)]
+
+    w, h, nch, px = decode_png_ex(out["g"])
+    assert (w, h, nch) == (4, 4, 1)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(4, 4),
+                          nearest(gray, 4, 4))
+    w, h, nch, px = decode_png_ex(out["c"])
+    assert (w, h, nch) == (4, 4, 3)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(4, 4, 3),
+                          nearest(rgb, 4, 4))
+    # lossless JPEG input resizes identically to its PNG twin
+    w, h, nch, px = decode_png_ex(out["j"])
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(4, 4),
+                          nearest(gray, 4, 4))
+
     frames = multimodal.frame_sample_refs(
         media.filter("payload is not null"), every_n=16).collect()
     assert all(r.frame_idx % 16 == 0 for r in frames)
