@@ -94,16 +94,19 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
 def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
     """PNG -> (width, height, n_channels, channel-interleaved pixels).
 
-    Supports non-interlaced 8-bit grayscale (type 0), RGB (2),
-    gray+alpha (4) and RGBA (6) with any standard scanline filter —
-    the filter left-neighbor distance is the pixel's byte width (bpp),
-    per the spec. Palette (3), 16-bit depths and Adam7 interlace raise
-    NotImplementedError (the PIL seam)."""
+    Supports non-interlaced 8-bit grayscale (type 0), RGB (2), palette
+    (3 — indices resolved through PLTE to RGB output; tRNS transparency
+    is ignored), gray+alpha (4) and RGBA (6) with any standard scanline
+    filter — the filter left-neighbor distance is the pixel's byte width
+    (bpp), per the spec. 16-bit depths, sub-byte palette depths and
+    Adam7 interlace raise NotImplementedError (the PIL seam)."""
     if not data.startswith(PNG_SIG):
         raise ValueError("not a PNG")
     pos = len(PNG_SIG)
     width = height = None
     bpp = None
+    ctype = None
+    palette = None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -113,19 +116,26 @@ def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"IHDR":
             width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
             interlace = body[12]
-            if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+            if (depth != 8 or interlace != 0
+                    or ctype not in (_PNG_CHANNELS.keys() | {3})):
                 raise NotImplementedError(
                     f"decode_png supports non-interlaced 8-bit color "
-                    f"types 0/2/4/6 (got depth={depth}, "
+                    f"types 0/2/3/4/6 (got depth={depth}, "
                     f"color_type={ctype}, interlace={interlace}) — "
-                    "palette/16-bit/Adam7 is the PIL seam")
-            bpp = _PNG_CHANNELS[ctype]
+                    "16-bit/sub-byte-palette/Adam7 is the PIL seam")
+            bpp = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("malformed PLTE chunk")
+            palette = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("missing IHDR")
+    if ctype == 3 and palette is None:
+        raise ValueError("palette image missing PLTE chunk")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
@@ -167,6 +177,12 @@ def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad filter {ft}")
         out[r] = cur
         prior = cur
+    if ctype == 3:
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(-1)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return width, height, 3, pal[idx].tobytes()
     return width, height, bpp, out.tobytes()
 
 

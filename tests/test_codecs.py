@@ -55,10 +55,15 @@ def test_png_decode_average_and_paeth_filters():
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
-    # palette (type 3) stays behind the seam (RGB decodes as of r5)
+    # 16-bit depth stays behind the seam (RGB/palette decode as of r5)
+    deep_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    data = (PNG_SIG + _chunk(b"IHDR", deep_ihdr) + _chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(data)
+    # a palette image without PLTE is malformed, loudly
     pal_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     data = (PNG_SIG + _chunk(b"IHDR", pal_ihdr) + _chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png(data)
     # a supported header with NO IDAT is malformed input, not a zlib crash
     rgb_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
@@ -700,10 +705,45 @@ def test_png_color_types_decode_all_filters(ctype, ch):
     if ch != 1:
         with pytest.raises(ValueError, match="grayscale API"):
             decode_png(blob)
-    # palette stays behind the seam
-    with pytest.raises(NotImplementedError):
-        decode_png_ex(_build_png(
-            rng.integers(0, 256, (4, 4, 1), dtype=np.uint8), 3, [0]))
+
+
+def test_png_palette_decode():
+    """r5: palette (type 3) PNG resolves indices through PLTE to RGB."""
+    import struct as _st
+    import zlib as _zl
+
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import decode_png_ex
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 5), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(6))
+
+    def chunk(tag, body):
+        return (_st.pack(">I", len(body)) + tag + body
+                + _st.pack(">I", _zl.crc32(tag + body) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _st.pack(">IIBBBBB", 5, 6, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", _zl.compress(raw))
+            + chunk(b"IEND", b""))
+    w, h, nch, px = decode_png_ex(blob)
+    assert (w, h, nch) == (5, 6, 3)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(6, 5, 3),
+                          pal[idx])
+    # out-of-range palette index fails loudly
+    bad_pal = pal[:8]
+    blob_bad = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", _st.pack(">IIBBBBB", 5, 6, 8, 3, 0, 0, 0))
+                + chunk(b"PLTE", bad_pal.tobytes())
+                + chunk(b"IDAT", _zl.compress(raw))
+                + chunk(b"IEND", b""))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="palette index"):
+        decode_png_ex(blob_bad)
 
 
 def test_png_color_encode_roundtrip():
