@@ -90,62 +90,22 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
 
+# Adam7 interlace passes: (x0, y0, dx, dy) in file order
+_ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
-    """PNG -> (width, height, n_channels, channel-interleaved pixels).
 
-    Supports non-interlaced 8-bit grayscale (type 0), RGB (2), palette
-    (3 — indices resolved through PLTE to RGB output; tRNS transparency
-    is ignored), gray+alpha (4) and RGBA (6) with any standard scanline
-    filter — the filter left-neighbor distance is the pixel's byte width
-    (bpp), per the spec. 16-bit depths, sub-byte palette depths and
-    Adam7 interlace raise NotImplementedError (the PIL seam)."""
-    if not data.startswith(PNG_SIG):
-        raise ValueError("not a PNG")
-    pos = len(PNG_SIG)
-    width = height = None
-    bpp = None
-    ctype = None
-    palette = None
-    idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos:pos + 4])
-        tag = data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
-            interlace = body[12]
-            if (depth != 8 or interlace != 0
-                    or ctype not in (_PNG_CHANNELS.keys() | {3})):
-                raise NotImplementedError(
-                    f"decode_png supports non-interlaced 8-bit color "
-                    f"types 0/2/3/4/6 (got depth={depth}, "
-                    f"color_type={ctype}, interlace={interlace}) — "
-                    "16-bit/sub-byte-palette/Adam7 is the PIL seam")
-            bpp = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
-        elif tag == b"PLTE":
-            if len(body) % 3 or not body:
-                raise ValueError("malformed PLTE chunk")
-            palette = body
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("missing IHDR")
-    if ctype == 3 and palette is None:
-        raise ValueError("palette image missing PLTE chunk")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ValueError(f"bad or missing IDAT stream: {e}") from e
+def _png_unfilter(raw: bytes, height: int, width: int, bpp: int):
+    """Reverse the standard scanline filters over ``height`` rows of
+    ``1 + width*bpp`` bytes; returns a (height, width*bpp) uint8 array.
+    Each call is an independent filter context (prior row starts zero),
+    which is exactly the per-pass semantics Adam7 needs."""
+    import numpy as np
+
     rowbytes = width * bpp
     stride = rowbytes + 1
     if len(raw) != stride * height:
         raise ValueError("IDAT size mismatch")
-    import numpy as np
-
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
     fts = scan[:, 0]
     rows = scan[:, 1:]
@@ -177,6 +137,83 @@ def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad filter {ft}")
         out[r] = cur
         prior = cur
+    return out
+
+
+def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
+    """PNG -> (width, height, n_channels, channel-interleaved pixels).
+
+    Supports 8-bit grayscale (type 0), RGB (2), palette (3 — indices
+    resolved through PLTE to RGB output; tRNS transparency is ignored),
+    gray+alpha (4) and RGBA (6) with any standard scanline filter — the
+    filter left-neighbor distance is the pixel's byte width (bpp), per
+    the spec — in sequential OR Adam7-interlaced layout (r5: each of the
+    seven passes unfilters as its own sub-image). 16-bit depths and
+    sub-byte palette depths raise NotImplementedError (the PIL seam)."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(PNG_SIG)
+    width = height = None
+    bpp = None
+    ctype = None
+    interlace = 0
+    palette = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+            interlace = body[12]
+            if (depth != 8 or interlace not in (0, 1)
+                    or ctype not in (_PNG_CHANNELS.keys() | {3})):
+                raise NotImplementedError(
+                    f"decode_png supports 8-bit color types 0/2/3/4/6, "
+                    f"sequential or Adam7 (got depth={depth}, "
+                    f"color_type={ctype}, interlace={interlace}) — "
+                    "16-bit/sub-byte-palette is the PIL seam")
+            bpp = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("malformed PLTE chunk")
+            palette = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    if ctype == 3 and palette is None:
+        raise ValueError("palette image missing PLTE chunk")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad or missing IDAT stream: {e}") from e
+    import numpy as np
+
+    if interlace == 0:
+        rowbytes = width * bpp
+        if len(raw) != (rowbytes + 1) * height:
+            raise ValueError("IDAT size mismatch")
+        out = _png_unfilter(raw, height, width, bpp)
+    else:  # Adam7: seven independently-filtered sub-images
+        out = np.empty((height, width * bpp), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            block_len = (pw * bpp + 1) * ph
+            sub = _png_unfilter(raw[pos2:pos2 + block_len], ph, pw, bpp)
+            pos2 += block_len
+            cols = np.arange(x0, width, dx)
+            out3 = out.reshape(height, width, bpp)
+            out3[y0::dy, cols, :] = sub.reshape(ph, pw, bpp)
+        if pos2 != len(raw):
+            raise ValueError("IDAT size mismatch")
     if ctype == 3:
         pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
         idx = out.reshape(-1)
