@@ -206,13 +206,27 @@ def expand_basename_py(name: str | None, dicts: dict[str, dict[str, str]],
 
 
 def make_basename_udf(special_cases: Iterable[tuple] | None = RLIS_SPECIAL_CASES):
-    """Arrow-batched pandas UDF for P4 with dicts folded at plan time (P5/P6)."""
+    """Arrow-batched pandas UDF for P4 with dicts folded at plan time (P5/P6).
+
+    Per-batch memoization (r5): street names repeat heavily in real RLIS
+    data (one name per SEGMENT), and the expansion is a pure function of
+    the string — computing each distinct name once per Arrow batch cuts
+    the Python work by the batch's duplication factor at zero cost to
+    all-distinct inputs."""
     dicts = build_positional_dicts(special_cases)
 
     @F.pandas_udf(StringType())
     def basename_expand(names: pd.Series) -> pd.Series:
-        return names.map(lambda n: expand_basename_py(n, dicts),
-                         na_action="ignore")
+        memo: dict = {}
+
+        def one(n):
+            r = memo.get(n)
+            if r is None:
+                r = expand_basename_py(n, dicts)
+                memo[n] = r
+            return r
+
+        return names.map(one, na_action="ignore")
 
     return basename_expand
 
@@ -221,12 +235,22 @@ def make_titlecase_udf():
     """P7: streets-only OSM-name titlecasing as an Arrow-batched pandas UDF.
 
     Wraps the ported titlecase algorithm (functions/titlecase_port.py);
-    note null -> '' (not null) per main.py:90.
-    """
+    note null -> '' (not null) per main.py:90. Memoized per batch like
+    :func:`make_basename_udf` — titlecasing is regex-heavy and a pure
+    function of the name."""
     from rlis2osm_spark.functions.titlecase_port import rlis_titlecase
 
     @F.pandas_udf(StringType())
     def titlecase_name(names: pd.Series) -> pd.Series:
-        return names.map(rlis_titlecase)  # handles None itself -> ''
+        memo: dict = {}
+
+        def one(n):
+            r = memo.get(n)
+            if r is None:
+                r = rlis_titlecase(n)
+                memo[n] = r
+            return r
+
+        return names.map(one)  # rlis_titlecase handles None itself -> ''
 
     return titlecase_name
