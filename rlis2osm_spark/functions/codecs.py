@@ -297,6 +297,163 @@ def encode_gif(width: int, height: int, pixels: bytes,
     return head + bytes(body) + b"\x3B"
 
 
+def encode_gif_anim(screen_w: int, screen_h: int, frames: list,
+                    bg: int = 0) -> bytes:
+    """Animated GIF89a (gray global palette). ``frames`` is a list of
+    dicts: ``left top width height pixels`` (gray bytes = palette
+    indices) plus optional ``disposal`` (0 none, 1 keep, 2
+    restore-background, 3 restore-previous), ``transparent`` (index or
+    None) and ``interlace``. Each frame gets its own Graphic Control
+    Extension; the same literal LZW coding as :func:`encode_gif`."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", screen_w, screen_h, 0xF7, bg, 0)
+    out += _GIF_GRAY_PALETTE
+    for f in frames:
+        left, top = f.get("left", 0), f.get("top", 0)
+        w, h = f["width"], f["height"]
+        px = f["pixels"]
+        if len(px) != w * h:
+            raise ValueError("frame pixels must be width*height bytes")
+        if left + w > screen_w or top + h > screen_h:
+            raise ValueError("frame rect outside the logical screen")
+        transparent = f.get("transparent")
+        disposal = f.get("disposal", 0)
+        flags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, flags, 0, 0,
+                      transparent or 0, 0])
+        iflags = 0x40 if f.get("interlace") else 0
+        out += b"\x2C" + struct.pack("<HHHHB", left, top, w, h, iflags)
+        if f.get("interlace"):
+            ordered = b"".join(px[r * w:(r + 1) * w]
+                               for r in _gif_interlace_order(h))
+        else:
+            ordered = px
+        clear, eoi = 256, 257
+        codes: list[int] = []
+        for i in range(0, len(ordered), 253):
+            codes.append(clear)
+            codes.extend(ordered[i:i + 253])
+        codes.append(eoi)
+        packed = _lzw_pack(codes, lambda _c: 9)
+        out.append(0x08)  # LZW minimum code size
+        for i in range(0, len(packed), 255):
+            chunk = packed[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3B"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Animated GIF -> (screen_w, screen_h, [full-canvas grayscale
+    frames]) with real GIF89a compositing (r5): each image rect draws
+    onto the logical screen honoring the Graphic Control Extension's
+    transparent index, and disposal methods none/keep (0/1),
+    restore-to-background (2) and restore-to-previous (3) are applied
+    between frames. Palette colors map to gray via the exact integer
+    luma, like :func:`decode_gif`."""
+    try:
+        return _decode_gif_frames_impl(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed or truncated GIF stream: {e}") from e
+
+
+def _decode_gif_frames_impl(data: bytes):
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = data[pos:pos + 3 * n]
+        pos += 3 * n
+
+    def pal_gray(pal: bytes):
+        p = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3).astype(
+            np.int64)
+        return ((299 * p[:, 0] + 587 * p[:, 1] + 114 * p[:, 2]) // 1000
+                ).astype(np.uint8)
+
+    bg_gray = int(pal_gray(gct)[bg]) if gct and bg < len(gct) // 3 else 0
+    canvas = np.full((sh, sw), bg_gray, dtype=np.uint8)
+    frames: list[bytes] = []
+    disposal = 0
+    transparent = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # Graphic Control Ext
+                gflags = data[pos + 1]
+                disposal = (gflags >> 2) & 7
+                transparent = (data[pos + 4] if gflags & 1 else None)
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos:pos + 9])
+        pos += 9
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rect outside the logical screen")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = data[pos:pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        raw = _lzw_decode_gif(min_code, bytes(lzw))[:w * h]
+        if len(raw) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        idx = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+        if iflags & 0x40:  # deinterlace at the INDEX level
+            ordered = np.empty_like(idx)
+            for file_row, img_row in enumerate(_gif_interlace_order(h)):
+                ordered[img_row] = idx[file_row]
+            idx = ordered
+        grays = pal_gray(pal)
+        if int(idx.max(initial=0)) >= len(grays):
+            raise ValueError("GIF palette index out of range")
+        prev_canvas = canvas.copy() if disposal == 3 else None
+        rect = canvas[top:top + h, left:left + w]
+        frame_gray = grays[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            rect[mask] = frame_gray[mask]
+        else:
+            rect[:, :] = frame_gray
+        frames.append(canvas.tobytes())
+        if disposal == 2:
+            canvas[top:top + h, left:left + w] = bg_gray
+        elif disposal == 3:
+            canvas = prev_canvas
+        disposal = 0
+        transparent = None
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return sw, sh, frames
+
+
 def _lzw_decode_gif(min_code: int, data: bytes) -> bytes:
     """GIF-variant LZW: variable code width from min_code+1 up to 12 bits,
     CLEAR resets the table, EOI ends the stream."""

@@ -225,12 +225,14 @@ def extract_video_frames(
     every_n: int = 1,
     decode_stub: bool = True,
 ) -> DataFrame:
-    """REAL video frame sampling + decode (r4; DIB r5): parse the
-    RIFF/AVI container, take every ``every_n``-th frame, decode each
-    frame — MJPEG through the baseline JPEG decoder (px_sum = luma sum),
-    uncompressed 'DIB ' as bottom-up 24-bit BGR (px_sum over all RGB
-    samples) -> one row per sampled frame with exact decoded pixel sums.
-    One Arrow pass; no per-pixel Python (numpy inside the batch). Other
+    """REAL video frame sampling + decode (r4; DIB + animated GIF r5):
+    parse the container, take every ``every_n``-th frame, decode each —
+    AVI/MJPEG through the baseline JPEG decoder (px_sum = luma sum),
+    AVI uncompressed 'DIB ' as bottom-up 24-bit BGR (px_sum over all RGB
+    samples), and animated GIF as fully-composited canvas frames
+    (transparency + disposal methods honored, px_sum = gray canvas sum)
+    -> one row per sampled frame with exact decoded pixel sums. One
+    Arrow pass; no per-pixel Python (numpy inside the batch). Other
     codecs raise NotImplementedError from the codec layer — the pyav
     seam. ``decode_stub=True`` (default — the same contract as the
     image/audio extractors) keeps the container parse real but skips the
@@ -239,7 +241,8 @@ def extract_video_frames(
 
     def batches(frames_it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rlis2osm_spark.functions.codecs import (
-            decode_avi_frames, decode_dib_frame, decode_jpeg_gray)
+            decode_avi_frames, decode_dib_frame, decode_gif_frames,
+            decode_jpeg_gray)
 
         for pdf in frames_it:
             rows = []
@@ -247,12 +250,19 @@ def extract_video_frames(
                 if payload is None:
                     rows.append((ref, None, None, None, None, None))
                     continue
-                w, h, codec, frames = decode_avi_frames(bytes(payload))
+                b = bytes(payload)
+                if b[:4] == b"GIF8":
+                    w, h, frames = decode_gif_frames(b)
+                    codec = "gif"
+                else:
+                    w, h, codec, frames = decode_avi_frames(b)
                 for idx in range(0, len(frames), every_n):
                     if decode_stub:
                         rows.append((ref, len(frames), idx, w, h, None))
                         continue
-                    if codec == "dib":
+                    if codec == "gif":
+                        fw, fh, px = w, h, frames[idx]
+                    elif codec == "dib":
                         fw, fh, _nch, px = decode_dib_frame(
                             frames[idx], w, h)
                     else:

@@ -900,6 +900,74 @@ def test_jpeg_lossless_roundtrip_all_predictors():
         C.encode_jpeg_lossless(4, 4, bytes(16), predictor=9)
 
 
+def test_gif_animation_compositing():
+    """r5: animated GIF decode — rect placement, transparent index,
+    and all three disposal methods, verified against an independent
+    numpy compositor over the same frame plan."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_gif_frames, encode_gif_anim)
+
+    rng = np.random.default_rng(41)
+    sw, sh = 20, 12
+    plan = [
+        # full-canvas base frame
+        dict(left=0, top=0, width=sw, height=sh,
+             pixels=rng.integers(0, 256, sw * sh, dtype=np.uint8).tobytes(),
+             disposal=1),
+        # small overlay with transparency, keep after
+        dict(left=3, top=2, width=6, height=5,
+             pixels=rng.integers(0, 256, 30, dtype=np.uint8).tobytes(),
+             transparent=7, disposal=1, interlace=True),
+        # overlay restored to background after display
+        dict(left=10, top=4, width=8, height=6,
+             pixels=rng.integers(0, 256, 48, dtype=np.uint8).tobytes(),
+             disposal=2),
+        # overlay restored to PREVIOUS canvas after display
+        dict(left=1, top=1, width=4, height=4,
+             pixels=rng.integers(0, 256, 16, dtype=np.uint8).tobytes(),
+             disposal=3),
+        # final frame shows the restored state plus this rect
+        dict(left=0, top=6, width=5, height=3,
+             pixels=rng.integers(0, 256, 15, dtype=np.uint8).tobytes()),
+    ]
+    blob = encode_gif_anim(sw, sh, plan, bg=0)
+    dw, dh, frames = decode_gif_frames(blob)
+    assert (dw, dh, len(frames)) == (sw, sh, len(plan))
+
+    # independent compositor (gray palette -> index == gray value)
+    canvas = np.zeros((sh, sw), dtype=np.uint8)
+    expected = []
+    for f in plan:
+        l, t, w, h = f["left"], f["top"], f["width"], f["height"]
+        px = np.frombuffer(f["pixels"], np.uint8).reshape(h, w)
+        prev = canvas.copy()
+        tr = f.get("transparent")
+        region = canvas[t:t + h, l:l + w]
+        if tr is None:
+            region[:, :] = px
+        else:
+            region[px != tr] = px[px != tr]
+        expected.append(canvas.copy())
+        d = f.get("disposal", 0)
+        if d == 2:
+            canvas[t:t + h, l:l + w] = 0
+        elif d == 3:
+            canvas = prev
+    for i, (got, exp) in enumerate(zip(frames, expected)):
+        assert np.array_equal(
+            np.frombuffer(got, np.uint8).reshape(sh, sw), exp), f"frame {i}"
+
+    # single-frame path agrees with decode_gif (frame rect == screen)
+    from rlis2osm_spark.functions.codecs import decode_gif, encode_gif
+    g = encode_gif(8, 6, bytes(range(48)))
+    assert decode_gif_frames(g)[2][0] == decode_gif(g)[2]
+    with pytest.raises(ValueError):
+        encode_gif_anim(4, 4, [dict(left=2, top=2, width=4, height=4,
+                                    pixels=bytes(16))])  # rect overflow
+
+
 def test_avi_raw_dib_roundtrip_and_codec_routing():
     """r5: uncompressed 'DIB ' AVI — bottom-up 24-bit BGR frames with
     4-byte row padding — decodes exactly; the container parser reports

@@ -119,6 +119,35 @@ def test_multimodal_plumbing(spark):
     assert all(len(bytes(r.payload)) == 64 for r in resized)
 
 
+def test_video_frames_from_animated_gif(spark):
+    """r5: extract_video_frames treats animated GIFs as a video source —
+    composited full-canvas frames with exact gray sums."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import encode_gif_anim
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, 6 * 4, dtype=np.uint8)
+    patch = rng.integers(0, 256, 4, dtype=np.uint8)
+    blob = encode_gif_anim(6, 4, [
+        dict(left=0, top=0, width=6, height=4, pixels=base.tobytes(),
+             disposal=1),
+        dict(left=2, top=1, width=2, height=2, pixels=patch.tobytes(),
+             disposal=1),
+    ])
+    media = spark.createDataFrame([("g", blob)],
+                                  "media_ref string, payload binary")
+    rows = sorted(multimodal.extract_video_frames(
+        media, every_n=1, decode_stub=False).collect(),
+        key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 1]
+    assert all((r.width, r.height, r.n_frames) == (6, 4, 2) for r in rows)
+    canvas = base.reshape(4, 6).copy()
+    assert rows[0].px_sum == int(canvas.sum(dtype=np.int64))
+    canvas[1:3, 2:4] = patch.reshape(2, 2)
+    assert rows[1].px_sum == int(canvas.sum(dtype=np.int64))
+
+
 def test_real_resize_decodes_resamples_reencodes(spark):
     """r5: resize_stub(decode_stub=False) really decodes, nearest-
     resamples and re-encodes as PNG — channel count preserved, pixel
