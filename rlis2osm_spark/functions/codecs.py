@@ -143,13 +143,16 @@ def _png_unfilter(raw: bytes, height: int, width: int, bpp: int):
 def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
     """PNG -> (width, height, n_channels, channel-interleaved pixels).
 
-    Supports 8-bit grayscale (type 0), RGB (2), palette (3 — indices
-    resolved through PLTE to RGB output; tRNS transparency is ignored),
-    gray+alpha (4) and RGBA (6) with any standard scanline filter — the
-    filter left-neighbor distance is the pixel's byte width (bpp), per
-    the spec — in sequential OR Adam7-interlaced layout (r5: each of the
-    seven passes unfilters as its own sub-image). 16-bit depths and
-    sub-byte palette depths raise NotImplementedError (the PIL seam)."""
+    Supports grayscale (type 0) and palette (3) at depths 1/2/4/8 and
+    RGB (2), gray+alpha (4), RGBA (6) at depth 8, with any standard
+    scanline filter — the filter left-neighbor distance is the pixel's
+    byte width (bpp; 1 for packed sub-byte rows), per the spec — in
+    sequential OR Adam7-interlaced layout (r5: each of the seven passes
+    unfilters as its own sub-image; Adam7 at sub-byte depths is the one
+    remaining layout gap). Sub-byte gray scales exactly to 8-bit
+    (255/(2^d-1) is integral); palette indices resolve through PLTE to
+    RGB; tRNS transparency is ignored. 16-bit streams decode via
+    :func:`decode_png16` (exact) and are rejected here."""
     if not data.startswith(PNG_SIG):
         raise ValueError("not a PNG")
     pos = len(PNG_SIG)
@@ -167,14 +170,22 @@ def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"IHDR":
             width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
             interlace = body[12]
-            if (depth != 8 or interlace not in (0, 1)
-                    or ctype not in (_PNG_CHANNELS.keys() | {3})):
+            ok = (interlace in (0, 1)
+                  and ((depth == 8 and ctype in (_PNG_CHANNELS.keys()
+                                                 | {3}))
+                       or (depth in (1, 2, 4) and ctype in (0, 3))))
+            if depth == 16:
                 raise NotImplementedError(
-                    f"decode_png supports 8-bit color types 0/2/3/4/6, "
-                    f"sequential or Adam7 (got depth={depth}, "
-                    f"color_type={ctype}, interlace={interlace}) — "
-                    "16-bit/sub-byte-palette is the PIL seam")
-            bpp = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
+                    "16-bit PNG decodes exactly via decode_png16")
+            if not ok:
+                raise NotImplementedError(
+                    f"decode_png supports color types 0/3 at depths "
+                    f"1/2/4/8 and 2/4/6 at depth 8 (got depth={depth}, "
+                    f"color_type={ctype}, interlace={interlace})")
+            if depth < 8 and interlace:
+                raise NotImplementedError(
+                    "Adam7 at sub-byte depths is not supported")
+            bpp = 1 if ctype == 3 or depth < 8 else _PNG_CHANNELS[ctype]
         elif tag == b"PLTE":
             if len(body) % 3 or not body:
                 raise ValueError("malformed PLTE chunk")
@@ -193,7 +204,15 @@ def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"bad or missing IDAT stream: {e}") from e
     import numpy as np
 
-    if interlace == 0:
+    if depth < 8:
+        packed_w = -(-width * depth // 8)  # ceil: packed row bytes
+        if len(raw) != (packed_w + 1) * height:
+            raise ValueError("IDAT size mismatch")
+        out = _png_unpack_bits(
+            _png_unfilter(raw, height, packed_w, 1), width, depth)
+        if ctype == 0:  # scale exactly to 8-bit (255/(2^d-1) integral)
+            out = (out * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    elif interlace == 0:
         rowbytes = width * bpp
         if len(raw) != (rowbytes + 1) * height:
             raise ValueError("IDAT size mismatch")
@@ -221,6 +240,67 @@ def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("palette index out of range")
         return width, height, 3, pal[idx].tobytes()
     return width, height, bpp, out.tobytes()
+
+
+def _png_unpack_bits(packed, width: int, depth: int):
+    """(h, packed_bytes) -> (h, width) sample values for depth 1/2/4
+    (MSB-first within each byte, row-end padding bits dropped)."""
+    import numpy as np
+
+    per = 8 // depth
+    shifts = np.array([8 - depth * (i + 1) for i in range(per)],
+                      dtype=np.uint8)
+    vals = ((packed[:, :, None] >> shifts[None, None, :])
+            & ((1 << depth) - 1))
+    return vals.reshape(packed.shape[0], -1)[:, :width].astype(np.uint8)
+
+
+def decode_png16(data: bytes) -> tuple[int, int, int, bytes]:
+    """16-bit PNG -> (width, height, n_channels, little-endian uint16
+    samples) — EXACT, no 8-bit down-conversion. Sequential layout, color
+    types 0/2/4/6, all five filters (byte-level with the 2*channels
+    neighbor distance, per the spec). Adam7 16-bit raises."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG")
+    import numpy as np
+
+    pos = len(PNG_SIG)
+    width = height = None
+    nch = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+            interlace = body[12]
+            if depth != 16 or ctype not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"decode_png16 is for 16-bit color types 0/2/4/6 "
+                    f"(got depth={depth}, color_type={ctype}); use "
+                    "decode_png_ex for 8-bit-and-below")
+            if interlace != 0:
+                raise NotImplementedError("Adam7 16-bit PNG")
+            nch = _PNG_CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad or missing IDAT stream: {e}") from e
+    bppb = 2 * nch
+    if len(raw) != (width * bppb + 1) * height:
+        raise ValueError("IDAT size mismatch")
+    out = _png_unfilter(raw, height, width, bppb)
+    pairs = out.reshape(height, width, nch, 2).astype(np.uint16)
+    samples = (pairs[..., 0] << 8) | pairs[..., 1]  # network order
+    return width, height, nch, samples.astype("<u2").tobytes()
 
 
 def decode_png(data: bytes) -> tuple[int, int, bytes]:

@@ -774,6 +774,124 @@ def test_png_adam7_interlace_decode():
             np.frombuffer(px, np.uint8).reshape(h, w, ch), img)
 
 
+def test_png_sub_byte_depths_decode():
+    """r5: depth 1/2/4 gray and palette PNG — bits unpack MSB-first with
+    row padding dropped, filters run on the packed bytes (bpp=1), gray
+    scales exactly to 8-bit."""
+    import struct as _st
+    import zlib as _zl
+
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import decode_png_ex
+
+    def chunk(tag, body):
+        return (_st.pack(">I", len(body)) + tag + body
+                + _st.pack(">I", _zl.crc32(tag + body) & 0xFFFFFFFF))
+
+    def pack_bits(vals, depth):
+        per = 8 // depth
+        out = bytearray()
+        for i in range(0, len(vals), per):
+            b = 0
+            for j, v in enumerate(vals[i:i + per]):
+                b |= int(v) << (8 - depth * (j + 1))
+            out.append(b)
+        return bytes(out)
+
+    rng = np.random.default_rng(3)
+    for depth in (1, 2, 4):
+        for w, h in [(5, 3), (8, 4), (13, 2)]:
+            vals = rng.integers(0, 1 << depth, (h, w), dtype=np.uint8)
+            raw = bytearray()
+            prior = None
+            for r in range(h):
+                packed = pack_bits(vals[r], depth)
+                if r % 2 == 0 or prior is None:
+                    raw.append(0)
+                    raw.extend(packed)
+                else:  # Up filter on the packed bytes
+                    raw.append(2)
+                    raw.extend((np.frombuffer(packed, np.uint8)
+                                - np.frombuffer(prior, np.uint8)).tobytes())
+                prior = packed
+            ihdr = _st.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+            blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", _zl.compress(bytes(raw)))
+                    + chunk(b"IEND", b""))
+            dw, dh, nch, px = decode_png_ex(blob)
+            assert (dw, dh, nch) == (w, h, 1)
+            scale = 255 // ((1 << depth) - 1)
+            assert np.array_equal(
+                np.frombuffer(px, np.uint8).reshape(h, w), vals * scale)
+
+    # sub-byte palette: indices resolve through PLTE
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    vals = rng.integers(0, 4, (3, 6), dtype=np.uint8)
+    raw = bytearray()
+    for r in range(3):
+        raw.append(0)
+        raw.extend(pack_bits(vals[r], 2))
+    ihdr = _st.pack(">IIBBBBB", 6, 3, 2, 3, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", _zl.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    dw, dh, nch, px = decode_png_ex(blob)
+    assert (dw, dh, nch) == (6, 3, 3)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(3, 6, 3),
+                          pal[vals])
+
+
+def test_png16_exact_decode():
+    """r5: 16-bit PNG decodes EXACTLY via decode_png16 (no 8-bit
+    truncation); filters run byte-level with the 2*channels distance."""
+    import struct as _st
+    import zlib as _zl
+
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import decode_png16, decode_png_ex
+
+    def chunk(tag, body):
+        return (_st.pack(">I", len(body)) + tag + body
+                + _st.pack(">I", _zl.crc32(tag + body) & 0xFFFFFFFF))
+
+    rng = np.random.default_rng(7)
+    for ctype, ch in [(0, 1), (2, 3)]:
+        w, h = 7, 5
+        img = rng.integers(0, 1 << 16, (h, w, ch), dtype=np.uint16)
+        be = img.astype(">u2").tobytes()
+        rows = np.frombuffer(be, np.uint8).reshape(h, w * ch * 2)
+        raw = bytearray()
+        prior = np.zeros(w * ch * 2, dtype=np.int64)
+        bpp = ch * 2
+        for r in range(h):
+            row = rows[r].astype(np.int64)
+            ft = [0, 1, 2][r % 3]
+            if ft == 0:
+                enc = row
+            elif ft == 1:
+                left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+                enc = row - left
+            else:
+                enc = row - prior
+            raw.append(ft)
+            raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+            prior = row
+        ihdr = _st.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+        blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zl.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        dw, dh, nch, px = decode_png16(blob)
+        assert (dw, dh, nch) == (w, h, ch)
+        assert np.array_equal(
+            np.frombuffer(px, "<u2").reshape(h, w, ch), img)
+        # the 8-bit API points at decode_png16, loudly
+        with pytest.raises(NotImplementedError, match="decode_png16"):
+            decode_png_ex(blob)
+
+
 def test_png_palette_decode():
     """r5: palette (type 3) PNG resolves indices through PLTE to RGB."""
     import struct as _st
