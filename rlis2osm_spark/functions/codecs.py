@@ -2283,6 +2283,60 @@ def encode_avi_raw(frames_gray: list[bytes], width: int, height: int,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """BMP file -> (width, height, n_channels, pixels).
+
+    Uncompressed (BI_RGB) BITMAPINFOHEADER bitmaps: 24-bit BGR ->
+    interleaved RGB (nch=3), 8-bit palettized -> RGB through the BGRX
+    color table, 32-bit BGRX -> RGB (the X byte is dropped, nch=3).
+    Rows are 4-byte aligned; positive biHeight is bottom-up, negative
+    top-down. RLE/bitfield compression and 1/4-bit depths raise
+    NotImplementedError (the PIL seam)."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off_bits,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP")
+    width, height_s = struct.unpack("<ii", data[18:26])
+    _planes, bits, comp = struct.unpack("<HHI", data[26:34])
+    (n_colors,) = struct.unpack("<I", data[46:50])
+    if comp != 0:
+        raise NotImplementedError(
+            f"BMP compression {comp} (RLE/bitfields) needs PIL")
+    if bits not in (8, 24, 32):
+        raise NotImplementedError(f"{bits}-bit BMP (1/4-bit need PIL)")
+    top_down = height_s < 0
+    height = abs(height_s)
+    if width <= 0 or height == 0:
+        raise ValueError("bad BMP dimensions")
+    bpp = bits // 8
+    stride = (width * bpp + 3) & ~3
+    px = data[off_bits:off_bits + stride * height]
+    if len(px) < stride * height:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(px, dtype=np.uint8).reshape(height, stride)
+    body = rows[:, :width * bpp].reshape(height, width, bpp)
+    if not top_down:
+        body = body[::-1]
+    if bits == 8:
+        n = n_colors or 256
+        table = np.frombuffer(
+            data[14 + hdr_size:14 + hdr_size + 4 * n],
+            dtype=np.uint8).reshape(-1, 4)
+        if table.shape[0] < n:
+            raise ValueError("BMP color table truncated")
+        idx = body[:, :, 0]
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("BMP palette index out of range")
+        rgb = table[idx][:, :, [2, 1, 0]]  # BGRX -> RGB
+        return width, height, 3, np.ascontiguousarray(rgb).tobytes()
+    rgb = body[:, :, [2, 1, 0]]  # BGR(X) -> RGB, X dropped
+    return width, height, 3, np.ascontiguousarray(rgb).tobytes()
+
+
 def decode_dib_frame(frame: bytes, width: int, height: int,
                      ) -> "tuple[int, int, int, bytes]":
     """One 24-bit BI_RGB DIB frame -> (width, height, 3, interleaved RGB

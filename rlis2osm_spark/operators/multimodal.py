@@ -50,7 +50,7 @@ IMAGE_FEATURE_SCHEMA = StructType([
 
 _MAGIC = {
     b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"GIF8": "gif",
-    b"RIFF": "riff", b"\x01\x02": "wkb-le",
+    b"RIFF": "riff", b"BM": "bmp", b"\x01\x02": "wkb-le",
 }
 
 
@@ -97,14 +97,15 @@ def extract_image_features(
                     rows.append((ref, len(b), fmt, w, h, None,
                                  feat.tolist(), None))
                     continue
-                if fmt not in ("png", "gif", "jpeg"):
+                if fmt not in ("png", "gif", "jpeg", "bmp"):
                     raise NotImplementedError(
                         f"real image decoding for {fmt!r} requires an image "
-                        "codec library; plug PIL/pyav in here (png, gif and "
-                        "baseline/progressive jpeg — grayscale or full-RGB "
-                        "color — decode natively via functions/codecs.py)")
+                        "codec library; plug PIL/pyav in here (png, gif, "
+                        "bmp and baseline/progressive/lossless jpeg — "
+                        "grayscale or full-RGB color — decode natively via "
+                        "functions/codecs.py)")
                 from rlis2osm_spark.functions.codecs import (
-                    decode_gif, decode_jpeg, decode_png_ex)
+                    decode_bmp, decode_gif, decode_jpeg, decode_png_ex)
 
                 if fmt == "jpeg":
                     # decode_jpeg raises NotImplementedError itself for
@@ -113,9 +114,11 @@ def extract_image_features(
                     # progressive and lossless decode for real (r5)
                     w, h, nch, px = decode_jpeg(b)
                 elif fmt == "png":
-                    # gray/RGB/gray+A/RGBA (r5); palette/16-bit/Adam7
-                    # raise from the codec layer
+                    # gray/RGB/palette/alpha at depths 1-8, Adam7 (r5);
+                    # 16-bit raises toward decode_png16
                     w, h, nch, px = decode_png_ex(b)
+                elif fmt == "bmp":
+                    w, h, nch, px = decode_bmp(b)
                 else:
                     w, h, px = decode_gif(b)
                     nch = 1
@@ -149,7 +152,7 @@ def resize_stub(media: DataFrame, width: int, height: int,
 
     def batches(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rlis2osm_spark.functions.codecs import (
-            decode_gif, decode_jpeg, decode_png_ex, encode_png)
+            decode_bmp, decode_gif, decode_jpeg, decode_png_ex, encode_png)
 
         for pdf in frames:
             out = []
@@ -166,14 +169,16 @@ def resize_stub(media: DataFrame, width: int, height: int,
                     w, h, nch, px = decode_png_ex(b)
                 elif fmt == "jpeg":
                     w, h, nch, px = decode_jpeg(b)
+                elif fmt == "bmp":
+                    w, h, nch, px = decode_bmp(b)
                 elif fmt == "gif":
                     w, h, px = decode_gif(b)
                     nch = 1
                 else:
                     raise NotImplementedError(
                         f"real resize for {fmt!r} payloads requires an "
-                        "image codec library (PIL's seam); png/gif/jpeg "
-                        "resize natively")
+                        "image codec library (PIL's seam); png/gif/bmp/"
+                        "jpeg resize natively")
                 src = np.frombuffer(px, dtype=np.uint8).reshape(h, w, nch)
                 ys = (np.arange(height) * h // height).clip(0, h - 1)
                 xs = (np.arange(width) * w // width).clip(0, w - 1)

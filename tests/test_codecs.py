@@ -1018,6 +1018,70 @@ def test_jpeg_lossless_roundtrip_all_predictors():
         C.encode_jpeg_lossless(4, 4, bytes(16), predictor=9)
 
 
+def test_bmp_decode_24_8_32bit():
+    """r5: BMP decode — 24-bit BGR (bottom-up AND top-down), 8-bit
+    palettized through the BGRX table, 32-bit BGRX; 4-byte row
+    alignment; RLE stays behind the seam. Files built independently."""
+    import struct as _st
+
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import decode_bmp
+
+    rng = np.random.default_rng(6)
+
+    def bmp(width, height_signed, bits, pixel_rows, table=b"", comp=0,
+            clr_used=0):
+        info = _st.pack("<IiiHHIIiiII", 40, width, height_signed, 1, bits,
+                        comp, len(pixel_rows), 0, 0, clr_used, 0)
+        off = 14 + 40 + len(table)
+        head = b"BM" + _st.pack("<IHHI", off + len(pixel_rows), 0, 0, off)
+        return head + info + table + pixel_rows
+
+    # 24-bit bottom-up with stride padding (width 3 -> stride 12)
+    img = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)  # RGB truth
+    rows = bytearray()
+    for r in (1, 0):  # bottom-up
+        for c in range(3):
+            rows += bytes([img[r, c, 2], img[r, c, 1], img[r, c, 0]])
+        rows += b"\x00\x00\x00"  # pad to 12
+    w, h, nch, px = decode_bmp(bmp(3, 2, 24, bytes(rows)))
+    assert (w, h, nch) == (3, 2, 3)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(2, 3, 3), img)
+
+    # the same image top-down (negative height)
+    rows_td = bytearray()
+    for r in (0, 1):
+        for c in range(3):
+            rows_td += bytes([img[r, c, 2], img[r, c, 1], img[r, c, 0]])
+        rows_td += b"\x00\x00\x00"
+    assert decode_bmp(bmp(3, -2, 24, bytes(rows_td)))[3] == px
+
+    # 8-bit palettized (BGRX table), width 5 -> stride 8
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)  # RGB truth
+    table = b"".join(bytes([p[2], p[1], p[0], 0]) for p in pal)
+    idx = rng.integers(0, 16, (3, 5), dtype=np.uint8)
+    rows8 = b"".join(idx[r].tobytes() + b"\x00\x00\x00"
+                     for r in (2, 1, 0))
+    w, h, nch, px = decode_bmp(bmp(5, 3, 8, rows8, table, clr_used=16))
+    assert (w, h, nch) == (5, 3, 3)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(3, 5, 3),
+                          pal[idx])
+
+    # 32-bit BGRX: X dropped
+    rows32 = b"".join(bytes([9, 8, 7, 0xAA]) for _ in range(2))
+    w, h, nch, px = decode_bmp(bmp(2, 1, 32, rows32))
+    assert (w, h, nch) == (2, 1, 3)
+    assert px == bytes([7, 8, 9, 7, 8, 9])
+
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp(bmp(2, 1, 8, b"\x00" * 8, b"\x00" * 64, comp=1))
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bmp(3, 2, 24, bytes(rows)[:-8]))
+
+
 def test_gif_animation_compositing():
     """r5: animated GIF decode — rect placement, transparent index,
     and all three disposal methods, verified against an independent
