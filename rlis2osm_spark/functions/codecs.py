@@ -650,10 +650,12 @@ def _decode_gif_impl(data: bytes) -> tuple[int, int, bytes]:
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (grayscale): pure Python + numpy over the public JPEG spec
-# (ITU T.81). Sequential DCT, 8-bit, single component; huffman tables are
-# the spec's Annex K typical tables. Color / progressive / arithmetic
-# remain behind the NotImplementedError seam.
+# JPEG: pure Python + numpy over the public spec (ITU T.81). Baseline
+# sequential (gray + interleaved color), progressive (SOF2) and lossless
+# (SOF3) huffman modes, 8-bit precision; DCT tables are the spec's Annex K
+# typical tables (progressive AC scans carry their own DHT for the EOBn
+# symbols). Arithmetic coding and hierarchical mode remain behind the
+# NotImplementedError seam.
 # ---------------------------------------------------------------------------
 
 _JPEG_ZIGZAG = [
