@@ -1125,7 +1125,6 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
 
     # scan script: one interleaved DC pair; per-component AC band scans
     # with two successive-approximation refinements each
-    dc_comps = comps
     script = [("dc_first", None, 0, 0, 0, 1)]
     for c in comps:
         script += [("ac_first", c, 1, 5, 0, 2),
@@ -1149,8 +1148,8 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
             ac_refine(w, list(ac_units(comp)), ss, se, al)
         w.flush()
         if kind.startswith("dc"):
-            hdr = bytes([len(dc_comps)]) + b"".join(
-                bytes([c["id"], 0x00]) for c in dc_comps)
+            hdr = bytes([len(comps)]) + b"".join(
+                bytes([c["id"], 0x00]) for c in comps)
         else:
             hdr = bytes([1, comp["id"], 0x00])
         out += seg(0xDA, hdr + bytes([ss, se, (ah << 4) | al]))
