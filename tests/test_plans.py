@@ -151,3 +151,26 @@ def test_scaling_doc_probe_single_reassembly_exchange(spark, synth_dir):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_fused_dissolve_single_shuffle(spark):
+    """r5: the fused union-find+merge dissolve moves the payload through
+    exactly ONE shuffle exchange (the group_key repartition) — the
+    pre-r5 shape had three (node self-join, comps merge join, component
+    groupBy)."""
+    import re
+
+    from test_dissolve import _combined_df, _seg
+
+    from rlis2osm_spark.operators.dissolve import dissolve_ways
+
+    df = _combined_df(spark, [
+        (0, "residential", "Oak", _seg(0, 0, 1, 0)),
+        (1, "residential", "Oak", _seg(1, 0, 2, 0)),
+        (2, "tertiary", "Elm", _seg(5, 5, 6, 6)),
+    ])
+    plan = dissolve_ways(df, algorithm="unionfind") \
+        ._jdf.queryExecution().executedPlan().toString()
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]*)", plan)
+    assert len(shuffles) == 1, plan
+    assert "group_key" in shuffles[0]  # ...and it IS the group_key shuffle
