@@ -581,7 +581,8 @@ def _lzw_decode_gif(min_code: int, data: bytes) -> bytes:
 
 def decode_gif(data: bytes) -> tuple[int, int, bytes]:
     """GIF -> (width, height, row-major grayscale pixels) for the FIRST
-    image (animations: later frames ignored). Any LZW stream a conformant
+    image (animations decode fully — with compositing — via
+    :func:`decode_gif_frames`). Any LZW stream a conformant
     encoder produces decodes (variable-width codes to 12 bits, interlace
     deinterleaved); palette entries map to gray via the exact integer
     luma (299*r + 587*g + 114*b) / 1000 — identity for gray palettes.
