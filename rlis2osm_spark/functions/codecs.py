@@ -147,11 +147,11 @@ def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
     RGB (2), gray+alpha (4), RGBA (6) at depth 8, with any standard
     scanline filter — the filter left-neighbor distance is the pixel's
     byte width (bpp; 1 for packed sub-byte rows), per the spec — in
-    sequential OR Adam7-interlaced layout (r5: each of the seven passes
-    unfilters as its own sub-image; Adam7 at sub-byte depths is the one
-    remaining layout gap). Sub-byte gray scales exactly to 8-bit
-    (255/(2^d-1) is integral); palette indices resolve through PLTE to
-    RGB; tRNS transparency is ignored. 16-bit streams decode via
+    sequential OR Adam7-interlaced layout at EVERY supported depth (r5:
+    each of the seven passes unfilters — and bit-unpacks — as its own
+    sub-image). Sub-byte gray scales exactly to 8-bit (255/(2^d-1) is
+    integral); palette indices resolve through PLTE to RGB; tRNS
+    transparency is ignored. 16-bit streams decode via
     :func:`decode_png16` (exact) and are rejected here."""
     if not data.startswith(PNG_SIG):
         raise ValueError("not a PNG")
@@ -182,9 +182,6 @@ def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
                     f"decode_png supports color types 0/3 at depths "
                     f"1/2/4/8 and 2/4/6 at depth 8 (got depth={depth}, "
                     f"color_type={ctype}, interlace={interlace})")
-            if depth < 8 and interlace:
-                raise NotImplementedError(
-                    "Adam7 at sub-byte depths is not supported")
             bpp = 1 if ctype == 3 or depth < 8 else _PNG_CHANNELS[ctype]
         elif tag == b"PLTE":
             if len(body) % 3 or not body:
@@ -204,19 +201,23 @@ def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"bad or missing IDAT stream: {e}") from e
     import numpy as np
 
-    if depth < 8:
-        packed_w = -(-width * depth // 8)  # ceil: packed row bytes
-        if len(raw) != (packed_w + 1) * height:
+    def unfilter_block(block: bytes, ph: int, pw: int):
+        """One sequential sub-image (a whole file or an Adam7 pass) ->
+        (ph, pw*bpp) sample bytes, bit-unpacking sub-byte rows."""
+        if depth < 8:
+            packed_w = -(-pw * depth // 8)  # ceil: packed row bytes
+            return _png_unpack_bits(
+                _png_unfilter(block, ph, packed_w, 1), pw, depth)
+        return _png_unfilter(block, ph, pw, bpp)
+
+    def block_len(ph: int, pw: int) -> int:
+        per_row = -(-pw * depth // 8) if depth < 8 else pw * bpp
+        return (per_row + 1) * ph
+
+    if interlace == 0:
+        if len(raw) != block_len(height, width):
             raise ValueError("IDAT size mismatch")
-        out = _png_unpack_bits(
-            _png_unfilter(raw, height, packed_w, 1), width, depth)
-        if ctype == 0:  # scale exactly to 8-bit (255/(2^d-1) integral)
-            out = (out * (255 // ((1 << depth) - 1))).astype(np.uint8)
-    elif interlace == 0:
-        rowbytes = width * bpp
-        if len(raw) != (rowbytes + 1) * height:
-            raise ValueError("IDAT size mismatch")
-        out = _png_unfilter(raw, height, width, bpp)
+        out = unfilter_block(raw, height, width)
     else:  # Adam7: seven independently-filtered sub-images
         out = np.empty((height, width * bpp), dtype=np.uint8)
         pos2 = 0
@@ -225,14 +226,17 @@ def decode_png_ex(data: bytes) -> tuple[int, int, int, bytes]:
             ph = max(0, -(-(height - y0) // dy))
             if pw == 0 or ph == 0:
                 continue
-            block_len = (pw * bpp + 1) * ph
-            sub = _png_unfilter(raw[pos2:pos2 + block_len], ph, pw, bpp)
-            pos2 += block_len
+            ln = block_len(ph, pw)
+            sub = unfilter_block(raw[pos2:pos2 + ln], ph, pw)
+            pos2 += ln
             cols = np.arange(x0, width, dx)
             out3 = out.reshape(height, width, bpp)
             out3[y0::dy, cols, :] = sub.reshape(ph, pw, bpp)
         if pos2 != len(raw):
             raise ValueError("IDAT size mismatch")
+    if depth < 8 and ctype == 0:
+        # scale exactly to 8-bit (255/(2^d-1) is integral for d=1/2/4)
+        out = (out * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if ctype == 3:
         pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
         idx = out.reshape(-1)
@@ -257,9 +261,9 @@ def _png_unpack_bits(packed, width: int, depth: int):
 
 def decode_png16(data: bytes) -> tuple[int, int, int, bytes]:
     """16-bit PNG -> (width, height, n_channels, little-endian uint16
-    samples) — EXACT, no 8-bit down-conversion. Sequential layout, color
-    types 0/2/4/6, all five filters (byte-level with the 2*channels
-    neighbor distance, per the spec). Adam7 16-bit raises."""
+    samples) — EXACT, no 8-bit down-conversion. Color types 0/2/4/6,
+    all five filters (byte-level with the 2*channels neighbor distance,
+    per the spec), sequential or Adam7 layout (r5)."""
     if not data.startswith(PNG_SIG):
         raise ValueError("not a PNG")
     import numpy as np
@@ -267,6 +271,7 @@ def decode_png16(data: bytes) -> tuple[int, int, int, bytes]:
     pos = len(PNG_SIG)
     width = height = None
     nch = None
+    interlace = 0
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -281,8 +286,6 @@ def decode_png16(data: bytes) -> tuple[int, int, int, bytes]:
                     f"decode_png16 is for 16-bit color types 0/2/4/6 "
                     f"(got depth={depth}, color_type={ctype}); use "
                     "decode_png_ex for 8-bit-and-below")
-            if interlace != 0:
-                raise NotImplementedError("Adam7 16-bit PNG")
             nch = _PNG_CHANNELS[ctype]
         elif tag == b"IDAT":
             idat += body
@@ -295,9 +298,26 @@ def decode_png16(data: bytes) -> tuple[int, int, int, bytes]:
     except zlib.error as e:
         raise ValueError(f"bad or missing IDAT stream: {e}") from e
     bppb = 2 * nch
-    if len(raw) != (width * bppb + 1) * height:
-        raise ValueError("IDAT size mismatch")
-    out = _png_unfilter(raw, height, width, bppb)
+    if interlace == 0:
+        if len(raw) != (width * bppb + 1) * height:
+            raise ValueError("IDAT size mismatch")
+        out = _png_unfilter(raw, height, width, bppb)
+    else:
+        out = np.empty((height, width * bppb), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            ln = (pw * bppb + 1) * ph
+            sub = _png_unfilter(raw[pos2:pos2 + ln], ph, pw, bppb)
+            pos2 += ln
+            cols = np.arange(x0, width, dx)
+            out.reshape(height, width, bppb)[y0::dy, cols, :] = \
+                sub.reshape(ph, pw, bppb)
+        if pos2 != len(raw):
+            raise ValueError("IDAT size mismatch")
     pairs = out.reshape(height, width, nch, 2).astype(np.uint16)
     samples = (pairs[..., 0] << 8) | pairs[..., 1]  # network order
     return width, height, nch, samples.astype("<u2").tobytes()

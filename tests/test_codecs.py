@@ -892,6 +892,80 @@ def test_png16_exact_decode():
             decode_png_ex(blob)
 
 
+def test_png_adam7_sub_byte_and_16bit():
+    """r5: Adam7 at sub-byte depths (per-pass bit packing) and Adam7
+    16-bit (via decode_png16) — independent writers again."""
+    import struct as _st
+    import zlib as _zl
+
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import decode_png16, decode_png_ex
+
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def chunk(tag, body):
+        return (_st.pack(">I", len(body)) + tag + body
+                + _st.pack(">I", _zl.crc32(tag + body) & 0xFFFFFFFF))
+
+    def pack_bits(vals, depth):
+        per = 8 // depth
+        out = bytearray()
+        for i in range(0, len(vals), per):
+            b = 0
+            for j, v in enumerate(vals[i:i + per]):
+                b |= int(v) << (8 - depth * (j + 1))
+            out.append(b)
+        return bytes(out)
+
+    rng = np.random.default_rng(29)
+
+    # Adam7 depth-2 gray, filter 0 rows (bit packing is the new surface)
+    w, h, depth = 11, 9, 2
+    vals = rng.integers(0, 4, (h, w), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = vals[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for r in range(sub.shape[0]):
+            raw.append(0)
+            raw.extend(pack_bits(sub[r], depth))
+    ihdr = _st.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zl.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    dw, dh, nch, px = decode_png_ex(blob)
+    assert (dw, dh, nch) == (w, h, 1)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w),
+                          vals * 85)
+
+    # Adam7 16-bit gray, Up filter within passes
+    w, h = 10, 6
+    img = rng.integers(0, 1 << 16, (h, w), dtype=np.uint16)
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        rows = np.frombuffer(sub.astype(">u2").tobytes(),
+                             np.uint8).reshape(sub.shape[0], -1)
+        prior = np.zeros(rows.shape[1], dtype=np.int64)
+        for r in range(rows.shape[0]):
+            row = rows[r].astype(np.int64)
+            raw.append(2)  # Up
+            raw.extend(((row - prior) & 0xFF).astype(np.uint8).tobytes())
+            prior = row
+    ihdr = _st.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zl.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    dw, dh, nch, px = decode_png16(blob)
+    assert (dw, dh, nch) == (w, h, 1)
+    assert np.array_equal(np.frombuffer(px, "<u2").reshape(h, w), img)
+
+
 def test_png_palette_decode():
     """r5: palette (type 3) PNG resolves indices through PLTE to RGB."""
     import struct as _st
