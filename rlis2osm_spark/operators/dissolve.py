@@ -198,40 +198,51 @@ def _fused_dissolve_partitions(dissolve_fields: list[str], geom_col: str,
                 else:
                     union(other, w)
 
-        comp_rows: dict[int, list[int]] = {}
-        for i, w0 in enumerate(ways):
-            comp_rows.setdefault(find(int(w0)), []).append(i)
-
-        comp_ids, first_idx, n_members, merged = [], [], [], []
-        for cid, idxs in comp_rows.items():
-            idxs.sort(key=lambda i: int(ways[i]))
-            comp_ids.append(cid)
-            first_idx.append(idxs[0])
-            n_members.append(len(idxs))
-            merged.append(wkb.linemerge_wkb(
-                [bytes(geoms.iloc[i]) for i in idxs]))
-
-        out = pd.DataFrame({"component_id": comp_ids})
-        for f in dissolve_fields:
-            s = pdf[f].iloc[first_idx].reset_index(drop=True)
-            if field_kinds.get(f) == "int" and s.dtype.kind == "f":
-                # Arrow hands nullable int columns to pandas as float64;
-                # hand exact ints (or None) back so the declared schema
-                # round-trips without an unsafe float cast
-                s = s.map(lambda v: None if pd.isna(v) else int(v))
-            out[f] = s.astype(object).where(s.notna(), None)
-        out["n_members"] = pd.Series(n_members, dtype="int32")
-        out[geom_col] = pd.Series(merged, dtype=object)
-        yield out
+        comp_of = {int(w): find(int(w)) for w in ways}
+        yield _merge_component_rows(pdf, comp_of, dissolve_fields,
+                                    geom_col, field_kinds)
 
     return run
 
 
-def _dissolve_fused(df: DataFrame, dissolve_fields: list[str],
-                    geom_col: str, n_parts: int) -> DataFrame:
-    """One-exchange dissolve for inputs whose tag-groups all fit a worker
-    (the union-find contract): hash-partition whole groups WITH their
-    payload, then component-find and merge inside the partition."""
+def _merge_component_rows(pdf: pd.DataFrame, comp_of: dict,
+                          dissolve_fields: list[str], geom_col: str,
+                          field_kinds: dict[str, str]) -> pd.DataFrame:
+    """Shared merge step of the fused dissolve paths: given payload rows
+    and a way_id -> component mapping, emit one merged row per component
+    (way_id-ordered linemerge, first member's tags)."""
+    ways = pdf["way_id"].to_numpy()
+    geoms = pdf[geom_col]
+    comp_rows: dict[int, list[int]] = {}
+    for i, w0 in enumerate(ways):
+        comp_rows.setdefault(int(comp_of[int(w0)]), []).append(i)
+
+    comp_ids, first_idx, n_members, merged = [], [], [], []
+    for cid, idxs in comp_rows.items():
+        idxs.sort(key=lambda i: int(ways[i]))
+        comp_ids.append(cid)
+        first_idx.append(idxs[0])
+        n_members.append(len(idxs))
+        merged.append(wkb.linemerge_wkb(
+            [bytes(geoms.iloc[i]) for i in idxs]))
+
+    out = pd.DataFrame({"component_id": comp_ids})
+    for f in dissolve_fields:
+        s = pdf[f].iloc[first_idx].reset_index(drop=True)
+        if field_kinds.get(f) == "int" and s.dtype.kind == "f":
+            # Arrow hands nullable int columns to pandas as float64;
+            # hand exact ints (or None) back so the declared schema
+            # round-trips without an unsafe float cast
+            s = s.map(lambda v: None if pd.isna(v) else int(v))
+        out[f] = s.astype(object).where(s.notna(), None)
+    out["n_members"] = pd.Series(n_members, dtype="int32")
+    out[geom_col] = pd.Series(merged, dtype=object)
+    return out
+
+
+def _fused_schema(df: DataFrame, dissolve_fields: list[str],
+                  geom_col: str):
+    """(output StructType, field-kind map) shared by the fused paths."""
     from pyspark.sql.types import IntegerType
 
     schema_by_name = {f.name: f for f in df.schema.fields}
@@ -246,6 +257,15 @@ def _dissolve_fused(df: DataFrame, dissolve_fields: list[str],
             else "other")
         for c in dissolve_fields
     }
+    return out_schema, field_kinds
+
+
+def _dissolve_fused(df: DataFrame, dissolve_fields: list[str],
+                    geom_col: str, n_parts: int) -> DataFrame:
+    """One-exchange dissolve for inputs whose tag-groups all fit a worker
+    (the union-find contract): hash-partition whole groups WITH their
+    payload, then component-find and merge inside the partition."""
+    out_schema, field_kinds = _fused_schema(df, dissolve_fields, geom_col)
     return (
         df.select("group_key", "way_id", *[F.col(f"`{c}`")
                                            for c in dissolve_fields],
@@ -256,6 +276,40 @@ def _dissolve_fused(df: DataFrame, dissolve_fields: list[str],
                                        field_kinds),
             out_schema)
     )
+
+
+def _fused_greedy_group(dissolve_fields: list[str], geom_col: str,
+                        field_kinds: dict[str, str],
+                        max_group_rows: int | None):
+    """applyInPandas driver fusing the reference-greedy traversal with
+    the component merge (r5): one tag-group's payload rows arrive
+    together; endpoint edge rows are sliced from the WKB in-process,
+    ``_greedy_components`` replays the reference BFS, and the merged
+    rows are emitted directly — same one-payload-exchange shape as the
+    union-find fused path (the unfused greedy paid the merge join +
+    component groupBy exchanges on top of the applyInPandas shuffle)."""
+
+    def run(_key, pdf):  # no hints: pyspark infers the grouped-map type
+        edge = {"group_key": [], "order_key": [], "way_id": [],
+                "node_idx": [], "node": []}
+        for wid, okey, gk, g in zip(
+            pdf["way_id"].to_numpy(), pdf["order_key"].to_numpy(),
+            pdf["group_key"].to_numpy(), pdf[geom_col]
+        ):
+            b = bytes(g)
+            for i, nd in enumerate((b[9:25], b[len(b) - 16:])):
+                edge["group_key"].append(int(gk))
+                edge["order_key"].append(okey)
+                edge["way_id"].append(int(wid))
+                edge["node_idx"].append(i)
+                edge["node"].append(nd)
+        comps = _greedy_components(pd.DataFrame(edge), max_group_rows)
+        comp_of = dict(zip((int(w) for w in comps["way_id"]),
+                           (int(c) for c in comps["component_id"])))
+        return _merge_component_rows(pdf, comp_of, dissolve_fields,
+                                     geom_col, field_kinds)
+
+    return run
 
 
 def endpoint_nodes(df: DataFrame, geom_col: str = "geometry",
@@ -362,21 +416,6 @@ def _greedy_components(pdf: pd.DataFrame,
             out_ways.extend(members)
             out_comps.extend([comp] * len(members))
     return pd.DataFrame({"way_id": out_ways, "component_id": out_comps})
-
-
-def _comps_greedy(nodes: DataFrame,
-                  max_group_rows: int | None = None) -> DataFrame:
-    """Reference-greedy grouping: whole tag-groups shuffled to workers by
-    the applyInPandas grouping itself (same distribution contract as the
-    union-find path — a tag-group is city-sized; oversized groups fail
-    loudly inside _greedy_components)."""
-    return (
-        nodes.select("group_key", "order_key", "way_id", "node_idx", "node")
-        .groupBy("group_key")
-        .applyInPandas(
-            lambda _key, pdf: _greedy_components(pdf, max_group_rows),
-            _CC_SCHEMA)
-    )
 
 
 def _comps_iterative(nodes: DataFrame, ways: DataFrame) -> DataFrame:
@@ -511,12 +550,19 @@ def dissolve_ways(
             .otherwise(F.raise_error(F.lit(
                 "greedy dissolve: part_idx outside [0, 10^6) breaks the "
                 "reference visit-order encoding"))))
-        greedy_nodes = endpoint_nodes(
-            df.withColumn("order_key", order_key), geom_col,
-            with_idx=True, extra_cols=["group_key", "order_key"])
-        comps = _comps_greedy(greedy_nodes, max_group_rows)
-        return _merge_components(df, comps, dissolve_fields, geom_col,
-                                 ordered=ordered)
+        out_schema, field_kinds = _fused_schema(df, dissolve_fields,
+                                                geom_col)
+        out = (
+            df.withColumn("order_key", order_key)
+            .select("group_key", "order_key", "way_id",
+                    *[F.col(f"`{c}`") for c in dissolve_fields], geom_col)
+            .groupBy("group_key")
+            .applyInPandas(
+                _fused_greedy_group(dissolve_fields, geom_col,
+                                    field_kinds, max_group_rows),
+                out_schema)
+        )
+        return out.orderBy("component_id") if ordered else out
 
     n_parts = max(spark_partitions(combined), 8)
     if approx_rows is not None:
