@@ -23,9 +23,11 @@ single-path BFS (dissolve.py:51-160) — the documented scalability wall. Here:
   payload repartitions by group_key ONCE and union-find + way_id-ordered
   linemerge + first-row tags all happen inside that partition — the
   unfused shape (node self-join, comps merge join, component groupBy)
-  moved the full payload through three exchanges and two sorts. Routed
-  degenerate groups still use groupBy component -> sorted collect_list ->
-  Arrow-batched linemerge after iterative CC.
+  moved the full payload through three exchanges and two sorts. The
+  greedy compat mode is fused the same way (its applyInPandas grouping
+  IS the one payload exchange). Routed degenerate groups still use
+  groupBy component -> sorted collect_list -> Arrow-batched linemerge
+  after iterative CC.
 
 Scale notes (100 TB): degenerate groups (e.g. unnamed service roads
 spanning a continent) are the skew risk. ``algorithm="auto"`` measures
