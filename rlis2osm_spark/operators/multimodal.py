@@ -196,8 +196,10 @@ def resize_stub(media: DataFrame, width: int, height: int,
 def frame_sample_refs(media: DataFrame, every_n: int = 10,
                       n_frames_col: str | None = None) -> DataFrame:
     """Video frame sampling plumbing: one row per sampled frame index.
-    Without a container parser the frame count is a deterministic function
-    of payload length (stub); the explode/shape is the real thing."""
+    Without a container parse the frame count is a deterministic function
+    of payload length (stub); the explode/shape is the real thing. For
+    REAL per-frame decode over AVI/animated-GIF payloads use
+    :func:`extract_video_frames`, which parses the container itself."""
     n_frames = (
         F.col(n_frames_col) if n_frames_col
         else (F.length("payload") % 300 + 1)
