@@ -896,13 +896,15 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
 
     if len(pixels) != width * height:
         raise ValueError("pixels must be width*height bytes")
-    if subsampling not in (None, "4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be None, '4:4:4' or '4:2:0'")
+    if subsampling not in (None, "4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError(
+            "subsampling must be None, '4:4:4', '4:2:2' or '4:2:0'")
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    hy = vy = (2 if subsampling == "4:2:0" else 1)
-    tile = 8 * hy if subsampling else 8
-    ph = (height + tile - 1) // tile * tile
-    pw = (width + tile - 1) // tile * tile
+    hy, vy = {None: (1, 1), "4:4:4": (1, 1), "4:2:2": (2, 1),
+              "4:2:0": (2, 2)}[subsampling]
+    tile_w, tile_h = 8 * hy, 8 * vy
+    ph = (height + tile_h - 1) // tile_h * tile_h
+    pw = (width + tile_w - 1) // tile_w * tile_w
     padded = np.empty((ph, pw), dtype=np.float64)
     padded[:height, :width] = img
     padded[height:, :width] = img[-1:, :]
@@ -970,7 +972,7 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
                                       qc),
              "nbx": -(-cw // 8), "nby": -(-chh // 8)},
         ]
-    mcus_x, mcus_y = pw // tile, ph // tile
+    mcus_x, mcus_y = pw // tile_w, ph // tile_h
 
     def dc_units():
         """(comp_id, seq) in decode order: MCU-interleaved when ns > 1,
@@ -1417,19 +1419,23 @@ def encode_jpeg_color(width: int, height: int, y_pixels: bytes,
     Omitted chroma defaults to neutral 128 (zero after level shift — every
     chroma block DC-0 + EOB). This is a genuinely 3-component stream
     (SOF/SOS/MCU layout, two quant tables, chroma huffman ids) exercising
-    the decoder's color path; ``subsampling`` is ``"4:4:4"`` (Y 1x1) or
-    ``"4:2:0"`` (Y 2x2, chroma quarter-res)."""
+    the decoder's color path; ``subsampling`` is ``"4:4:4"`` (Y 1x1),
+    ``"4:2:2"`` (Y 2x1, chroma half-res horizontally, r5) or ``"4:2:0"``
+    (Y 2x2, chroma quarter-res)."""
     import numpy as np
 
     if len(y_pixels) != width * height:
         raise ValueError("y_pixels must be width*height bytes")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
-    hy = vy = 2 if subsampling == "4:2:0" else 1
+    try:
+        hy, vy = {"4:4:4": (1, 1), "4:2:2": (2, 1),
+                  "4:2:0": (2, 2)}[subsampling]
+    except KeyError:
+        raise ValueError(
+            "subsampling must be '4:4:4', '4:2:2' or '4:2:0'") from None
     img = np.frombuffer(y_pixels, dtype=np.uint8).reshape(height, width)
-    tile = 8 * hy
-    ph = (height + tile - 1) // tile * tile
-    pw = (width + tile - 1) // tile * tile
+    tile_w, tile_h = 8 * hy, 8 * vy
+    ph = (height + tile_h - 1) // tile_h * tile_h
+    pw = (width + tile_w - 1) // tile_w * tile_w
     padded = np.empty((ph, pw), dtype=np.float64)
     padded[:height, :width] = img
     padded[height:, :width] = img[-1:, :]
@@ -1463,11 +1469,12 @@ def encode_jpeg_color(width: int, height: int, y_pixels: bytes,
 
     w = _BitWriter()
     prev = {"y": 0, "cb": 0, "cr": 0}
-    for my in range(ph // tile):
-        for mx in range(pw // tile):
+    for my in range(ph // tile_h):
+        for mx in range(pw // tile_w):
             for by in range(vy):
                 for bx in range(hy):
-                    r0, c0 = my * tile + by * 8, mx * tile + bx * 8
+                    r0 = my * tile_h + by * 8
+                    c0 = mx * tile_w + bx * 8
                     prev["y"] = _encode_block(
                         w, padded[r0:r0 + 8, c0:c0 + 8] - 128.0,
                         qy, dc_tab, ac_tab, prev["y"])

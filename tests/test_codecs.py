@@ -471,7 +471,7 @@ def test_gif_and_jpeg_truncation_raises_valueerror():
     assert (w, h, px) == (w2, h2, px2)
 
 
-@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
 def test_jpeg_color_decode_luma(subsampling):
     """r4.1: the decoder handles interleaved multi-component baseline color
     (per-component sampling factors, quant and huffman table ids, chroma
@@ -600,7 +600,7 @@ def test_jpeg_progressive_matches_baseline_decode():
     assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), img)
 
 
-@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
 def test_jpeg_progressive_color_matches_baseline(subsampling):
     """Color progressive: MCU-interleaved DC scans across three
     components + per-component AC band/refinement scans must decode to
@@ -611,8 +611,9 @@ def test_jpeg_progressive_color_matches_baseline(subsampling):
 
     rng = np.random.default_rng(19)
     for w, h in [(16, 16), (24, 16), (21, 13)]:
-        hy = 2 if subsampling == "4:2:0" else 1
-        cw, ch = -(-w // hy), -(-h // hy)
+        hy, vy = {"4:4:4": (1, 1), "4:2:2": (2, 1),
+                  "4:2:0": (2, 2)}[subsampling]
+        cw, ch = -(-w // hy), -(-h // vy)
         img = rng.integers(0, 256, (h, w), dtype=np.uint8)
         cb = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
         cr = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
