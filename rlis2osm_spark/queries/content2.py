@@ -488,23 +488,37 @@ def _m1_payload_frames(spark, sf_dir):
         import numpy as np
 
         from rlis2osm_spark.functions.codecs import (
-            encode_avi_mjpeg, encode_avi_raw, encode_jpeg_gray)
+            encode_avi_mjpeg, encode_avi_raw, encode_gif_anim,
+            encode_jpeg_gray)
 
         out = []
         for d in doc_ids:
             d = int(d)
             n = 2 + d % 3
-            raw = (d // 4) % 2 == 1  # alternate MJPEG / uncompressed DIB
+            # alternate MJPEG-AVI / uncompressed-DIB AVI / ANIMATED GIF —
+            # the GIF frames are full-canvas draws (disposal=keep), so the
+            # composited canvas after frame f IS frame f and the decoded
+            # sums share the MJPEG oracle (r5)
+            mode = (d // 4) % 3
             frames = []
             for f in range(n):
                 img = np.zeros((8, 16), dtype=np.uint8)
                 for k in range(2):
                     img[:, k * 8:(k + 1) * 8] = \
                         2 * ((d * 11 + f * 17 + k * 23) % 128)
-                frames.append(img.tobytes() if raw
-                              else encode_jpeg_gray(16, 8, img.tobytes()))
-            out.append(encode_avi_raw(frames, 16, 8) if raw
-                       else encode_avi_mjpeg(frames, 16, 8))
+                frames.append(
+                    encode_jpeg_gray(16, 8, img.tobytes()) if mode == 0
+                    else img.tobytes())
+            if mode == 0:
+                blob = encode_avi_mjpeg(frames, 16, 8)
+            elif mode == 1:
+                blob = encode_avi_raw(frames, 16, 8)
+            else:
+                blob = encode_gif_anim(16, 8, [
+                    dict(left=0, top=0, width=16, height=8, pixels=p,
+                         disposal=1, interlace=bool((d + i) % 2))
+                    for i, p in enumerate(frames)])
+            out.append(blob)
         return pd.Series(out, dtype=object)
 
     @F.pandas_udf(BinaryType())
@@ -605,12 +619,14 @@ jpeg_leg AS (
 avi AS (
   SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents WHERE doc_id % 4 = 0
 ),
--- (doc_id//4)%2 picks the container codec: MJPEG (luma sum) vs
--- uncompressed DIB (B=G=R replication -> exactly 3x the luma sum)
+-- (doc_id//4)%3 picks the container codec: MJPEG-AVI (luma sum),
+-- uncompressed DIB AVI (B=G=R replication -> exactly 3x the luma sum),
+-- or ANIMATED GIF (full-canvas keep-disposal frames -> composited
+-- canvas f == frame f -> same luma sum as MJPEG)
 avi_leg AS (
   SELECT 'avi' AS kind, 'doc:' || doc_id AS media_ref,
          CAST(f AS INT) AS d1, CAST(nf AS INT) AS d2,
-         CAST((CASE WHEN (doc_id // 4) % 2 = 1 THEN 3 ELSE 1 END)
+         CAST((CASE WHEN (doc_id // 4) % 3 = 1 THEN 3 ELSE 1 END)
               * 64 * (2 * ((doc_id * 11 + f * 17) % 128)
                       + 2 * ((doc_id * 11 + f * 17 + 23) % 128))
               AS BIGINT) AS v
