@@ -2044,6 +2044,15 @@ def _decode_progressive(data: bytes, render_all: bool):
         dri = scan["dri"]
         if len(intervals) > 1 and dri == 0:
             raise ValueError("restart markers present but no DRI segment")
+        # the SOS header names tables the scan may never use (huff.get
+        # above keeps those None), but a table the scan DOES need missing
+        # its DHT is malformed input -> ValueError, not a TypeError later
+        if ss == 0 and ah == 0 and any(dc is None for _, dc, _ in scomps):
+            raise ValueError("DC scan references an undefined huffman "
+                             "table (missing DHT)")
+        if ss != 0 and scomps[0][2] is None:
+            raise ValueError("AC scan references an undefined huffman "
+                             "table (missing DHT)")
 
         if ss == 0:  # DC scan (may be interleaved)
             if se != 0:

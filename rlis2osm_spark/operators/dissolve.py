@@ -245,8 +245,10 @@ def _merge_component_rows(pdf: pd.DataFrame, comp_of: dict,
 def _fused_schema(df: DataFrame, dissolve_fields: list[str],
                   geom_col: str):
     """(output StructType, field-kind map) shared by the fused paths."""
-    from pyspark.sql.types import IntegerType
+    from pyspark.sql.types import (ByteType, IntegerType, LongType as _Long,
+                                   ShortType)
 
+    integral = (ByteType, ShortType, IntegerType, _Long)
     schema_by_name = {f.name: f for f in df.schema.fields}
     out_schema = StructType(
         [StructField("component_id", LongType(), False)]
@@ -255,7 +257,7 @@ def _fused_schema(df: DataFrame, dissolve_fields: list[str],
         + [StructField("n_members", IntegerType(), False),
            StructField(geom_col, BinaryType(), True)])
     field_kinds = {
-        c: ("int" if isinstance(schema_by_name[c].dataType, IntegerType)
+        c: ("int" if isinstance(schema_by_name[c].dataType, integral)
             else "other")
         for c in dissolve_fields
     }

@@ -335,11 +335,15 @@ def extract_audio_features(
                     s = np.asarray(samples)
                     if s.dtype.kind != "f":  # integer PCM: exact features
                         s = s.astype(np.int64)
-                    extra = (len(s),
-                             int(round(float(np.abs(s).sum())))
-                             if len(s) else 0,
-                             int(round(float(np.abs(s).max())))
-                             if len(s) else 0)
+                        extra = (len(s),
+                                 int(np.abs(s).sum()) if len(s) else 0,
+                                 int(np.abs(s).max()) if len(s) else 0)
+                    else:  # float32 WAV: round to the int feature contract
+                        extra = (len(s),
+                                 int(round(float(np.abs(s).sum())))
+                                 if len(s) else 0,
+                                 int(round(float(np.abs(s).max())))
+                                 if len(s) else 0)
                     sig = s.astype("float32")
                 n_win = min(max(len(sig) // window, 1), max_windows)
                 used = sig[: n_win * window] if len(sig) >= window else sig

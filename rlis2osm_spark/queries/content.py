@@ -6,7 +6,9 @@ Hash-dependent operators derive word ids from a deterministic dense-rank
 over the sorted vocabulary (both engines), then use integer modular hashes —
 no engine-specific hash function, so results are bit-identical. The
 production-scale variants (xxhash64-based, no global rank) live in
-operators/dedup.py and are covered by rows-only checks + pytest.
+operators/dedup.py and have exact oracles too since r3: d5_minhash_engine
+verifies Spark xxhash64 against an independent pure-Python XXH64 port, and
+d4_simhash's xxh64 legs do the same (see queries/content2.py).
 """
 
 from __future__ import annotations

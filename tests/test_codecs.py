@@ -359,6 +359,31 @@ def test_jpeg_odd_dims_and_rejects():
         decode_jpeg_gray(mislabeled)
 
 
+def test_progressive_jpeg_missing_dht_is_valueerror():
+    """A progressive stream whose scan references an undefined huffman
+    table (DHT stripped) is malformed input -> ValueError, not a raw
+    TypeError from iterating None (ADVICE r5)."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (decode_jpeg_gray,
+                                                 encode_jpeg_progressive)
+
+    img = (np.arange(16 * 16) % 251).astype(np.uint8)
+    data = encode_jpeg_progressive(16, 16, img.tobytes())
+    # drop every DHT (FFC4) segment; scans then reference missing tables
+    out, pos = bytearray(), 0
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] == 0xC4:
+            seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
+            pos += 2 + seglen
+        else:
+            out.append(data[pos])
+            pos += 1
+    out.extend(data[pos:])
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(out))
+
+
 # ---------------------------------------------------------------------------
 # MJPEG-in-AVI video container (r4)
 # ---------------------------------------------------------------------------
