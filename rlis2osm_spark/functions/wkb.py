@@ -110,6 +110,30 @@ def explode_parts(wkb: bytes) -> list[bytes]:
     return [wkb]
 
 
+def endpoint_slices_batch(geoms) -> np.ndarray:
+    """Vectorized endpoint extraction over a batch of single-part
+    LineString WKBs (r6): returns ``(n, 2, 16)`` uint8 — each geometry's
+    first- and last-vertex 16-byte coordinate payloads, the exact ranges
+    the native ``substring(geom, 10, 16)`` path slices (see
+    ``endpoint_nodes``). One buffer concatenation + one fancy-indexed
+    gather; no per-row byte slicing in Python. Like the per-row slice it
+    replaces, it does not validate geometry type — callers guard
+    multi/null geometries upstream (operators/dissolve.py)."""
+    n = len(geoms)
+    if n == 0:
+        return np.empty((0, 2, 16), np.uint8)
+    lens = np.fromiter((len(g) for g in geoms), dtype=np.int64, count=n)
+    if (lens < 25).any():
+        raise ValueError("WKB LineString shorter than one vertex")
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    buf = np.frombuffer(b"".join(geoms), np.uint8)
+    offs = np.empty(2 * n, np.int64)
+    offs[0::2] = starts + 9          # first vertex: after 1+4+4 header
+    offs[1::2] = starts + lens - 16  # last vertex: final 16 bytes
+    return buf[offs[:, None] + np.arange(16)].reshape(n, 2, 16)
+
+
 def endpoints(wkb: bytes) -> tuple[float, float, float, float]:
     """(fx, fy, tx, ty) of a single-part LineString — exact float values,
     no snapping (dissolve.py:144-145). Raises on MultiGeometry, mirroring

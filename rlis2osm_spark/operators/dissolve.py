@@ -40,6 +40,7 @@ tests/test_dissolve.py.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -89,52 +90,75 @@ _CC_SCHEMA = StructType(
 )
 
 
+def _cc_labels(u: np.ndarray, v: np.ndarray, m: int) -> np.ndarray:
+    """Vectorized connected components over edges ``(u, v)`` on ``m``
+    vertices (r6): iterated min-hooking + full pointer jumping
+    (Shiloach–Vishkin shape) — O(edges) numpy work per round, O(log m)
+    rounds, no per-edge Python. Returns the root label per vertex; roots
+    are the minimum vertex index of each component, so labels are
+    deterministic and arrival-order independent."""
+    parent = np.arange(m, dtype=np.int64)
+    while True:
+        pu, pv = parent[u], parent[v]
+        hi = np.maximum(pu, pv)
+        lo = np.minimum(pu, pv)
+        mask = hi != lo
+        if not mask.any():
+            return parent
+        np.minimum.at(parent, hi[mask], lo[mask])
+        while True:  # compress fully so hooks see roots next round
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+
+
+def _group_node_ids(gk: np.ndarray, node_bits: np.ndarray,
+                    ) -> tuple[np.ndarray, int]:
+    """Dense ids for (group_key, 16-byte node) keys: ``node_bits`` is the
+    node payload viewed as ``(rows, 2)`` int64 bit patterns (exact-byte
+    equality — ±0.0 stay distinct, like the dict interning it replaces).
+    Returns (per-row node index, number of distinct nodes)."""
+    trip = np.empty((len(gk), 3), np.int64)
+    trip[:, 0] = gk
+    trip[:, 1:] = node_bits
+    rec = np.ascontiguousarray(trip).view(
+        [("g", "<i8"), ("a", "<i8"), ("b", "<i8")]).ravel()
+    uniq, inverse = np.unique(rec, return_inverse=True)
+    return inverse, len(uniq)
+
+
 def _union_find_components(pdf: pd.DataFrame) -> pd.DataFrame:
     """Connected components over (group_key, node, way_id) edge rows: ways
-    sharing an endpoint *within the same tag-group* are unioned. Node keys
-    are namespaced by group_key, so one call can process many groups — the
-    caller hash-partitions whole groups to workers and runs one union-find
-    per partition (cheap: O(rows * alpha)).
+    sharing an endpoint *within the same tag-group* are connected. Node
+    keys are namespaced by group_key, so one call can process many groups —
+    the caller hash-partitions whole groups to workers and runs one pass
+    per partition.
 
     Deterministic: component_id = min way_id of the component, independent
-    of partitioning/arrival order.
+    of partitioning/arrival order. r6: fully vectorized — ways and nodes
+    become dense indices, CC runs over the bipartite way-node graph in
+    numpy (no per-edge Python dict walk).
     """
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # anchor to the smaller id so labels are deterministic
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-
-    node_first: dict[tuple, int] = {}
-    for way_id, gk, node in zip(
-        pdf["way_id"].to_numpy(), pdf["group_key"].to_numpy(), pdf["node"]
-    ):
-        w = int(way_id)
-        if w not in parent:
-            parent[w] = w
-        key = (int(gk), bytes(node))
-        other = node_first.get(key)
-        if other is None:
-            node_first[key] = w
-        else:
-            union(other, w)
-
-    ways = pdf["way_id"].unique()
+    if not len(pdf):
+        return pd.DataFrame({
+            "way_id": np.empty(0, np.int64),
+            "component_id": np.empty(0, np.int64)})
+    way_codes, way_uniques = pd.factorize(pdf["way_id"])  # first-occurrence
+    way_uniques = np.asarray(way_uniques, np.int64)
+    node_bits = np.frombuffer(
+        b"".join(pdf["node"]), np.uint8).reshape(-1, 16).view("<i8")
+    node_idx, m = _group_node_ids(
+        pdf["group_key"].to_numpy(np.int64), node_bits)
+    # bipartite graph: vertex = node (0..m-1) or way (m..m+n_ways-1)
+    labels = _cc_labels(node_idx, m + way_codes.astype(np.int64),
+                        m + len(way_uniques))
+    comp_way = labels[m + np.arange(len(way_uniques))]
+    min_way = np.full(m + len(way_uniques), np.iinfo(np.int64).max,
+                      np.int64)
+    np.minimum.at(min_way, comp_way, way_uniques)
     return pd.DataFrame(
-        {"way_id": ways, "component_id": [find(int(w)) for w in ways]}
+        {"way_id": way_uniques, "component_id": min_way[comp_way]}
     )
 
 
@@ -164,69 +188,60 @@ def _fused_dissolve_partitions(dissolve_fields: list[str], geom_col: str,
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
-
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        def union(a: int, b: int) -> None:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                if ra < rb:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-
-        node_first: dict[tuple, int] = {}
-        ways = pdf["way_id"].to_numpy()
-        gks = pdf["group_key"].to_numpy()
-        geoms = pdf[geom_col]
-        for w0, gk, g in zip(ways, gks, geoms):
-            w = int(w0)
-            b = bytes(g)
-            if w not in parent:
-                parent[w] = w
-            for node in (b[9:25], b[len(b) - 16:]):
-                key = (int(gk), node)
-                other = node_first.get(key)
-                if other is None:
-                    node_first[key] = w
-                else:
-                    union(other, w)
-
-        comp_of = {int(w): find(int(w)) for w in ways}
-        yield _merge_component_rows(pdf, comp_of, dissolve_fields,
+        comp = _fused_components(pdf, geom_col)
+        yield _merge_component_rows(pdf, comp, dissolve_fields,
                                     geom_col, field_kinds)
 
     return run
 
 
-def _merge_component_rows(pdf: pd.DataFrame, comp_of: dict,
+def _fused_components(pdf: pd.DataFrame, geom_col: str) -> np.ndarray:
+    """Per-payload-row component ids (min way_id of the endpoint-connected
+    same-group ways — identical labels to the r1-r5 dict union-find), all
+    numpy (r6): endpoint payloads sliced in one fancy-indexed gather
+    (wkb.endpoint_slices_batch), (group_key, node) keys densified, CC over
+    the bipartite way-node graph — no per-row Python."""
+    way_ids = pdf["way_id"].to_numpy(np.int64)
+    way_codes, way_uniques = pd.factorize(way_ids)
+    way_uniques = np.asarray(way_uniques, np.int64)
+    n_ways = len(way_uniques)
+    ends = wkb.endpoint_slices_batch(
+        [bytes(g) for g in pdf[geom_col]])          # (n, 2, 16) uint8
+    node_bits = ends.reshape(-1, 16).view("<i8")    # (2n, 2) int64
+    gk2 = np.repeat(pdf["group_key"].to_numpy(np.int64), 2)
+    node_idx, m = _group_node_ids(gk2, node_bits)
+    # bipartite edges: each endpoint node -> its way vertex
+    labels = _cc_labels(
+        node_idx, m + np.repeat(way_codes.astype(np.int64), 2),
+        m + n_ways)
+    comp_way = labels[m + np.arange(n_ways)]
+    min_way = np.full(m + n_ways, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(min_way, comp_way, way_uniques)
+    return min_way[comp_way][way_codes]
+
+
+def _merge_component_rows(pdf: pd.DataFrame, comp: np.ndarray,
                           dissolve_fields: list[str], geom_col: str,
                           field_kinds: dict[str, str]) -> pd.DataFrame:
     """Shared merge step of the fused dissolve paths: given payload rows
-    and a way_id -> component mapping, emit one merged row per component
-    (way_id-ordered linemerge, first member's tags)."""
-    ways = pdf["way_id"].to_numpy()
-    geoms = pdf[geom_col]
-    comp_rows: dict[int, list[int]] = {}
-    for i, w0 in enumerate(ways):
-        comp_rows.setdefault(int(comp_of[int(w0)]), []).append(i)
-
-    comp_ids, first_idx, n_members, merged = [], [], [], []
-    for cid, idxs in comp_rows.items():
-        idxs.sort(key=lambda i: int(ways[i]))
-        comp_ids.append(cid)
-        first_idx.append(idxs[0])
-        n_members.append(len(idxs))
-        merged.append(wkb.linemerge_wkb(
-            [bytes(geoms.iloc[i]) for i in idxs]))
+    and a per-row component-id array, emit one merged row per component
+    (way_id-ordered linemerge, first member's tags). r6: grouping is one
+    stable lexsort + boundary scan; only the linemerge itself (one call
+    per OUTPUT component) remains Python."""
+    ways = pdf["way_id"].to_numpy(np.int64)
+    geoms = pdf[geom_col].to_numpy()
+    order = np.lexsort((ways, comp))        # stable: ties keep row order
+    comp_sorted = comp[order]
+    bounds = np.flatnonzero(
+        np.r_[True, comp_sorted[1:] != comp_sorted[:-1]])
+    ends = np.r_[bounds[1:], len(order)]
+    comp_ids = comp_sorted[bounds]
+    first_idx = order[bounds]               # min-way_id row per component
+    n_members = ends - bounds
+    merged = [
+        wkb.linemerge_wkb([bytes(geoms[i]) for i in order[s:e]])
+        for s, e in zip(bounds, ends)
+    ]
 
     out = pd.DataFrame({"component_id": comp_ids})
     for f in dissolve_fields:
@@ -310,7 +325,10 @@ def _fused_greedy_group(dissolve_fields: list[str], geom_col: str,
         comps = _greedy_components(pd.DataFrame(edge), max_group_rows)
         comp_of = dict(zip((int(w) for w in comps["way_id"]),
                            (int(c) for c in comps["component_id"])))
-        return _merge_component_rows(pdf, comp_of, dissolve_fields,
+        comp = np.fromiter(
+            (comp_of[int(w)] for w in pdf["way_id"].to_numpy()),
+            dtype=np.int64, count=len(pdf))
+        return _merge_component_rows(pdf, comp, dissolve_fields,
                                      geom_col, field_kinds)
 
     return run

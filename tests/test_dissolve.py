@@ -284,3 +284,59 @@ def test_ordered_dissolve_byte_identical_sinks(spark, tmp_path):
     osm_a = file_bytes(osm1, "part-*.osm")
     osm_b = file_bytes(osm2, "part-*.osm")
     assert osm_a and osm_a == osm_b
+
+
+def test_cc_labels_matches_reference_union_find():
+    """r6: the vectorized Shiloach–Vishkin-style CC (_cc_labels) must
+    produce the same partition as a plain dict union-find on random
+    graphs — including self-loops, duplicate edges, and isolated
+    vertices."""
+    from rlis2osm_spark.operators.dissolve import _cc_labels
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(25):
+        m = int(rng.integers(1, 400))
+        n_edges = int(rng.integers(0, 2 * m))
+        u = rng.integers(0, m, n_edges)
+        v = rng.integers(0, m, n_edges)
+
+        parent = list(range(m))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(u, v):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = np.array([find(i) for i in range(m)])
+        # reference roots are NOT guaranteed minimal per component under
+        # path order; canonicalize both sides by min vertex per component
+        canon = {}
+        for i, r in enumerate(expect):
+            canon[r] = min(canon.get(r, i), i)
+        expect = np.array([canon[r] for r in expect])
+
+        got = _cc_labels(u.astype(np.int64), v.astype(np.int64), m)
+        assert np.array_equal(got, expect), f"trial {trial}"
+
+
+def test_endpoint_slices_batch_matches_substring():
+    from rlis2osm_spark.functions.wkb import endpoint_slices_batch
+
+    geoms = [
+        _seg(0.5, -1.25, 3.0, 4.75),
+        encode_linestring([(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)]),
+        _seg(-0.0, 0.0, 1e300, -1e-300),
+    ]
+    out = endpoint_slices_batch(geoms)
+    assert out.shape == (3, 2, 16)
+    for i, g in enumerate(geoms):
+        assert out[i, 0].tobytes() == g[9:25]
+        assert out[i, 1].tobytes() == g[len(g) - 16:]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        endpoint_slices_batch([b"\x01\x02\x00\x00\x00"])
