@@ -42,6 +42,8 @@ _OUT_SCHEMA = StructType([
     StructField("n_ways", LongType()),
     StructField("n_nodes", LongType()),
     StructField("n_null_geoms", LongType()),  # skipped rows, surfaced loudly
+    StructField("digest", StringType()),  # r6: hashed while writing, so the
+    # driver's manifest never re-reads fragment bytes serially at promotion
 ])
 
 
@@ -117,9 +119,12 @@ def write_osm_xml(
                     n_null += 1
                     continue
                 lines = wkb.decode_lines(bytes(geom))
-                c = lines[0] if len(lines) == 1 else np.concatenate(lines)
-                coord_parts.append(c)
-                way_counts.append(len(c))
+                if len(lines) == 1:
+                    coord_parts.append(lines[0])
+                    way_counts.append(len(lines[0]))
+                else:  # multi-part: parts stay separate (no per-way concat)
+                    coord_parts.extend(lines)
+                    way_counts.append(sum(map(len, lines)))
                 t = tag_vals[i]
                 way_tags.append(dict(t) if t else {})
 
@@ -169,13 +174,16 @@ def write_osm_xml(
         np.cumsum(way_counts, out=bounds[1:])
         tag_cache: dict[tuple, str] = {}  # (k, v) -> rendered line
 
-        with open(path, "w", encoding="utf-8") as fh:
+        hasher = blake2b(digest_size=8)
+        with open(path, "wb") as fh:
             buf: list[str] = []
             emit = buf.append
 
             def flush(force=False):
                 if force or len(buf) >= 65536:
-                    fh.write("".join(buf))
+                    chunk = "".join(buf).encode("utf-8")
+                    fh.write(chunk)
+                    hasher.update(chunk)
                     buf.clear()
 
             emit("<?xml version='1.0' encoding='UTF-8'?>\n")
@@ -205,8 +213,9 @@ def write_osm_xml(
             emit("</osm>\n")
             flush(force=True)
         yield pd.DataFrame(
-            [(path, n_ways, n_uniq, n_null)],
-            columns=["part_file", "n_ways", "n_nodes", "n_null_geoms"])
+            [(path, n_ways, n_uniq, n_null, hasher.hexdigest())],
+            columns=["part_file", "n_ways", "n_nodes", "n_null_geoms",
+                     "digest"])
 
     projected = df.select(geom_col, tags_col)  # analyzes (raises on bad input)
     os.makedirs(out_dir, exist_ok=True)
@@ -227,16 +236,16 @@ def write_osm_xml(
             continue
         seen.add(dest)
         staged.append((r.part_file, dest, r.n_ways, r.n_nodes,
-                       r.n_null_geoms))
+                       r.n_null_geoms, r.digest))
     # manifest records content digests, not just names: a rerun that
     # produces the SAME fragment names but crashes mid-promotion would
     # otherwise leave a same-name mixed generation the name-set check
-    # cannot see (review r4)
+    # cannot see (review r4). Digests were computed by the writing task
+    # (r6) — the driver no longer re-reads every fragment serially here.
     _write_fragment_manifest(out_dir, {
-        os.path.basename(d): _fragment_digest(tmp)
-        for tmp, d, *_ in staged})
+        os.path.basename(d): dig for _, d, *_, dig in staged})
     final_rows = []
-    for tmp, dest, n_ways, n_nodes, n_null in staged:
+    for tmp, dest, n_ways, n_nodes, n_null, dig in staged:
         try:
             os.replace(tmp, dest)
         except FileNotFoundError:
@@ -245,7 +254,7 @@ def write_osm_xml(
                 "requires out_dir on a filesystem shared by driver and "
                 "executors (local mode or an NFS/object-store mount) — see "
                 "the docstring's filesystem contract") from None
-        final_rows.append((dest, n_ways, n_nodes, n_null))
+        final_rows.append((dest, n_ways, n_nodes, n_null, dig))
     for old in _glob.glob(os.path.join(out_dir, "part-*.osm")):
         if old not in seen:
             os.remove(old)
