@@ -8,20 +8,22 @@
 - GIF: pure-Python LZW over the public GIF87a/GIF89a spec (8-bit
   palettized, variable-width codes up to 12 bits, interlaced or not;
   first frame of animations);
-- JPEG (r4/r5): huffman modes of the public ITU T.81 spec — baseline
-  sequential, progressive (SOF2 spectral selection + successive
-  approximation, EOBRUN, correction bits) AND lossless (SOF3
-  predictive, predictors 1-7, point transform), grayscale and
-  interleaved multi-component color with full-RGB output
-  (nearest/bilinear chroma upsampling), any sampling layout, restart
-  intervals, fill bytes, strict truncation detection;
+- JPEG (r4/r5/r6): the public ITU T.81 spec — baseline sequential,
+  progressive (SOF2 spectral selection + successive approximation,
+  EOBRUN, correction bits), lossless (SOF3 predictive, predictors 1-7,
+  point transform) AND sequential arithmetic (SOF9: Annex E QM-coder
+  probability state machine + Annex F DC/AC statistical models, DAC
+  conditioning, r6), grayscale and interleaved multi-component color
+  with full-RGB output (nearest/bilinear chroma upsampling), any
+  sampling layout, restart intervals, fill bytes, strict truncation
+  detection;
 - AVI/MJPEG (r4): RIFF-AVI container walk + per-frame baseline-JPEG
   decode + idx1 index.
 
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
 ``NotImplementedError`` seam (operators/multimodal.py) is
-arithmetic-coded/hierarchical JPEG and compressed non-MJPG video
+progressive-arithmetic/hierarchical JPEG and compressed non-MJPG video
 codecs (uncompressed DIB AVI decodes natively, r5).
 """
 
@@ -1510,6 +1512,624 @@ def encode_jpeg_color(width: int, height: int, y_pixels: bytes,
             + b"\xff\xd9")
 
 
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (SOF9) — ITU T.81 Annex E QM-coder + the Annex F
+# DC/AC statistical models (r6; retires the biggest named codec seam).
+# Clean-room from the public spec: probability state machine = Table E.1,
+# encoder/decoder = Figures E.5-E.25 (LPS-at-bottom convention, conditional
+# MPS/LPS exchange, carry absorbed by bit stuffing), bin layout = Tables
+# F.4/F.5 (DC: 5 conditioning categories x {S0,SS,SP,SN}, X at 20, M at
+# X+14; AC: {SE,S0,X1} per k, shared high-magnitude bins at 189/217, sign
+# in the non-adaptive 0.5-probability bin). DAC (0xCC) conditioning bounds
+# honored; defaults L=0, U=1, Kx=5 per §F.1.4.4.1.2/F.1.4.4.2.
+# ---------------------------------------------------------------------------
+
+# Table E.1: (Qe, NMPS, NLPS, SWITCH); index 113 is the fixed
+# non-adapting equiprobable state used for AC sign decisions
+_ARITH_QE = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    (0x5A1D, 113, 113, 0),  # fixed .5 bin (no adaptation)
+]
+
+_ARITH_FIXED = 113
+
+
+class _ArithEncoder:
+    """QM-coder encoder (T.81 Annex E). Context state lives in caller
+    bytearrays: one byte per bin, ``index | (mps << 7)``. The carry is
+    absorbed by bit stuffing (a 0xFF output byte leaves its successor's
+    MSB as the carry receptacle), so carry propagation backward through
+    the emitted bytes is always a single increment."""
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray()
+
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        sv = st[i]
+        qe, nmps, nlps, switch = _ARITH_QE[sv & 0x7F]
+        mps = sv >> 7
+        a = self.a - qe
+        if bit == mps:
+            if a & 0x8000:  # no renorm -> no state change (Qe estimation
+                self.a = a  # only updates on renormalization)
+                self.c += qe
+                return
+            if a < qe:      # conditional exchange: MPS takes the bottom
+                self.a = qe
+            else:
+                self.a = a
+                self.c += qe
+            st[i] = (mps << 7) | nmps
+        else:
+            if a < qe:      # conditional exchange: LPS takes the top
+                self.a = a
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                mps ^= 1
+            st[i] = (mps << 7) | nlps
+        self._renorm()
+
+    def encode_fixed(self, bit: int) -> None:
+        """AC sign bin: the fixed equiprobable state (index 113)."""
+        qe = 0x5A1D
+        a = self.a - qe
+        if bit == 0:
+            if a & 0x8000:
+                self.a = a
+                self.c += qe
+                return
+            if a < qe:
+                self.a = qe
+            else:
+                self.a = a
+                self.c += qe
+        else:
+            if a < qe:
+                self.a = a
+                self.c += qe
+            else:
+                self.a = qe
+        self._renorm()
+
+    def _byteout(self) -> None:
+        out = self.out
+        if out and out[-1] == 0xFF:
+            # the byte after 0xFF carries 7 fresh bits; its MSB is the
+            # carry receptacle (extracted one position higher)
+            out.append(self.c >> 20)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            out.append(self.c >> 19)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:  # carry into the previous byte
+            if not out:
+                raise RuntimeError("arith coder: carry before first byte")
+            out[-1] += 1
+            self.c &= 0x7FFFFFF  # the carry has been consumed
+            if out[-1] == 0xFF:
+                out.append(self.c >> 20)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                out.append(self.c >> 19)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def _renorm(self) -> None:
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+
+    def flush(self) -> bytes:
+        # SETBITS: force trailing code bits to ONES within [C, C+A) —
+        # the decoder feeds 1-bits past the segment end (Figure E.21),
+        # so bits not pushed out by the two final byteouts must BE ones
+        # (the trailing-zeros CLEARBITS variant desyncs rare streams
+        # whose last decisions straddle the flush boundary)
+        t = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= t:
+            self.c -= 0x8000
+        # FINALWRITES: push the remaining code bits through two byteouts
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        # A trailing 0xFF must be completed by a stuffed byte (B.1.1.5:
+        # every data 0xFF is followed by a byte <= 0x7F) — otherwise the
+        # following marker's 0xFF makes the dangling byte scan as a
+        # marker prefix and the segment loses its final code byte. The
+        # stuffed byte is 0x7F, not 0x00: under SETBITS all trailing
+        # code bits are ONES, and the decoder consumes the stuffed
+        # byte's 7 bits as code bits (then feeds 1-bits past the
+        # marker), so stuffing with ones reconstructs C exactly.
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x7F)
+        return bytes(self.out)
+
+
+class _ArithDecoder:
+    """QM-coder decoder (T.81 Annex E). Past the end of the entropy
+    segment (a marker, or end of data) BYTEIN feeds 1-bits, per Figure
+    E.21 — that is normal operation for the final MCUs, not an error."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.bp = 0
+        self.synthetic = 0  # 1-bit feeds past the segment end (E.21)
+        self.c = (self.data[0] if self.n else 0xFF) << 16
+        self.ct = 0
+        self._bytein()
+        self.c <<= 7
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self) -> None:
+        b = self.data[self.bp] if self.bp < self.n else 0xFF
+        if b == 0xFF:
+            b1 = self.data[self.bp + 1] if self.bp + 1 < self.n else 0xD9
+            if b1 > 0x8F:  # marker / end of data: feed 1-bits
+                self.synthetic += 1
+                self.c += 0xFF00
+                self.ct = 8
+            else:          # stuffed: successor carries only 7 fresh bits
+                self.bp += 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            nb = self.data[self.bp] if self.bp < self.n else 0xFF
+            self.c += nb << 8
+            self.ct = 8
+
+    def _renorm(self) -> None:
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                return
+
+    def decode(self, st: bytearray, i: int) -> int:
+        sv = st[i]
+        qe, nmps, nlps, switch = _ARITH_QE[sv & 0x7F]
+        mps = sv >> 7
+        a = self.a - qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # bottom subinterval (size Qe)
+            if a < qe:  # exchanged: bottom is the MPS
+                d = mps
+                st[i] = (mps << 7) | nmps
+            else:
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                st[i] = (mps << 7) | nlps
+            self.a = qe
+            self._renorm()
+        else:
+            self.c -= qe << 16
+            if a & 0x8000:
+                self.a = a
+                return mps
+            if a < qe:  # exchanged: top is the LPS
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                st[i] = (mps << 7) | nlps
+            else:
+                d = mps
+                st[i] = (mps << 7) | nmps
+            self.a = a
+            self._renorm()
+        return d
+
+    def decode_fixed(self) -> int:
+        qe = 0x5A1D
+        a = self.a - qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            d = 0 if a < qe else 1
+            self.a = qe
+            self._renorm()
+        else:
+            self.c -= qe << 16
+            if a & 0x8000:
+                self.a = a
+                return 0
+            d = 1 if a < qe else 0
+            self.a = a
+            self._renorm()
+        return d
+
+
+def _arith_encode_dc(enc, dc_stats, state, diff, lo, up):
+    """Encode one DC difference (T.81 F.1.4.4.1); updates ``state``
+    ([conditioning_ctx, last_dc]) for the component."""
+    base = state[0]
+    if diff == 0:
+        enc.encode(dc_stats, base, 0)
+        state[0] = 0
+        return
+    enc.encode(dc_stats, base, 1)
+    if diff > 0:
+        enc.encode(dc_stats, base + 1, 0)
+        st = base + 2
+        sign = 0
+        v = diff
+    else:
+        enc.encode(dc_stats, base + 1, 1)
+        st = base + 3
+        sign = 1
+        v = -diff
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(dc_stats, st, 1)
+        m = 1
+        v2 = v
+        st = 20
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(dc_stats, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(dc_stats, st, 0)
+    if m < (1 << lo) >> 1:
+        state[0] = 0
+    elif m > (1 << up) >> 1:
+        state[0] = 12 + sign * 4
+    else:
+        state[0] = 4 + sign * 4
+    st += 14
+    while m >> 1:
+        m >>= 1
+        enc.encode(dc_stats, st, 1 if m & v else 0)
+
+
+def _arith_encode_ac(enc, ac_stats, seq, kx):
+    """Encode one block's AC run (T.81 F.1.4.4.2), zigzag ``seq``."""
+    ke = 0
+    for i in range(63, 0, -1):
+        if seq[i]:
+            ke = i
+            break
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ac_stats, st, 0)  # not EOB
+        while seq[k] == 0:
+            enc.encode(ac_stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(ac_stats, st + 1, 1)
+        v = seq[k]
+        if v > 0:
+            enc.encode_fixed(0)
+        else:
+            enc.encode_fixed(1)
+            v = -v
+        st += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(ac_stats, st, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                enc.encode(ac_stats, st, 1)  # X2 shares the X1 bin
+                m = 2
+                v2 >>= 1
+                st = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(ac_stats, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(ac_stats, st, 0)
+        st += 14
+        while m >> 1:
+            m >>= 1
+            enc.encode(ac_stats, st, 1 if m & v else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(ac_stats, 3 * ke, 1)  # EOB
+
+
+def _arith_decode_dc(dec, dc_stats, state, lo, up) -> int:
+    """Decode one DC difference; mirrors :func:`_arith_encode_dc`."""
+    base = state[0]
+    if not dec.decode(dc_stats, base):
+        state[0] = 0
+        return 0
+    sign = dec.decode(dc_stats, base + 1)
+    st = base + 2 + sign
+    m = 0
+    if dec.decode(dc_stats, st):
+        st = 20
+        m = 1
+        while dec.decode(dc_stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arith JPEG: runaway DC magnitude")
+            st += 1
+    if m < (1 << lo) >> 1:
+        state[0] = 0
+    elif m > (1 << up) >> 1:
+        state[0] = 12 + sign * 4
+    else:
+        state[0] = 4 + sign * 4
+    v = m
+    st += 14
+    while m >> 1:
+        m >>= 1
+        if dec.decode(dc_stats, st):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _arith_decode_block(dec, dc_stats, ac_stats, state, lo, up, kx):
+    """Decode one 8x8 block -> zigzag coefficient list (DC absolute)."""
+    seq = [0] * 64
+    state[1] += _arith_decode_dc(dec, dc_stats, state, lo, up)
+    seq[0] = state[1]
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(ac_stats, st):
+            break  # EOB
+        while not dec.decode(ac_stats, st + 1):
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arith JPEG: AC index overrun")
+        sign = dec.decode_fixed()
+        st += 2
+        m = 0
+        if dec.decode(ac_stats, st):
+            m = 1
+            if dec.decode(ac_stats, st):
+                m = 2
+                st = 189 if k <= kx else 217
+                while dec.decode(ac_stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "arith JPEG: runaway AC magnitude")
+                    st += 1
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(ac_stats, st):
+                v |= m
+        v += 1
+        seq[k] = -v if sign else v
+        k += 1
+    return seq
+
+
+def encode_jpeg_arith_gray(width: int, height: int, pixels: bytes,
+                           restart_every: int = 0) -> bytes:
+    """Sequential ARITHMETIC-coded grayscale JPEG (SOF9; T.81 Annex E QM
+    coder over the Annex F statistical models; Annex K quant table, same
+    lossy/exact contract as :func:`encode_jpeg_gray`). Default
+    conditioning (L=0, U=1, Kx=5) — no DAC segment needed, but one is
+    emitted anyway so the decoder's DAC path is exercised by every
+    stream. ``restart_every`` > 0 emits DRI + RSTn, resetting statistics,
+    DC conditioning contexts and the coder per interval."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:, width:] = padded[:, width - 1:width]
+
+    C = _dct_matrix()
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    zz = _JPEG_ZIGZAG
+    lo, up, kx = 0, 1, 5
+
+    out = bytearray()
+    enc = _ArithEncoder()
+    dc_stats = bytearray(64)
+    ac_stats = bytearray(256)
+    state = [0, 0]  # [dc conditioning ctx, last dc]
+    mcu = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_every and mcu and mcu % restart_every == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                enc = _ArithEncoder()
+                dc_stats = bytearray(64)
+                ac_stats = bytearray(256)
+                state = [0, 0]
+            mcu += 1
+            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            coef = C @ block @ C.T
+            quant = np.round(coef / q).astype(np.int64)
+            flat = quant.reshape(-1)
+            seq = [int(flat[zz[i]]) for i in range(64)]
+            _arith_encode_dc(enc, dc_stats, state, seq[0] - state[1], lo, up)
+            state[1] = seq[0]
+            _arith_encode_ac(enc, ac_stats, seq, kx)
+    out += enc.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(
+        _JPEG_QTABLE[zz[i]] for i in range(64)))
+    sof = seg(0xC9, struct.pack(">BHHB", 8, height, width, 1)
+              + bytes([1, 0x11, 0]))
+    dac = seg(0xCC, bytes([0x00, (up << 4) | lo, 0x10, kx]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (seg(0xDD, struct.pack(">H", restart_every))
+           if restart_every else b"")
+    return (b"\xff\xd8" + dqt + sof + dac + dri + sos + bytes(out)
+            + b"\xff\xd9")
+
+
+def encode_jpeg_arith_color(width: int, height: int, y_pixels: bytes,
+                            subsampling: str = "4:2:0",
+                            cb_pixels: bytes | None = None,
+                            cr_pixels: bytes | None = None) -> bytes:
+    """Sequential ARITHMETIC-coded COLOR (YCbCr interleaved) JPEG (SOF9).
+
+    Same plane/subsampling contract as :func:`encode_jpeg_color`, but
+    entropy-coded with the T.81 Annex E QM coder: luma on conditioning
+    tables (DC 0, AC 0), both chroma components SHARING tables (DC 1,
+    AC 1) — i.e. one statistics area per table per §F.1.4.4, which the
+    decoder must mirror to stay in sync. Same lossy chain as the
+    huffman color encoder, so decodes must be pixel-identical."""
+    import numpy as np
+
+    if len(y_pixels) != width * height:
+        raise ValueError("y_pixels must be width*height bytes")
+    try:
+        hy, vy = {"4:4:4": (1, 1), "4:2:2": (2, 1),
+                  "4:2:0": (2, 2)}[subsampling]
+    except KeyError:
+        raise ValueError(
+            "subsampling must be '4:4:4', '4:2:2' or '4:2:0'") from None
+    img = np.frombuffer(y_pixels, dtype=np.uint8).reshape(height, width)
+    tile_w, tile_h = 8 * hy, 8 * vy
+    ph = (height + tile_h - 1) // tile_h * tile_h
+    pw = (width + tile_w - 1) // tile_w * tile_w
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:, width:] = padded[:, width - 1:width]
+
+    cw, chh = -(-width // hy), -(-height // vy)
+    cpw, cph = pw // hy, ph // vy
+
+    def chroma_plane(pix: bytes | None, name: str):
+        if pix is None:
+            return np.full((cph, cpw), 128.0)
+        if len(pix) != cw * chh:
+            raise ValueError(
+                f"{name} must be ceil(width/{hy}) * ceil(height/{vy}) "
+                f"= {cw}*{chh} bytes at {subsampling}")
+        c = np.frombuffer(pix, dtype=np.uint8).reshape(chh, cw)
+        out = np.empty((cph, cpw), dtype=np.float64)
+        out[:chh, :cw] = c
+        out[chh:, :cw] = c[-1:, :]
+        out[:, cw:] = out[:, cw - 1:cw]
+        return out
+
+    cb_plane = chroma_plane(cb_pixels, "cb_pixels")
+    cr_plane = chroma_plane(cr_pixels, "cr_pixels")
+
+    C = _dct_matrix()
+    zz = _JPEG_ZIGZAG
+    qy = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    qc = np.array(_JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+    lo, up, kx = 0, 1, 5
+
+    enc = _ArithEncoder()
+    dc_stats = {0: bytearray(64), 1: bytearray(64)}
+    ac_stats = {0: bytearray(256), 1: bytearray(256)}
+    states = {"y": [0, 0], "cb": [0, 0], "cr": [0, 0]}
+
+    def put_block(block, qmat, tdc, tac, key):
+        coef = C @ block @ C.T
+        quant = np.round(coef / qmat).astype(np.int64)
+        flat = quant.reshape(-1)
+        seq = [int(flat[zz[i]]) for i in range(64)]
+        st = states[key]
+        _arith_encode_dc(enc, dc_stats[tdc], st, seq[0] - st[1], lo, up)
+        st[1] = seq[0]
+        _arith_encode_ac(enc, ac_stats[tac], seq, kx)
+
+    for my in range(ph // tile_h):
+        for mx in range(pw // tile_w):
+            for by in range(vy):
+                for bx in range(hy):
+                    r0 = my * tile_h + by * 8
+                    c0 = mx * tile_w + bx * 8
+                    put_block(padded[r0:r0 + 8, c0:c0 + 8] - 128.0,
+                              qy, 0, 0, "y")
+            cr0, cc0 = my * 8, mx * 8
+            put_block(cb_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
+                      qc, 1, 1, "cb")
+            put_block(cr_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
+                      qc, 1, 1, "cr")
+    ecs = enc.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = (seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE[zz[i]]
+                                           for i in range(64)))
+           + seg(0xDB, bytes([0x01]) + bytes(_JPEG_QTABLE_CHROMA[zz[i]]
+                                             for i in range(64))))
+    hv_y = (hy << 4) | vy
+    sof = seg(0xC9, struct.pack(">BHHB", 8, height, width, 3)
+              + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dac = seg(0xCC, bytes([0x00, (up << 4) | lo, 0x01, (up << 4) | lo,
+                           0x10, kx, 0x11, kx]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dac + sos + ecs + b"\xff\xd9")
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
@@ -1604,15 +2224,15 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     Parses DQT/SOF/DHT/SOS/DRI from the stream (any conformant file, not
     just our encoder's — 0xFF fill bytes per T.81 B.1.1.2 included),
     huffman-decodes, dequantizes, inverse-DCTs with numpy. Handles
-    baseline (SOF0) AND progressive (SOF2, r5) streams, grayscale AND
-    interleaved multi-component color (any sampling-factor layout —
-    4:4:4, 4:2:0, 4:2:2, ... — with the luma component at full
-    resolution); the output is the LUMA plane (Y is BT.601 luma directly
-    — chroma components are decoded to keep the stream in sync and
-    discarded). Arithmetic coding, hierarchical mode, 16-bit quant tables
-    and subsampled-luma layouts raise NotImplementedError — the
-    documented codec seam. Malformed / truncated input raises
-    ValueError."""
+    baseline (SOF0), progressive (SOF2, r5) AND sequential arithmetic
+    (SOF9, r6) streams, grayscale AND interleaved multi-component color
+    (any sampling-factor layout — 4:4:4, 4:2:0, 4:2:2, ... — with the
+    luma component at full resolution); the output is the LUMA plane (Y
+    is BT.601 luma directly — chroma components are decoded to keep the
+    stream in sync and discarded). Hierarchical mode,
+    progressive-arithmetic, 16-bit quant tables and subsampled-luma
+    layouts raise NotImplementedError — the documented codec seam.
+    Malformed / truncated input raises ValueError."""
     import numpy as np
 
     try:
@@ -1637,9 +2257,10 @@ def decode_jpeg(data: bytes, upsample: str = "nearest",
     choice our oracles use — or ``"bilinear"``, the
     centered-sample triangular filter), then converted per the JFIF
     YCbCr<->RGB matrix with floor(x+0.5) rounding and [0,255] clamping.
-    Baseline and progressive streams both decode (r5); same seam as
-    :func:`decode_jpeg_gray` for arithmetic/hierarchical streams;
-    ValueError on malformed input."""
+    Baseline, progressive (r5) and sequential-arithmetic (r6) streams
+    all decode; same seam as :func:`decode_jpeg_gray` for
+    hierarchical/progressive-arithmetic streams; ValueError on
+    malformed input."""
     import numpy as np
 
     if upsample not in ("nearest", "bilinear"):
@@ -1761,12 +2382,16 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
         elif marker == 0xC3:
             # lossless (SOF3): predictive huffman decode (r5)
             return _decode_lossless(data, render_all)
+        elif marker == 0xC9:
+            # sequential arithmetic-coded (SOF9): QM-coder scan loop (r6)
+            return _decode_arith(data, render_all)
         elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0), progressive (SOF2) and "
-                "lossless (SOF3) JPEG are supported (arithmetic coding / "
-                "hierarchical modes remain the codec seam)")
+                "only baseline sequential (SOF0), progressive (SOF2), "
+                "lossless (SOF3) and sequential arithmetic (SOF9) JPEG "
+                "are supported (progressive-arithmetic / hierarchical "
+                "modes remain the codec seam)")
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -1939,6 +2564,212 @@ def _split_restart_intervals(ecs: bytes) -> list[bytes]:
             i += 1
     intervals.append(ecs[start:])
     return intervals
+
+
+def _split_arith_intervals(ecs: bytes) -> list[bytes]:
+    """Split an ARITHMETIC entropy segment on RSTn markers. Arithmetic
+    segments have no 0xFF00 byte stuffing — instead the encoder
+    bit-stuffs so the byte after any data 0xFF is <= 0x7F (T.81
+    B.1.1.5); a 0xFF followed by >= 0x90 is always a real marker."""
+    intervals, start, i = [], 0, 0
+    while i + 1 < len(ecs):
+        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
+            intervals.append(ecs[start:i])
+            i += 2
+            start = i
+        else:
+            i += 1
+    intervals.append(ecs[start:])
+    return intervals
+
+
+def _decode_arith(data: bytes, render_all: bool):
+    """Sequential arithmetic-coded (SOF9) JPEG decode — T.81 Annex E QM
+    coder over the Annex F DC/AC statistical models — returning the
+    ``_decode_jpeg_planes`` tuple (same dequant/IDCT as baseline).
+    Grayscale and interleaved multi-component streams; DAC conditioning
+    (L/U per DC table, Kx per AC table) with the §F.1.4.4.1.2 defaults;
+    restart intervals reset the coder, statistics areas and DC state.
+    This retires the former "arithmetic coding" codec seam (r6)."""
+    import numpy as np
+
+    qtables: dict[int, list[int]] = {}
+    width = height = None
+    comps: list[dict] = []
+    # DAC conditioning: DC tables -> (L, U), AC tables -> Kx (defaults
+    # per §F.1.4.4.1.2 / F.1.4.4.2)
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    scan_tabs: dict[int, tuple[int, int]] = {}
+    restart_interval = 0
+    entropy_start = None
+    pos = 2
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = list(body[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC9:
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    "12-bit arithmetic JPEG (8-bit samples only)")
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif marker == 0xCC:  # DAC: (Tc<<4|Tb, Cs) pairs
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                cs = body[i + 1]
+                if tc == 0:
+                    lo, up = cs & 0x0F, cs >> 4
+                    if not (0 <= lo <= up <= 15):
+                        raise ValueError(
+                            f"invalid DAC DC conditioning L={lo} U={up}")
+                    dc_cond[tb] = (lo, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"invalid DAC AC Kx={cs}")
+                    ac_cond[tb] = cs
+                i += 2
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) arithmetic JPEG")
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
+            entropy_start = pos
+            break
+    if width is None or entropy_start is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+        raise NotImplementedError(
+            "luma component must be at full resolution (subsampled-luma "
+            "layouts need a real resampler — PIL's seam)")
+
+    # Truncation contract: unlike huffman scans, a QM entropy segment cut
+    # mid-stream keeps "decoding" from the spec-mandated 1-bit feed
+    # (Figure E.21) — decisions stay resolvable by construction, so there
+    # is no bit-level truncation signal. The sound check is container
+    # level: the segment must terminate at a real marker (EOI or the next
+    # header marker), not at end-of-data.
+    end = _scan_arith_entropy_end(data, entropy_start)
+    if end >= len(data):
+        raise ValueError(
+            "JPEG entropy data truncated (arithmetic segment has no "
+            "terminating marker)")
+    ecs = data[entropy_start:end]
+
+    C = _dct_matrix()
+    zz = _JPEG_ZIGZAG
+    qmats: dict[int, "np.ndarray"] = {}
+    for tq, vals in qtables.items():
+        flatq = np.empty(64)
+        for i in range(64):
+            flatq[zz[i]] = vals[i]
+        qmats[tq] = flatq.reshape(8, 8)
+
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcus_x * mcus_y
+    render = comps if render_all else comps[:1]
+    planes = {
+        c["id"]: np.empty((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
+                          dtype=np.float64)
+        for c in render
+    }
+
+    intervals = _split_arith_intervals(ecs)
+    if len(intervals) > 1 and restart_interval == 0:
+        raise ValueError("restart markers present but no DRI segment")
+
+    done = 0
+    for ci, chunk in enumerate(intervals):
+        dec = _ArithDecoder(chunk)
+        # statistics areas are per conditioning TABLE (shared across
+        # components bound to the same table — T.81 F.1.4.4); DC
+        # state ([ctx, prediction]) is per component
+        dc_stats = {tb: bytearray(64) for tb in
+                    {scan_tabs[c["id"]][0] for c in comps}}
+        ac_stats = {tb: bytearray(256) for tb in
+                    {scan_tabs[c["id"]][1] for c in comps}}
+        states = {c["id"]: [0, 0] for c in comps}
+        in_chunk = (restart_interval
+                    if restart_interval and ci < len(intervals) - 1
+                    else n_mcus - done)
+        for _ in range(in_chunk):
+            if done >= n_mcus:
+                break
+            my, mx = divmod(done, mcus_x)
+            for comp in comps:
+                tdc, tac = scan_tabs[comp["id"]]
+                lo, up = dc_cond.get(tdc, (0, 1))
+                kx = ac_cond.get(tac, 5)
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        seq = _arith_decode_block(
+                            dec, dc_stats[tdc], ac_stats[tac],
+                            states[comp["id"]], lo, up, kx)
+                        plane = planes.get(comp["id"])
+                        if plane is None:
+                            continue  # sync-decoded, not rendered
+                        flat = np.zeros(64)
+                        for i2 in range(64):
+                            flat[zz[i2]] = seq[i2]
+                        coef = flat.reshape(8, 8) * qmats[comp["tq"]]
+                        block = C.T @ coef @ C + 128.0
+                        r0 = (my * comp["v"] + by) * 8
+                        c0 = (mx * comp["h"] + bx) * 8
+                        plane[r0:r0 + 8, c0:c0 + 8] = block
+            done += 1
+    if done < n_mcus:
+        raise ValueError("JPEG entropy data truncated")
+    return width, height, comps, planes, hmax, vmax
+
+
+def _scan_arith_entropy_end(data: bytes, pos: int) -> int:
+    """End of an ARITHMETIC entropy segment: first 0xFF whose successor
+    is a non-RSTn marker (>= 0x90 and not 0xD0-0xD7). Bytes <= 0x8F
+    after 0xFF are bit-stuffed data, RSTn stays inside the segment."""
+    i = pos
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt <= 0x8F or 0xD0 <= nxt <= 0xD7:
+            i += 2
+            continue
+        break
+    return i
 
 
 def _decode_progressive(data: bytes, render_all: bool):

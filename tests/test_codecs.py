@@ -345,13 +345,13 @@ def test_jpeg_odd_dims_and_rejects():
         decode_jpeg_gray(b"not a jpeg")
     with pytest.raises(ValueError):
         encode_jpeg_gray(4, 4, b"wrong size")
-    # arithmetic coding (SOF9) hits the seam (progressive SOF2 decodes
-    # for real as of r5)
+    # hierarchical mode (SOF5) hits the seam (progressive SOF2 decodes
+    # for real as of r5, sequential arithmetic SOF9 as of r6)
     base = encode_jpeg_gray(8, 8, bytes(64))
     sof0 = base.find(b"\xff\xc0")
-    arith = base[:sof0] + b"\xff\xc9" + base[sof0 + 2:]
-    with pytest.raises(NotImplementedError, match="arithmetic"):
-        decode_jpeg_gray(arith)
+    hier = base[:sof0] + b"\xff\xc5" + base[sof0 + 2:]
+    with pytest.raises(NotImplementedError, match="hierarchical"):
+        decode_jpeg_gray(hier)
     # a baseline scan header mislabeled SOF2 is malformed (a progressive
     # DC scan cannot span Se=63) — ValueError, not silent nonsense
     mislabeled = base[:sof0] + b"\xff\xc2" + base[sof0 + 2:]
@@ -1321,3 +1321,162 @@ def test_jpeg_bilinear_upsample_matches_reference():
 
     with pytest.raises(ValueError):
         C.decode_jpeg(j, upsample="bicubic")
+
+
+# ---------------------------------------------------------------------------
+# arithmetic-coded JPEG (SOF9, r6) — QM-coder + Annex F models
+# ---------------------------------------------------------------------------
+
+def test_qm_coder_roundtrip_random_bitstreams():
+    """The raw QM coder pair (T.81 Annex E: Table E.1 state machine,
+    conditional MPS/LPS exchange, bit-stuffed carry, SETBITS flush with
+    0x7F completion of a trailing 0xFF) must roundtrip arbitrary
+    context-tagged bit sequences at any bias."""
+    import random
+
+    from rlis2osm_spark.functions.codecs import _ArithDecoder, _ArithEncoder
+
+    random.seed(7)
+    for trial in range(25):
+        n = random.randint(1, 5000)
+        p = random.random()
+        bits = [1 if random.random() < p else 0 for _ in range(n)]
+        nctx = random.randint(1, 8)
+        ctxs = [random.randrange(nctx) for _ in range(n)]
+        enc = _ArithEncoder()
+        st_e = bytearray(nctx)
+        for b, cx in zip(bits, ctxs):
+            enc.encode(st_e, cx, b)
+        data = enc.flush()
+        dec = _ArithDecoder(data)
+        st_d = bytearray(nctx)
+        assert [dec.decode(st_d, cx) for cx in ctxs] == bits
+
+    # the fixed equiprobable bin (AC signs) — ~1 bit/symbol, exact
+    random.seed(9)
+    bits = [random.randrange(2) for _ in range(4000)]
+    enc = _ArithEncoder()
+    for b in bits:
+        enc.encode_fixed(b)
+    data = enc.flush()
+    dec = _ArithDecoder(data)
+    assert [dec.decode_fixed() for _ in bits] == bits
+    assert len(data) <= len(bits) // 8 + 8
+
+
+def test_jpeg_arith_gray_matches_baseline_decode():
+    """r6 stretch (VERDICT r5 #7): sequential arithmetic (SOF9) decode.
+    The arithmetic encoder shares the baseline's exact DCT/quant chain,
+    so arithmetic decode must be pixel-identical to baseline decode on
+    every input — including restart intervals, which reset the coder,
+    the statistics areas and the DC conditioning state."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_jpeg, decode_jpeg_gray, encode_jpeg_arith_gray,
+        encode_jpeg_gray)
+
+    rng = np.random.default_rng(7)
+    for w, h, rst in [(8, 8, 0), (16, 16, 1), (21, 13, 0), (64, 48, 3),
+                      (40, 33, 7), (9, 70, 2), (50, 53, 2)]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        blob = encode_jpeg_arith_gray(w, h, img.tobytes(), restart_every=rst)
+        assert b"\xff\xc9" in blob      # really SOF9
+        assert b"\xff\xcc" in blob      # DAC emitted
+        base = decode_jpeg_gray(encode_jpeg_gray(w, h, img.tobytes(),
+                                                 restart_every=rst))
+        assert decode_jpeg_gray(blob) == base
+        wj, hj, nch, px = decode_jpeg(blob)
+        assert (wj, hj, nch) == (w, h, 1) and px == base[2]
+    # arithmetic typically out-compresses huffman on smooth content
+    img = np.ascontiguousarray(np.kron(
+        rng.integers(0, 128, (6, 6)) * 2, np.ones((8, 8), int))
+    ).astype(np.uint8)
+    a = encode_jpeg_arith_gray(48, 48, img.tobytes())
+    b = encode_jpeg_gray(48, 48, img.tobytes())
+    assert len(a) < len(b)
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
+def test_jpeg_arith_color_matches_baseline(subsampling):
+    """Color SOF9: interleaved MCUs with luma on conditioning tables
+    (DC0/AC0) and BOTH chroma components sharing tables (DC1/AC1) — one
+    statistics area per table per F.1.4.4, which the decoder must mirror
+    to stay in sync — decode to the same RGB as huffman baseline."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(19)
+    for w, h in [(16, 16), (24, 16), (21, 13)]:
+        hy, vy = {"4:4:4": (1, 1), "4:2:2": (2, 1),
+                  "4:2:0": (2, 2)}[subsampling]
+        cw, ch = -(-w // hy), -(-h // vy)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        cb = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        cr = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        base = C.decode_jpeg(C.encode_jpeg_color(
+            w, h, img.tobytes(), subsampling, cb.tobytes(), cr.tobytes()))
+        ar = C.decode_jpeg(C.encode_jpeg_arith_color(
+            w, h, img.tobytes(), subsampling, cb.tobytes(), cr.tobytes()))
+        assert base == ar
+        assert base[2] == 3
+
+
+def test_jpeg_arith_fuzz_and_flush_edges():
+    """Randomized parity sweep, sized to keep hitting the flush edge
+    cases that originally desynced rare streams (trailing-0xFF code byte
+    completed by a 0x7F stuff; SETBITS trailing-ones convention)."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(123)
+    stuffed = 0
+    for _ in range(60):
+        w = int(rng.integers(8, 100))
+        h = int(rng.integers(8, 100))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        rst = int(rng.integers(0, 6))
+        blob = C.encode_jpeg_arith_gray(w, h, img.tobytes(),
+                                        restart_every=rst)
+        if b"\xff\x7f" in blob:
+            stuffed += 1
+        assert (C.decode_jpeg_gray(blob)
+                == C.decode_jpeg_gray(C.encode_jpeg_gray(
+                    w, h, img.tobytes(), restart_every=rst)))
+    # the sweep actually exercises the stuff path at least once
+    assert stuffed >= 1
+
+
+def test_jpeg_arith_truncation_and_malformed():
+    """A QM entropy segment cut mid-stream stays bit-decodable by
+    construction (the decoder feeds 1-bits past the end — Figure E.21),
+    so truncation is detected at the CONTAINER level: the segment must
+    terminate at a real marker. Bad DAC values raise ValueError."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import (
+        decode_jpeg_gray, encode_jpeg_arith_gray)
+
+    rng = np.random.default_rng(1)
+    blob = encode_jpeg_arith_gray(
+        32, 32, bytes(rng.integers(0, 256, 1024, dtype=np.uint8)))
+    det = tot = 0
+    for cut in range(20, len(blob) - 2):
+        tot += 1
+        try:
+            decode_jpeg_gray(blob[:cut])
+        except ValueError:
+            det += 1
+    # all cuts strip the terminating marker; the only passes are cuts
+    # that happen to land leaving a marker-shaped tail
+    assert det >= tot - 4
+
+    # malformed DAC: Kx = 0 is out of the spec's 1..63 range
+    i = blob.find(b"\xff\xcc")
+    bad = bytearray(blob)
+    assert bad[i + 7] == 5  # Kx default in our DAC segment
+    bad[i + 7] = 0
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(bad))
