@@ -464,6 +464,40 @@ def _host_speed_probe() -> float:
     return round(best, 4)
 
 
+def _effective_cores_probe(n: int | None = None) -> dict:
+    """Parallel companion to :func:`_host_speed_probe`: run the same
+    fixed single-thread workload in N concurrent PROCESSES and report
+    per-task mean vs the single-task time. On a dedicated 32-core box
+    the ratio is ~1; under invisible-neighbor contention (r6 observed:
+    per-task 8x at 32-way while the single-thread probe and loadavg
+    looked healthy) the ratio exposes how many effective cores the
+    container actually gets: effective ~= n / ratio. This is the number
+    that adjudicates whether a wall-time regression is code or host."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    n = n or int(CPUS)
+    single = _host_speed_probe()
+    with mp.Pool(n) as pool:
+        els = pool.map(_probe_task, range(n))
+    ratio = float(np.mean(els)) / single if single else float("nan")
+    return {"n_procs": n, "single_sec": single,
+            "parallel_per_task_sec": round(float(np.mean(els)), 4),
+            "slowdown_ratio": round(ratio, 2),
+            "effective_cores": round(n / ratio, 1) if ratio else None}
+
+
+def _probe_task(_i: int) -> float:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random(6_000_000)
+    t0 = time.time()
+    np.sort(a, kind="mergesort")
+    return time.time() - t0
+
+
 def pipeline_scale_run(spark, data_dir: str, out_dir: str, mult: int,
                        ordered: bool = False) -> dict:
     """One end-to-end combine -> dissolve -> tile-rollup -> OSM-sink run
@@ -578,6 +612,7 @@ def run_pipeline_scale() -> dict:
     gate = _load_gate(float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4")))
     load_before = open("/proc/loadavg").read().split()[:3]
     speed = _host_speed_probe()
+    cores_before = _effective_cores_probe()
     spark = build_session(
         app_name="pipeline-scale",
         master=f"local[{CPUS}]",
@@ -602,6 +637,8 @@ def run_pipeline_scale() -> dict:
         "load_gate": gate,
         "host_speed_probe_sec": speed,
         "host_speed_probe_sec_after": _host_speed_probe(),
+        "effective_cores_probe_before": cores_before,
+        "effective_cores_probe_after": _effective_cores_probe(),
         "loadavg_before": load_before,
         "loadavg_after": open("/proc/loadavg").read().split()[:3],
     }

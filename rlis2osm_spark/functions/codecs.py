@@ -1,10 +1,12 @@
 """Real media codecs with no external libraries (VERDICT r2 #3, r3 #3):
 
-- PNG: stdlib ``zlib`` + ``struct`` over the public PNG spec (8-bit
-  grayscale/RGB/gray+alpha/RGBA on decode — bpp-aware scanline filters
-  0-4 — grayscale filters 0-2 on encode; palette/16-bit/Adam7 = seam);
-- WAV: ``struct`` over the public RIFF/WAVE spec (integer PCM 8/16-bit
-  and IEEE float32, mono/stereo; ADPCM/a-law/24-bit = seam);
+- PNG: stdlib ``zlib`` + ``struct`` over the public PNG spec — decode
+  is layout-complete (gray/RGB/palette/alpha at depths 1-16, bpp-aware
+  scanline filters 0-4, sequential and Adam7; exact 16-bit via
+  decode_png16); grayscale filters 0-2 on encode;
+- WAV: ``struct`` over the public RIFF/WAVE spec (integer PCM
+  8/16/24-bit, IEEE float32, G.711 a-law/mu-law companding and IMA/DVI
+  ADPCM — r6 — mono/stereo; MS-ADPCM/GSM = seam);
 - GIF: pure-Python LZW over the public GIF87a/GIF89a spec (8-bit
   palettized, variable-width codes up to 12 bits, interlaced or not;
   first frame of animations);
@@ -17,14 +19,18 @@
   with full-RGB output (nearest/bilinear chroma upsampling), any
   sampling layout, restart intervals, fill bytes, strict truncation
   detection;
+- BMP (r5/r6): uncompressed 24/32-bit BGR(X) and palettized 1/4/8-bit
+  (MSB-first sub-byte packing) plus BI_RLE8/BI_RLE4 run-length decode
+  (escapes, absolute mode, deltas — r6);
 - AVI/MJPEG (r4): RIFF-AVI container walk + per-frame baseline-JPEG
   decode + idx1 index.
 
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
-``NotImplementedError`` seam (operators/multimodal.py) is
-progressive-arithmetic/hierarchical JPEG and compressed non-MJPG video
-codecs (uncompressed DIB AVI decodes natively, r5).
+``NotImplementedError`` seams (see COVERAGE.md "Codec capability
+matrix"): progressive-arithmetic/hierarchical/12-bit JPEG, compressed
+non-MJPG video codecs (uncompressed DIB AVI decodes natively, r5),
+BMP bitfields, MS-ADPCM/GSM WAV.
 """
 
 from __future__ import annotations
@@ -3155,12 +3161,16 @@ def encode_avi_raw(frames_gray: list[bytes], width: int, height: int,
 def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     """BMP file -> (width, height, n_channels, pixels).
 
-    Uncompressed (BI_RGB) BITMAPINFOHEADER bitmaps: 24-bit BGR ->
-    interleaved RGB (nch=3), 8-bit palettized -> RGB through the BGRX
-    color table, 32-bit BGRX -> RGB (the X byte is dropped, nch=3).
-    Rows are 4-byte aligned; positive biHeight is bottom-up, negative
-    top-down. RLE/bitfield compression and 1/4-bit depths raise
-    NotImplementedError (the PIL seam)."""
+    BITMAPINFOHEADER bitmaps: 24-bit BGR -> interleaved RGB (nch=3),
+    8-bit palettized -> RGB through the BGRX color table, 32-bit BGRX ->
+    RGB (the X byte is dropped, nch=3), and (r6) sub-byte palettized
+    depths 1/4-bit (MSB-first packing) plus BI_RLE8/BI_RLE4 run-length
+    compression (run pairs, absolute mode with word alignment, EOL/EOB/
+    delta escapes; skipped pixels read as palette index 0). Rows are
+    4-byte aligned; positive biHeight is bottom-up, negative top-down
+    (top-down is invalid for RLE per the format and raises ValueError).
+    Bitfield compression (BI_BITFIELDS) raises NotImplementedError (the
+    PIL seam)."""
     import numpy as np
 
     if data[:2] != b"BM":
@@ -3172,15 +3182,58 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     width, height_s = struct.unpack("<ii", data[18:26])
     _planes, bits, comp = struct.unpack("<HHI", data[26:34])
     (n_colors,) = struct.unpack("<I", data[46:50])
-    if comp != 0:
+    if comp not in (0, 1, 2):
         raise NotImplementedError(
-            f"BMP compression {comp} (RLE/bitfields) needs PIL")
-    if bits not in (8, 24, 32):
-        raise NotImplementedError(f"{bits}-bit BMP (1/4-bit need PIL)")
+            f"BMP compression {comp} (bitfields/JPEG/PNG) needs PIL")
+    if comp == 1 and bits != 8:
+        raise ValueError("BI_RLE8 requires 8-bit depth")
+    if comp == 2 and bits != 4:
+        raise ValueError("BI_RLE4 requires 4-bit depth")
+    if bits not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(f"{bits}-bit BMP needs PIL")
     top_down = height_s < 0
     height = abs(height_s)
     if width <= 0 or height == 0:
         raise ValueError("bad BMP dimensions")
+
+    def palette(n_default):
+        n = n_colors or n_default
+        table = np.frombuffer(
+            data[14 + hdr_size:14 + hdr_size + 4 * n],
+            dtype=np.uint8).reshape(-1, 4)
+        if table.shape[0] < n:
+            raise ValueError("BMP color table truncated")
+        return table
+
+    def idx_to_rgb(idx, table):
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("BMP palette index out of range")
+        rgb = table[idx][:, :, [2, 1, 0]]  # BGRX -> RGB
+        return width, height, 3, np.ascontiguousarray(rgb).tobytes()
+
+    if comp:  # BI_RLE8 / BI_RLE4
+        if top_down:
+            raise ValueError("top-down RLE BMP is invalid")
+        idx = _decode_bmp_rle(data[off_bits:], width, height, bits)
+        return idx_to_rgb(idx[::-1], palette(1 << bits))
+
+    if bits in (1, 4):
+        stride = ((width * bits + 31) // 32) * 4
+        px = data[off_bits:off_bits + stride * height]
+        if len(px) < stride * height:
+            raise ValueError("BMP pixel data truncated")
+        rows = np.frombuffer(px, dtype=np.uint8).reshape(height, stride)
+        unpacked = np.unpackbits(rows, axis=1)  # MSB-first
+        if bits == 1:
+            idx = unpacked[:, :width]
+        else:
+            nib = unpacked.reshape(height, -1, 4)
+            idx = (nib[:, :, 0] * 8 + nib[:, :, 1] * 4
+                   + nib[:, :, 2] * 2 + nib[:, :, 3])[:, :width]
+        if not top_down:
+            idx = idx[::-1]
+        return idx_to_rgb(idx.astype(np.uint8), palette(1 << bits))
+
     bpp = bits // 8
     stride = (width * bpp + 3) & ~3
     px = data[off_bits:off_bits + stride * height]
@@ -3191,19 +3244,62 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     if not top_down:
         body = body[::-1]
     if bits == 8:
-        n = n_colors or 256
-        table = np.frombuffer(
-            data[14 + hdr_size:14 + hdr_size + 4 * n],
-            dtype=np.uint8).reshape(-1, 4)
-        if table.shape[0] < n:
-            raise ValueError("BMP color table truncated")
-        idx = body[:, :, 0]
-        if int(idx.max(initial=0)) >= table.shape[0]:
-            raise ValueError("BMP palette index out of range")
-        rgb = table[idx][:, :, [2, 1, 0]]  # BGRX -> RGB
-        return width, height, 3, np.ascontiguousarray(rgb).tobytes()
+        return idx_to_rgb(body[:, :, 0], palette(256))
     rgb = body[:, :, [2, 1, 0]]  # BGR(X) -> RGB, X dropped
     return width, height, 3, np.ascontiguousarray(rgb).tobytes()
+
+
+def _decode_bmp_rle(blob: bytes, width: int, height: int,
+                    bits: int) -> "np.ndarray":
+    """BI_RLE8 / BI_RLE4 stream -> (height, width) palette-index raster
+    in STORED (bottom-up) row order. Escapes: 00 00 = end of line,
+    00 01 = end of bitmap, 00 02 dx dy = position delta; 00 n (n>=3) =
+    absolute mode (n literal indices, data padded to a word boundary);
+    c v (c>0) = run of c indices (RLE4 alternates v's two nibbles).
+    Pixels never written stay 0."""
+    import numpy as np
+
+    out = np.zeros((height, width), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(blob)
+    while i + 1 < n:
+        c, v = blob[i], blob[i + 1]
+        i += 2
+        if c:  # encoded run
+            if bits == 8:
+                vals = [v] * c
+            else:
+                vals = [(v >> 4, v & 0x0F)[k & 1] for k in range(c)]
+            for val in vals:
+                if y < height and x < width:
+                    out[y, x] = val
+                x += 1
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("BMP RLE delta truncated")
+            x += blob[i]
+            y += blob[i + 1]
+            i += 2
+        else:  # absolute mode: v literal indices
+            nbytes = v if bits == 8 else (v + 1) // 2
+            nbytes += nbytes & 1  # word aligned
+            if i + nbytes > n:
+                raise ValueError("BMP RLE absolute run truncated")
+            chunk = blob[i:i + nbytes]
+            i += nbytes
+            for k in range(v):
+                val = (chunk[k] if bits == 8
+                       else (chunk[k // 2] >> 4 if k % 2 == 0
+                             else chunk[k // 2] & 0x0F))
+                if y < height and x < width:
+                    out[y, x] = val
+                x += 1
+    raise ValueError("BMP RLE stream missing end-of-bitmap")
 
 
 def decode_dib_frame(frame: bytes, width: int, height: int,
@@ -3291,15 +3387,200 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+# ---------------------------------------------------------------------------
+# Companded / packed / ADPCM WAV (r6 — retires the a-law/mu-law, 24-bit
+# and IMA-ADPCM legs of the audio seam). Clean-room from the public
+# specs: ITU G.711 segment companding (the decode expansions below ARE
+# the normative piecewise-linear formulas), the IMA/DVI ADPCM algorithm
+# (step + index tables from the public IMA "Recommended Practices"
+# document, also in RFC 3551 terms), and the MS WAVEFORMAT block layout
+# for format tag 0x11 (4-byte per-channel block headers, nibble-packed
+# data, 4-byte channel interleave).
+# ---------------------------------------------------------------------------
+
+def _mulaw_decode_table():
+    """G.711 mu-law byte -> linear (int16-range) lookup, computed from
+    the normative expansion (bias 0x84, 3-bit exponent, 4-bit mantissa)."""
+    import numpy as np
+
+    u = np.arange(256, dtype=np.int32) ^ 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u >> 4) & 0x07
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _alaw_decode_table():
+    """G.711 A-law byte -> linear lookup (0x55 toggle, segmented gain)."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (a >> 4) & 0x07
+    mant = a & 0x0F
+    t = np.where(seg == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _g711_encode(samples, law: str):
+    """Linear int16 -> companded byte, via exact inverse search over the
+    256-entry decode table (nearest decoded value, ties toward the
+    smaller magnitude) — guarantees decode(encode(x)) is the nearest
+    representable level, with no reliance on a second formula."""
+    import numpy as np
+
+    table = (_mulaw_decode_table() if law == "mulaw"
+             else _alaw_decode_table())
+    order = np.argsort(table, kind="stable")
+    levels = table[order].astype(np.int32)
+    s = np.clip(np.asarray(list(samples), dtype=np.int64),
+                -32768, 32767).astype(np.int32)
+    idx = np.searchsorted(levels, s)
+    idx = np.clip(idx, 1, 255)
+    lo, hi = levels[idx - 1], levels[idx]
+    pick = np.where((s - lo) <= (hi - s), idx - 1, idx)
+    return order[pick].astype(np.uint8)
+
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(n: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM step: nibble + state -> (new predictor, new index)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[n]))
+    return pred, index
+
+
+def encode_wav_g711(samples, law: str = "mulaw",
+                    sample_rate: int = 8000) -> bytes:
+    """Mono G.711 companded WAV: ``law`` = ``"mulaw"`` (format tag 7) or
+    ``"alaw"`` (format tag 6), 8 bits/sample."""
+    if law not in ("mulaw", "alaw"):
+        raise ValueError("law must be 'mulaw' or 'alaw'")
+    body = _g711_encode(samples, law).tobytes()
+    tag = 7 if law == "mulaw" else 6
+    fmt = struct.pack("<HHIIHHH", tag, 1, sample_rate, sample_rate, 1, 8, 0)
+    riff = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_wav_pcm24(samples, sample_rate: int = 8000,
+                     channels: int = 1) -> bytes:
+    """24-bit packed little-endian PCM WAV (format 1); ``samples`` is
+    channel-interleaved ints clamped to the 24-bit signed range."""
+    import numpy as np
+
+    s = np.clip(np.asarray(list(samples), dtype=np.int64),
+                -(1 << 23), (1 << 23) - 1).astype("<i4")
+    raw = s.tobytes()
+    body = b"".join(raw[i:i + 3] for i in range(0, len(raw), 4))
+    ba = 3 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * ba, ba, 24)
+    riff = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_wav_ima_adpcm(samples, sample_rate: int = 8000,
+                         channels: int = 1,
+                         samples_per_block: int = 505) -> bytes:
+    """IMA/DVI ADPCM WAV (format tag 0x11). ``samples`` is
+    channel-interleaved int16s; blocks carry ``samples_per_block``
+    samples per channel (header sample + 8*k nibbles, so the count must
+    be 1 mod 8); the last block is zero-padded to full size, with the
+    true total in a ``fact`` chunk."""
+    import numpy as np
+
+    if channels not in (1, 2):
+        raise ValueError("channels must be 1 or 2")
+    if samples_per_block % 8 != 1:
+        raise ValueError("samples_per_block must be 1 mod 8")
+    s = np.clip(np.asarray(list(samples), dtype=np.int64),
+                -32768, 32767).astype(np.int32)
+    if s.size % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    n_frames = s.size // channels
+    chans = [s[c::channels] for c in range(channels)]
+    block_align = 4 * channels + (samples_per_block - 1) // 2 * channels
+
+    out = bytearray()
+    index = [0] * channels
+    for b0 in range(0, n_frames, samples_per_block):
+        frames = min(samples_per_block, n_frames - b0)
+        nib: list[list[int]] = []
+        for c in range(channels):
+            ch = chans[c]
+            pred = int(ch[b0])
+            out += struct.pack("<hBB", pred, index[c], 0)
+            nibs = []
+            for i in range(1, samples_per_block):
+                target = int(ch[b0 + i]) if i < frames else pred
+                step = _IMA_STEP_TABLE[index[c]]
+                delta = target - pred
+                n = 8 if delta < 0 else 0
+                delta = abs(delta)
+                if delta >= step:
+                    n |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    n |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    n |= 1
+                pred, index[c] = _ima_decode_nibble(n, pred, index[c])
+                nibs.append(n)
+            nib.append(nibs)
+        # pack: 4-byte (8-nibble) runs per channel, channels interleaved
+        for g in range(0, samples_per_block - 1, 8):
+            for c in range(channels):
+                run = nib[c][g:g + 8]
+                for k in range(0, 8, 2):
+                    out.append(run[k] | (run[k + 1] << 4))
+    fmt = struct.pack("<HHIIHHHH", 0x11, channels, sample_rate,
+                      sample_rate * block_align // samples_per_block,
+                      block_align, 4, 2, samples_per_block)
+    fact = struct.pack("<I", n_frames)
+    riff = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(out)) + bytes(out))
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def decode_wav(data: bytes) -> tuple[int, list]:
     """WAV -> (sample_rate, channel-interleaved samples).
 
-    Supported (r2 mono PCM16; widened r5): integer PCM (format 1) at 8
-    bits (unsigned, returned re-centred to signed -128..127) or 16 bits
-    (signed), 1-2 channels, and IEEE float (format 3) at 32 bits
-    (returned as Python floats). Anything else — ADPCM, a-law/mu-law,
-    24-bit packing, >2 channels — raises NotImplementedError (the
-    soundfile/torchaudio seam)."""
+    Supported (r2 mono PCM16; widened r5/r6): integer PCM (format 1) at
+    8 bits (unsigned, returned re-centred to signed -128..127), 16 bits
+    (signed) or 24 bits packed (r6, returned as full-range ints); IEEE
+    float32 (format 3, returned as Python floats); G.711 A-law (format
+    6) and mu-law (format 7) companded 8-bit (r6, expanded to int16
+    range); and IMA/DVI ADPCM (format 0x11, r6, mono/stereo block
+    decode honoring the ``fact`` frame count). 1-2 channels throughout.
+    Anything else — MS-ADPCM (format 2), GSM, >2 channels — raises
+    NotImplementedError (the soundfile/torchaudio seam)."""
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -3307,6 +3588,7 @@ def decode_wav(data: bytes) -> tuple[int, list]:
     pos = 12
     rate = None
     afmt = bits = channels = None
+    block_align = spb = fact_frames = None
     samples: list = []
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
@@ -3314,29 +3596,90 @@ def decode_wav(data: bytes) -> tuple[int, list]:
         body = data[pos + 8:pos + 8 + length]
         pos += 8 + length + (length & 1)
         if tag == b"fmt ":
-            afmt, channels, rate, _, _, bits = struct.unpack(
+            afmt, channels, rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16])
-            supported = (afmt == 1 and bits in (8, 16)
-                         and channels in (1, 2)) or (
-                afmt == 3 and bits == 32 and channels in (1, 2))
+            supported = (
+                (afmt == 1 and bits in (8, 16, 24) and channels in (1, 2))
+                or (afmt == 3 and bits == 32 and channels in (1, 2))
+                or (afmt in (6, 7) and bits == 8 and channels in (1, 2))
+                or (afmt == 0x11 and bits == 4 and channels in (1, 2)))
             if not supported:
                 raise NotImplementedError(
-                    f"decode_wav supports integer PCM 8/16-bit and IEEE "
-                    f"float32, mono/stereo (got fmt={afmt}, ch={channels}, "
-                    f"bits={bits}) — ADPCM/a-law/24-bit is the "
+                    f"decode_wav supports integer PCM 8/16/24-bit, IEEE "
+                    f"float32, G.711 a-law/mu-law and IMA ADPCM, "
+                    f"mono/stereo (got fmt={afmt}, ch={channels}, "
+                    f"bits={bits}) — MS-ADPCM/GSM/>2ch is the "
                     "soundfile/torchaudio seam")
+            if afmt == 0x11:
+                if len(body) >= 20:
+                    (spb,) = struct.unpack("<H", body[18:20])
+                else:
+                    spb = (block_align - 4 * channels) * 2 // channels + 1
+        elif tag == b"fact":
+            (fact_frames,) = struct.unpack("<I", body[:4])
         elif tag == b"data":
             if afmt is None:
                 raise ValueError("data chunk before fmt chunk")
             if afmt == 3:
                 samples = np.frombuffer(
                     body[:len(body) & ~3], dtype="<f4").tolist()
+            elif afmt in (6, 7):
+                table = (_alaw_decode_table() if afmt == 6
+                         else _mulaw_decode_table())
+                samples = table[np.frombuffer(body, np.uint8)].tolist()
+            elif afmt == 0x11:
+                samples = _decode_ima_adpcm(
+                    body, channels, block_align, spb, fact_frames)
             elif bits == 8:
                 samples = (np.frombuffer(body, dtype=np.uint8)
                            .astype(np.int16) - 128).tolist()
+            elif bits == 24:
+                raw = body[:len(body) - len(body) % 3]
+                b3 = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+                v = (b3[:, 0].astype(np.int32)
+                     | (b3[:, 1].astype(np.int32) << 8)
+                     | (b3[:, 2].astype(np.int32) << 16))
+                samples = np.where(v & 0x800000, v - (1 << 24), v).tolist()
             else:
                 samples = np.frombuffer(
                     body[:len(body) & ~1], dtype="<i2").tolist()
     if rate is None:
         raise ValueError("missing fmt chunk")
     return rate, samples
+
+
+def _decode_ima_adpcm(body: bytes, channels: int, block_align: int,
+                      spb: int, fact_frames: int | None) -> list:
+    """IMA ADPCM data chunk -> channel-interleaved int list. Blocks are
+    independent (4-byte per-channel headers carry predictor + step
+    index); nibble data interleaves channels in 4-byte groups; the
+    ``fact`` chunk truncates the zero-padded tail of the last block."""
+    import numpy as np
+
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for boff in range(0, len(body) - block_align + 1, block_align):
+        block = body[boff:boff + block_align]
+        pred = [0] * channels
+        index = [0] * channels
+        for c in range(channels):
+            p, ix, _ = struct.unpack("<hBB", block[4 * c:4 * c + 4])
+            if ix > 88:
+                raise ValueError(f"IMA ADPCM step index {ix} out of range")
+            pred[c], index[c] = p, ix
+            out[c].append(p)
+        nib_bytes = block[4 * channels:]
+        for g in range(0, len(nib_bytes), 4 * channels):
+            for c in range(channels):
+                for bt in nib_bytes[g + 4 * c:g + 4 * c + 4]:
+                    for n in (bt & 0x0F, bt >> 4):
+                        pred[c], index[c] = _ima_decode_nibble(
+                            n, pred[c], index[c])
+                        out[c].append(pred[c])
+    if fact_frames is not None:
+        out = [ch[:fact_frames] for ch in out]
+    if channels == 1:
+        return out[0]
+    inter = np.empty(sum(len(ch) for ch in out), dtype=np.int64)
+    for c in range(channels):
+        inter[c::channels] = out[c]
+    return inter.tolist()

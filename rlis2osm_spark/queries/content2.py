@@ -532,14 +532,51 @@ def _m1_payload_frames(spark, sf_dir):
 
     @F.pandas_udf(BinaryType())
     def wav_payload(doc_ids: pd.Series) -> pd.Series:
-        from rlis2osm_spark.functions.codecs import encode_wav
+        from rlis2osm_spark.functions.codecs import (
+            encode_wav, encode_wav_g711, encode_wav_ima_adpcm,
+            encode_wav_pcm24)
 
         out = []
         for d in doc_ids:
             d = int(d)
             n = 32 + d % 32
-            out.append(encode_wav(
-                [((d * 7 + t * 13) % 2048) - 1024 for t in range(n)]))
+            # cycle five WAV codecs (r6), each with analytically exact
+            # decode so the plain-sum DuckDB oracle proves the decoder:
+            # G.711 samples are generated AT representable companded
+            # levels (mu-law |v| = ((8m+132)<<e)-132, A-law |v| =
+            # (16m+8 | (16m+264)<<(e-1))) so nearest-level encode is
+            # the identity; the ADPCM signal is constant, which the
+            # nibble algebra reproduces exactly (n=0 -> diff = 7>>3 = 0
+            # at step index 0); 24-bit PCM is exact by construction.
+            mode = d % 5
+            if mode == 0:
+                blob = encode_wav(
+                    [((d * 7 + t * 13) % 2048) - 1024 for t in range(n)])
+            elif mode == 1:
+                s = []
+                for t in range(n):
+                    m = (d * 5 + t * 3) % 16
+                    e = (d + t * 7) % 8
+                    v = ((8 * m + 132) << e) - 132
+                    s.append(v if (d + t) % 2 == 0 else -v)
+                blob = encode_wav_g711(s, law="mulaw")
+            elif mode == 2:
+                s = []
+                for t in range(n):
+                    m = (d * 3 + t * 5) % 16
+                    e = (d + t * 11) % 8
+                    v = ((m << 4) + 8 if e == 0
+                         else ((m << 4) + 264) << (e - 1))
+                    s.append(v if (d + t) % 2 == 0 else -v)
+                blob = encode_wav_g711(s, law="alaw")
+            elif mode == 3:
+                blob = encode_wav_pcm24(
+                    [((d * 11 + t * 17) % (1 << 24)) - (1 << 23)
+                     for t in range(n)])
+            else:
+                c = ((d * 13) % 4000) - 2000
+                blob = encode_wav_ima_adpcm([c] * n, samples_per_block=9)
+            out.append(blob)
         return pd.Series(out, dtype=object)
 
     ref = F.concat(F.lit("doc:"), F.col("doc_id")).alias("media_ref")
@@ -645,18 +682,34 @@ avi_leg AS (
         FROM avi)
 ),
 wav AS (
-  SELECT doc_id, 32 + doc_id % 32 AS n FROM documents
+  SELECT doc_id, 32 + doc_id % 32 AS n, doc_id % 5 AS mode FROM documents
+),
+-- doc_id%5 cycles the codec: 0 PCM16, 1 mu-law, 2 A-law, 3 24-bit PCM,
+-- 4 IMA ADPCM (r6). G.711 samples are generated AT representable
+-- companded levels and the ADPCM signal is constant, so every decode is
+-- exact and |sample| is the closed form below.
+wav_abs AS (
+  SELECT doc_id, n, mode,
+         list_transform(generate_series(0, n - 1), t ->
+           CASE mode
+             WHEN 0 THEN ABS(((doc_id * 7 + t * 13) % 2048) - 1024)
+             WHEN 1 THEN (8 * ((doc_id * 5 + t * 3) % 16) + 132)
+                         * (1 << ((doc_id + t * 7) % 8)) - 132
+             WHEN 2 THEN CASE WHEN (doc_id + t * 11) % 8 = 0
+                  THEN ((doc_id * 3 + t * 5) % 16) * 16 + 8
+                  ELSE (((doc_id * 3 + t * 5) % 16) * 16 + 264)
+                       * (1 << (((doc_id + t * 11) % 8) - 1)) END
+             WHEN 3 THEN ABS(((doc_id * 11 + t * 17) % 16777216) - 8388608)
+             ELSE ABS(((doc_id * 13) % 4000) - 2000)
+           END) AS avals
+  FROM wav
 ),
 wav_leg AS (
   SELECT 'wav' AS kind, 'doc:' || doc_id AS media_ref,
          CAST(n AS INT) AS d1,
-         CAST(list_aggregate(list_transform(generate_series(0, n - 1),
-              t -> ABS(((doc_id * 7 + t * 13) % 2048) - 1024)), 'max')
-              AS INT) AS d2,
-         CAST(list_aggregate(list_transform(generate_series(0, n - 1),
-              t -> ABS(((doc_id * 7 + t * 13) % 2048) - 1024)), 'sum')
-              AS BIGINT) AS v
-  FROM wav
+         CAST(list_aggregate(avals, 'max') AS INT) AS d2,
+         CAST(list_aggregate(avals, 'sum') AS BIGINT) AS v
+  FROM wav_abs
 ),
 stub_leg AS (
   SELECT 'stub' AS kind, 'doc:' || doc_id AS media_ref,

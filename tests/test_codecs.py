@@ -84,8 +84,8 @@ def test_wav_roundtrip_and_clamp():
 def test_wav_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_wav(b"RIFX....nope")
-    # 24-bit packing stays behind the seam (stereo decodes as of r5)
-    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 48000, 6, 24)
+    # >2 channels stays behind the seam (24-bit decodes as of r6)
+    fmt = struct.pack("<HHIIHH", 1, 6, 8000, 96000, 12, 16)
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", 0))
     data = b"RIFF" + struct.pack("<I", len(body)) + body
@@ -1175,7 +1175,7 @@ def test_bmp_decode_24_8_32bit():
     assert px == bytes([7, 8, 9, 7, 8, 9])
 
     with pytest.raises(NotImplementedError, match="compression"):
-        decode_bmp(bmp(2, 1, 8, b"\x00" * 8, b"\x00" * 64, comp=1))
+        decode_bmp(bmp(2, 1, 8, b"\x00" * 8, b"\x00" * 64, comp=3))
     with pytest.raises(ValueError):
         decode_bmp(b"not a bmp")
     with pytest.raises(ValueError, match="truncated"):
@@ -1480,3 +1480,182 @@ def test_jpeg_arith_truncation_and_malformed():
     bad[i + 7] = 0
     with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# r6 seam retirement: sub-byte + RLE BMP, G.711 / 24-bit / IMA-ADPCM WAV
+# ---------------------------------------------------------------------------
+
+def _bmp_file(width, height_signed, bits, pixel_rows, table=b"", comp=0,
+              clr_used=0):
+    import struct as _st
+
+    info = _st.pack("<IiiHHIIiiII", 40, width, height_signed, 1, bits,
+                    comp, len(pixel_rows), 0, 0, clr_used, 0)
+    off = 14 + 40 + len(table)
+    head = b"BM" + _st.pack("<IHHI", off + len(pixel_rows), 0, 0, off)
+    return head + info + table + pixel_rows
+
+
+def test_bmp_subbyte_depths():
+    """1-bit and 4-bit palettized BMP: MSB-first bit packing, 4-byte row
+    alignment, bottom-up and top-down orders. Files built independently
+    with numpy packbits / manual nibble packing."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import decode_bmp
+
+    rng = np.random.default_rng(6)
+    pal = np.array([[10, 20, 30], [200, 210, 220]], np.uint8)
+    table = b"".join(bytes([p[2], p[1], p[0], 0]) for p in pal)
+    idx = rng.integers(0, 2, (3, 10), dtype=np.uint8)
+    rows = b""
+    for r in (2, 1, 0):
+        packed = np.packbits(idx[r])
+        rows += packed.tobytes() + b"\x00" * (4 - len(packed))
+    w, h, nch, px = decode_bmp(_bmp_file(10, 3, 1, rows, table, clr_used=2))
+    assert (w, h, nch) == (10, 3, 3)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(3, 10, 3),
+                          pal[idx])
+
+    pal4 = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    table4 = b"".join(bytes([p[2], p[1], p[0], 0]) for p in pal4)
+    idx4 = rng.integers(0, 16, (2, 5), dtype=np.uint8)
+    rows = b""
+    for r in (1, 0):
+        rb = bytearray()
+        for k in range(0, 5, 2):
+            hi = idx4[r, k]
+            lo = idx4[r, k + 1] if k + 1 < 5 else 0
+            rb.append((hi << 4) | lo)
+        rows += bytes(rb) + b"\x00" * (4 - len(rb) % 4)
+    w, h, nch, px = decode_bmp(_bmp_file(5, 2, 4, rows, table4, clr_used=16))
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(2, 5, 3),
+                          pal4[idx4])
+
+
+def test_bmp_rle_decode():
+    """BI_RLE8/BI_RLE4: encoded runs (RLE4 alternating nibbles), absolute
+    mode with word alignment, EOL / EOB / delta escapes (skipped pixels
+    read as palette index 0); top-down RLE is invalid per the format."""
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import decode_bmp
+
+    rng = np.random.default_rng(6)
+    pal8 = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    table8 = b"".join(bytes([p[2], p[1], p[0], 0]) for p in pal8)
+    tgt = np.zeros((3, 7), np.uint8)  # stored (bottom-up) order
+    s = bytearray()
+    tgt[0, :4] = 5
+    tgt[0, 4:7] = [9, 8, 7]
+    s += bytes([4, 5]) + bytes([0, 3, 9, 8, 7, 0]) + bytes([0, 0])
+    tgt[1, 2:7] = 11
+    s += bytes([0, 2, 2, 0]) + bytes([5, 11]) + bytes([0, 0])
+    tgt[2, :] = 42
+    s += bytes([7, 42]) + bytes([0, 1])
+    w, h, nch, px = decode_bmp(_bmp_file(7, 3, 8, bytes(s), table8, comp=1))
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(3, 7, 3),
+                          pal8[tgt[::-1]])
+
+    pal4 = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    table4 = b"".join(bytes([p[2], p[1], p[0], 0]) for p in pal4)
+    tgt4 = np.zeros((2, 6), np.uint8)
+    s = bytearray()
+    tgt4[0, :5] = [3, 12, 3, 12, 3]  # run of 0x3C alternates nibbles
+    s += bytes([5, 0x3C])
+    tgt4[0, 5] = 7
+    s += bytes([0, 3, 0x70, 0x00]) + bytes([0, 0])
+    tgt4[1, :4] = 9
+    s += bytes([4, 0x99]) + bytes([0, 1])
+    w, h, nch, px = decode_bmp(_bmp_file(6, 2, 4, bytes(s), table4, comp=2))
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(2, 6, 3),
+                          pal4[tgt4[::-1]])
+
+    with pytest.raises(ValueError, match="top-down"):
+        decode_bmp(_bmp_file(6, -2, 4, bytes(s), table4, comp=2))
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        decode_bmp(_bmp_file(6, 2, 4, bytes(s[:-2]), table4, comp=2))
+    # RLE8 must be 8-bit, RLE4 4-bit
+    with pytest.raises(ValueError, match="RLE8"):
+        decode_bmp(_bmp_file(6, 2, 4, bytes(s), table4, comp=1))
+
+
+def test_wav_g711_and_pcm24():
+    """G.711 mu-law/A-law companded WAV decode: expansion computed from
+    the normative piecewise-linear formulas; our encoder picks the
+    nearest representable level by exact inverse search, verified
+    against an independent nearest-level scan. 24-bit packed PCM
+    roundtrips exactly, mono and stereo."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(3)
+    for law in ("mulaw", "alaw"):
+        s = rng.integers(-32768, 32768, 2000).tolist()
+        rate, out = C.decode_wav(C.encode_wav_g711(s, law=law))
+        assert rate == 8000 and len(out) == len(s)
+        table = (C._mulaw_decode_table() if law == "mulaw"
+                 else C._alaw_decode_table())
+        levels = np.sort(table.astype(np.int32))
+        for x, y in zip(s[:500], out[:500]):
+            xx = max(-32768, min(32767, x))
+            i = int(np.searchsorted(levels, xx))
+            i = max(1, min(255, i))
+            best = min(abs(int(levels[i - 1]) - xx), abs(int(levels[i]) - xx))
+            assert abs(y - xx) == best
+    # known G.711 anchor values: mu-law 0xFF decodes to 0, A-law 0xD5 to 8
+    assert int(C._mulaw_decode_table()[0xFF]) == 0
+    assert int(C._alaw_decode_table()[0xD5]) == 8
+
+    s = rng.integers(-(1 << 23), 1 << 23, 999).tolist()
+    rate, out = C.decode_wav(C.encode_wav_pcm24(s))
+    assert out == s
+    s2 = rng.integers(-(1 << 23), 1 << 23, 1000).tolist()
+    assert C.decode_wav(C.encode_wav_pcm24(s2, channels=2))[1] == s2
+
+
+def test_wav_ima_adpcm():
+    """IMA/DVI ADPCM WAV: block headers carry predictor + step index,
+    nibbles interleave channels in 4-byte groups, the fact chunk
+    truncates the padded last block. The encoder tracks state with the
+    decoder's own update, so decode reproduces the encoder's predictors
+    exactly; SNR over a smooth signal must be high."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    for ch in (1, 2):
+        n = 505 * 2 * ch + 41 * ch  # exercises a partial final block
+        t = np.arange(n // ch)
+        sig = (3000 * np.sin(t / 9) + 1500 * np.sin(t / 37)).astype(int)
+        if ch == 2:
+            s = np.empty(n, dtype=int)
+            s[0::2] = sig
+            s[1::2] = -sig
+        else:
+            s = sig
+        rate, out = C.decode_wav(C.encode_wav_ima_adpcm(s.tolist(),
+                                                        channels=ch))
+        assert len(out) == n
+        err = np.asarray(out) - s
+        snr = 10 * np.log10((s.astype(float) ** 2).mean()
+                            / max((err.astype(float) ** 2).mean(), 1e-9))
+        assert snr > 25.0
+
+    # corrupted step index rejected
+    blob = bytearray(C.encode_wav_ima_adpcm(list(range(0, 505 * 8, 8))))
+    i = blob.find(b"data") + 8 + 2  # first block header's index byte
+    blob[i + 0] = 99
+    with pytest.raises(ValueError, match="step index"):
+        C.decode_wav(bytes(blob))
+
+    # MS-ADPCM (format 2) stays behind the seam
+    import struct as _st
+
+    pcm = bytearray(C.encode_wav([1, 2, 3]))
+    j = pcm.find(b"fmt ")
+    _st.pack_into("<H", pcm, j + 8, 2)
+    with pytest.raises(NotImplementedError, match="MS-ADPCM"):
+        C.decode_wav(bytes(pcm))
