@@ -3182,14 +3182,16 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     width, height_s = struct.unpack("<ii", data[18:26])
     _planes, bits, comp = struct.unpack("<HHI", data[26:34])
     (n_colors,) = struct.unpack("<I", data[46:50])
-    if comp not in (0, 1, 2):
+    if comp not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"BMP compression {comp} (bitfields/JPEG/PNG) needs PIL")
+            f"BMP compression {comp} (embedded JPEG/PNG) needs PIL")
     if comp == 1 and bits != 8:
         raise ValueError("BI_RLE8 requires 8-bit depth")
     if comp == 2 and bits != 4:
         raise ValueError("BI_RLE4 requires 4-bit depth")
-    if bits not in (1, 4, 8, 24, 32):
+    if comp == 3 and bits not in (16, 32):
+        raise ValueError("BI_BITFIELDS requires 16/32-bit depth")
+    if bits not in (1, 4, 8, 24, 32) and comp != 3:
         raise NotImplementedError(f"{bits}-bit BMP needs PIL")
     top_down = height_s < 0
     height = abs(height_s)
@@ -3209,6 +3211,32 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         if int(idx.max(initial=0)) >= table.shape[0]:
             raise ValueError("BMP palette index out of range")
         rgb = table[idx][:, :, [2, 1, 0]]  # BGRX -> RGB
+        return width, height, 3, np.ascontiguousarray(rgb).tobytes()
+
+    if comp == 3:  # BI_BITFIELDS (r6): per-channel masks after the header
+        rmask, gmask, bmask = struct.unpack("<III", data[54:66])
+        word = 2 if bits == 16 else 4
+        stride = (width * word + 3) & ~3
+        px = data[off_bits:off_bits + stride * height]
+        if len(px) < stride * height:
+            raise ValueError("BMP pixel data truncated")
+        rows = np.frombuffer(px, dtype=np.uint8).reshape(height, stride)
+        vals = rows[:, :width * word].reshape(height, width, word)
+        v = vals[:, :, 0].astype(np.uint32)
+        for k in range(1, word):
+            v |= vals[:, :, k].astype(np.uint32) << (8 * k)
+        chans = []
+        for mask in (rmask, gmask, bmask):
+            if mask == 0:
+                raise ValueError("BI_BITFIELDS zero channel mask")
+            shift = (mask & -mask).bit_length() - 1
+            top = mask >> shift
+            # scale the n-bit channel to 8 bits (255 * x / max)
+            chans.append(((v & np.uint32(mask)) >> shift)
+                         * 255 // np.uint32(top))
+        rgb = np.stack(chans, axis=-1).astype(np.uint8)
+        if not top_down:
+            rgb = rgb[::-1]
         return width, height, 3, np.ascontiguousarray(rgb).tobytes()
 
     if comp:  # BI_RLE8 / BI_RLE4
@@ -3503,6 +3531,132 @@ def encode_wav_pcm24(samples, sample_rate: int = 8000,
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+_MSADPCM_COEFFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+                   (460, -208), (392, -232)]
+_MSADPCM_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+                  768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _msadpcm_predict(s1: int, s2: int, c1: int, c2: int) -> int:
+    # the >> of a negative predictor sum is floor division by 256 in
+    # the reference algorithm (arithmetic shift)
+    return (s1 * c1 + s2 * c2) >> 8
+
+
+def encode_wav_ms_adpcm(samples, sample_rate: int = 8000,
+                        channels: int = 1,
+                        samples_per_block: int = 500,
+                        predictor: int = 0) -> bytes:
+    """MS-ADPCM WAV (format tag 2, public WAVEFORMAT spec): per-channel
+    7-byte block headers (predictor index, initial delta, the two
+    verbatim seed samples), 4-bit two's-complement nibbles against the
+    chosen coefficient pair, delta adapted by the 16-entry table with
+    the 16 floor. Nibbles alternate channels (first channel in the high
+    nibble). The last block is zero-padded; ``fact`` holds the true
+    frame count."""
+    import numpy as np
+
+    if channels not in (1, 2):
+        raise ValueError("channels must be 1 or 2")
+    if not 0 <= predictor < 7:
+        raise ValueError("predictor must be 0..6")
+    if samples_per_block < 2 or samples_per_block % 2 != 0:
+        raise ValueError("samples_per_block must be even and >= 2")
+    s = np.clip(np.asarray(list(samples), dtype=np.int64),
+                -32768, 32767).astype(np.int32)
+    if s.size % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    n_frames = s.size // channels
+    chans = [s[c::channels] for c in range(channels)]
+    c1, c2 = _MSADPCM_COEFFS[predictor]
+    block_align = 7 * channels + (samples_per_block - 2) * channels // 2
+
+    out = bytearray()
+    for b0 in range(0, n_frames, samples_per_block):
+        frames = min(samples_per_block, n_frames - b0)
+        st = []
+        for c in range(channels):
+            ch = chans[c]
+            s1 = int(ch[b0 + 1]) if frames > 1 else 0
+            s2 = int(ch[b0])
+            st.append({"s1": s1, "s2": s2, "delta": 16})
+        for c in range(channels):
+            out.append(predictor)
+        for key in ("delta", "s1", "s2"):
+            for c in range(channels):
+                out += struct.pack("<h", st[c][key])
+        nibbles = []
+        for i in range(2, samples_per_block):
+            for c in range(channels):
+                d = st[c]
+                target = int(chans[c][b0 + i]) if i < frames else d["s1"]
+                pred = _msadpcm_predict(d["s1"], d["s2"], c1, c2)
+                err = target - pred
+                n = max(-8, min(7, int(round(err / d["delta"]))))
+                new = max(-32768, min(32767, pred + n * d["delta"]))
+                d["s2"], d["s1"] = d["s1"], new
+                d["delta"] = max(
+                    16, (_MSADPCM_ADAPT[n & 0x0F] * d["delta"]) >> 8)
+                nibbles.append(n & 0x0F)
+        for k in range(0, len(nibbles), 2):
+            out.append((nibbles[k] << 4) | nibbles[k + 1])
+    fmt = struct.pack("<HHIIHHHH", 2, channels, sample_rate,
+                      sample_rate * block_align // samples_per_block,
+                      block_align, 4, 2, samples_per_block)
+    fact = struct.pack("<I", n_frames)
+    riff = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(out)) + bytes(out))
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _decode_ms_adpcm(body: bytes, channels: int, block_align: int,
+                     spb: int, fact_frames: int | None) -> list:
+    """MS-ADPCM data chunk -> channel-interleaved int list."""
+    import numpy as np
+
+    if block_align < 7 * channels + 1:
+        raise ValueError(
+            f"MS-ADPCM block align {block_align} smaller than the "
+            f"{7 * channels}-byte header")
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for boff in range(0, len(body) - block_align + 1, block_align):
+        block = body[boff:boff + block_align]
+        preds = list(block[:channels])
+        if any(p > 6 for p in preds):
+            raise ValueError(f"MS-ADPCM predictor {max(preds)} out of range")
+        st = []
+        for c in range(channels):
+            delta, = struct.unpack_from("<h", block, channels + 2 * c)
+            s1, = struct.unpack_from("<h", block, 3 * channels + 2 * c)
+            s2, = struct.unpack_from("<h", block, 5 * channels + 2 * c)
+            st.append({"s1": s1, "s2": s2, "delta": delta,
+                       "c": _MSADPCM_COEFFS[preds[c]]})
+            out[c] += [s2, s1]
+        nib = []
+        for bt in block[7 * channels:]:
+            nib.append(bt >> 4)
+            nib.append(bt & 0x0F)
+        for k, n in enumerate(nib[:(spb - 2) * channels]):
+            d = st[k % channels]
+            c1, c2 = d["c"]
+            sn = n - 16 if n & 8 else n
+            pred = _msadpcm_predict(d["s1"], d["s2"], c1, c2)
+            new = max(-32768, min(32767, pred + sn * d["delta"]))
+            d["s2"], d["s1"] = d["s1"], new
+            d["delta"] = max(16, (_MSADPCM_ADAPT[n] * d["delta"]) >> 8)
+            out[k % channels].append(new)
+    if fact_frames is not None:
+        out = [ch[:fact_frames] for ch in out]
+    if channels == 1:
+        return out[0]
+    inter = np.empty(sum(len(ch) for ch in out), dtype=np.int64)
+    for c in range(channels):
+        inter[c::channels] = out[c]
+    return inter.tolist()
+
+
 def encode_wav_ima_adpcm(samples, sample_rate: int = 8000,
                          channels: int = 1,
                          samples_per_block: int = 505) -> bytes:
@@ -3602,19 +3756,24 @@ def decode_wav(data: bytes) -> tuple[int, list]:
                 (afmt == 1 and bits in (8, 16, 24) and channels in (1, 2))
                 or (afmt == 3 and bits == 32 and channels in (1, 2))
                 or (afmt in (6, 7) and bits == 8 and channels in (1, 2))
-                or (afmt == 0x11 and bits == 4 and channels in (1, 2)))
+                or (afmt in (2, 0x11) and bits == 4 and channels in (1, 2)))
             if not supported:
                 raise NotImplementedError(
                     f"decode_wav supports integer PCM 8/16/24-bit, IEEE "
-                    f"float32, G.711 a-law/mu-law and IMA ADPCM, "
+                    f"float32, G.711 a-law/mu-law and IMA/MS ADPCM, "
                     f"mono/stereo (got fmt={afmt}, ch={channels}, "
-                    f"bits={bits}) — MS-ADPCM/GSM/>2ch is the "
+                    f"bits={bits}) — GSM/>2ch is the "
                     "soundfile/torchaudio seam")
             if afmt == 0x11:
                 if len(body) >= 20:
                     (spb,) = struct.unpack("<H", body[18:20])
                 else:
                     spb = (block_align - 4 * channels) * 2 // channels + 1
+            elif afmt == 2:
+                if len(body) >= 20:
+                    (spb,) = struct.unpack("<H", body[18:20])
+                else:
+                    spb = (block_align - 7 * channels) * 2 // channels + 2
         elif tag == b"fact":
             (fact_frames,) = struct.unpack("<I", body[:4])
         elif tag == b"data":
@@ -3629,6 +3788,9 @@ def decode_wav(data: bytes) -> tuple[int, list]:
                 samples = table[np.frombuffer(body, np.uint8)].tolist()
             elif afmt == 0x11:
                 samples = _decode_ima_adpcm(
+                    body, channels, block_align, spb, fact_frames)
+            elif afmt == 2:
+                samples = _decode_ms_adpcm(
                     body, channels, block_align, spb, fact_frames)
             elif bits == 8:
                 samples = (np.frombuffer(body, dtype=np.uint8)
@@ -3656,6 +3818,10 @@ def _decode_ima_adpcm(body: bytes, channels: int, block_align: int,
     ``fact`` chunk truncates the zero-padded tail of the last block."""
     import numpy as np
 
+    if block_align < 4 * channels + 1:
+        raise ValueError(
+            f"IMA ADPCM block align {block_align} smaller than the "
+            f"{4 * channels}-byte header")
     out: list[list[int]] = [[] for _ in range(channels)]
     for boff in range(0, len(body) - block_align + 1, block_align):
         block = body[boff:boff + block_align]

@@ -540,15 +540,16 @@ def _m1_payload_frames(spark, sf_dir):
         for d in doc_ids:
             d = int(d)
             n = 32 + d % 32
-            # cycle five WAV codecs (r6), each with analytically exact
+            # cycle six WAV codecs (r6), each with analytically exact
             # decode so the plain-sum DuckDB oracle proves the decoder:
             # G.711 samples are generated AT representable companded
             # levels (mu-law |v| = ((8m+132)<<e)-132, A-law |v| =
             # (16m+8 | (16m+264)<<(e-1))) so nearest-level encode is
-            # the identity; the ADPCM signal is constant, which the
-            # nibble algebra reproduces exactly (n=0 -> diff = 7>>3 = 0
-            # at step index 0); 24-bit PCM is exact by construction.
-            mode = d % 5
+            # the identity; the IMA/MS ADPCM signals are constant, which
+            # both nibble algebras reproduce exactly (IMA: n=0 -> diff =
+            # 7>>3 = 0 at step index 0; MS: predictor 0 has c1=256 so
+            # pred == prev sample); 24-bit PCM is exact by construction.
+            mode = d % 6
             if mode == 0:
                 blob = encode_wav(
                     [((d * 7 + t * 13) % 2048) - 1024 for t in range(n)])
@@ -573,9 +574,15 @@ def _m1_payload_frames(spark, sf_dir):
                 blob = encode_wav_pcm24(
                     [((d * 11 + t * 17) % (1 << 24)) - (1 << 23)
                      for t in range(n)])
-            else:
+            elif mode == 4:
                 c = ((d * 13) % 4000) - 2000
                 blob = encode_wav_ima_adpcm([c] * n, samples_per_block=9)
+            else:
+                from rlis2osm_spark.functions.codecs import (
+                    encode_wav_ms_adpcm)
+
+                c = ((d * 17) % 5000) - 2500
+                blob = encode_wav_ms_adpcm([c] * n, samples_per_block=10)
             out.append(blob)
         return pd.Series(out, dtype=object)
 
@@ -682,12 +689,12 @@ avi_leg AS (
         FROM avi)
 ),
 wav AS (
-  SELECT doc_id, 32 + doc_id % 32 AS n, doc_id % 5 AS mode FROM documents
+  SELECT doc_id, 32 + doc_id % 32 AS n, doc_id % 6 AS mode FROM documents
 ),
--- doc_id%5 cycles the codec: 0 PCM16, 1 mu-law, 2 A-law, 3 24-bit PCM,
--- 4 IMA ADPCM (r6). G.711 samples are generated AT representable
--- companded levels and the ADPCM signal is constant, so every decode is
--- exact and |sample| is the closed form below.
+-- doc_id%6 cycles the codec: 0 PCM16, 1 mu-law, 2 A-law, 3 24-bit PCM,
+-- 4 IMA ADPCM, 5 MS-ADPCM (r6). G.711 samples are generated AT
+-- representable companded levels and both ADPCM signals are constant,
+-- so every decode is exact and |sample| is the closed form below.
 wav_abs AS (
   SELECT doc_id, n, mode,
          list_transform(generate_series(0, n - 1), t ->
@@ -700,7 +707,8 @@ wav_abs AS (
                   ELSE (((doc_id * 3 + t * 5) % 16) * 16 + 264)
                        * (1 << (((doc_id + t * 11) % 8) - 1)) END
              WHEN 3 THEN ABS(((doc_id * 11 + t * 17) % 16777216) - 8388608)
-             ELSE ABS(((doc_id * 13) % 4000) - 2000)
+             WHEN 4 THEN ABS(((doc_id * 13) % 4000) - 2000)
+             ELSE ABS(((doc_id * 17) % 5000) - 2500)
            END) AS avals
   FROM wav
 ),

@@ -1054,7 +1054,7 @@ def test_png_color_encode_roundtrip():
 
 def test_wav_formats_decode():
     """r5: 8-bit unsigned PCM, stereo 16-bit PCM and IEEE float32 WAVs
-    decode; ADPCM stays behind the seam."""
+    decode; GSM stays behind the seam (ADPCM decodes as of r6)."""
     import struct as _st
 
     import numpy as np
@@ -1080,8 +1080,12 @@ def test_wav_formats_decode():
     body = np.array([0.5, -0.25], dtype="<f4").tobytes()
     _, s = decode_wav(wav(3, 1, 32, body))
     assert s == [0.5, -0.25]
-    # ADPCM (fmt 2) is the seam
+    # GSM (fmt 49) is the seam (MS-ADPCM decodes as of r6); a fmt-2
+    # header whose block align can't even hold the 7-byte block header
+    # is malformed, not a seam
     with pytest.raises(NotImplementedError):
+        decode_wav(wav(49, 1, 0, b"\x00\x00"))
+    with pytest.raises(ValueError, match="block align"):
         decode_wav(wav(2, 1, 4, b"\x00\x00"))
 
 
@@ -1175,7 +1179,7 @@ def test_bmp_decode_24_8_32bit():
     assert px == bytes([7, 8, 9, 7, 8, 9])
 
     with pytest.raises(NotImplementedError, match="compression"):
-        decode_bmp(bmp(2, 1, 8, b"\x00" * 8, b"\x00" * 64, comp=3))
+        decode_bmp(bmp(2, 1, 8, b"\x00" * 8, b"\x00" * 64, comp=4))
     with pytest.raises(ValueError):
         decode_bmp(b"not a bmp")
     with pytest.raises(ValueError, match="truncated"):
@@ -1651,11 +1655,91 @@ def test_wav_ima_adpcm():
     with pytest.raises(ValueError, match="step index"):
         C.decode_wav(bytes(blob))
 
-    # MS-ADPCM (format 2) stays behind the seam
+    # GSM (format 49) stays behind the seam
     import struct as _st
 
     pcm = bytearray(C.encode_wav([1, 2, 3]))
     j = pcm.find(b"fmt ")
-    _st.pack_into("<H", pcm, j + 8, 2)
-    with pytest.raises(NotImplementedError, match="MS-ADPCM"):
+    _st.pack_into("<H", pcm, j + 8, 49)
+    with pytest.raises(NotImplementedError, match="GSM"):
         C.decode_wav(bytes(pcm))
+
+
+def test_wav_ms_adpcm():
+    """MS-ADPCM (format 2): 7-byte per-channel block headers (predictor
+    index, initial delta, two verbatim seed samples), channel-alternating
+    nibbles, the 16-entry delta adaptation table with the 16 floor. The
+    encoder tracks the decoder's own state, so decode reproduces its
+    predictors exactly; with predictor 0 (c1=256, c2=0) a constant
+    signal roundtrips exactly."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    for ch in (1, 2):
+        for pred in (0, 1, 4):
+            n = 500 * 2 * ch + 36 * ch
+            t = np.arange(n // ch)
+            sig = (2500 * np.sin(t / 11) + 900 * np.sin(t / 41)).astype(int)
+            if ch == 2:
+                s = np.empty(n, dtype=int)
+                s[0::2] = sig
+                s[1::2] = -sig // 2
+            else:
+                s = sig
+            rate, out = C.decode_wav(C.encode_wav_ms_adpcm(
+                s.tolist(), channels=ch, predictor=pred))
+            assert len(out) == n
+            err = np.asarray(out) - s
+            snr = 10 * np.log10((s.astype(float) ** 2).mean()
+                                / max((err.astype(float) ** 2).mean(), 1e-9))
+            assert snr > 30.0
+
+    s = [1234] * 777
+    assert C.decode_wav(C.encode_wav_ms_adpcm(s))[1] == s
+
+    blob = bytearray(C.encode_wav_ms_adpcm(s))
+    i = blob.find(b"data") + 8  # first block's predictor byte
+    blob[i] = 7
+    with pytest.raises(ValueError, match="predictor"):
+        C.decode_wav(bytes(blob))
+
+
+def test_bmp_bitfields():
+    """BI_BITFIELDS: arbitrary contiguous channel masks at 16/32-bit
+    (565 and BGRX-8888 exercised), n-bit channels scaled to 8 bits by
+    255*x/max; zero masks and non-16/32 depths rejected."""
+    import struct as _st
+
+    import numpy as np
+
+    from rlis2osm_spark.functions.codecs import decode_bmp
+
+    rng = np.random.default_rng(2)
+    masks = _st.pack("<III", 0xF800, 0x07E0, 0x001F)
+    img = rng.integers(0, 65536, (2, 3), dtype=np.uint32)
+    rows = b""
+    for r in (1, 0):
+        rb = b"".join(_st.pack("<H", int(img[r, c])) for c in range(3))
+        rows += rb + b"\x00" * ((4 - len(rb) % 4) % 4)
+    w, h, nch, px = decode_bmp(_bmp_file(3, 2, 16, rows, masks, comp=3))
+    got = np.frombuffer(px, np.uint8).reshape(2, 3, 3)
+    exp = np.stack([((img >> 11) & 31) * 255 // 31,
+                    ((img >> 5) & 63) * 255 // 63,
+                    (img & 31) * 255 // 31], axis=-1).astype(np.uint8)
+    assert np.array_equal(got, exp)
+
+    masks32 = _st.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    pix = rng.integers(0, 2 ** 32, (1, 2), dtype=np.uint32)
+    rows32 = b"".join(_st.pack("<I", int(pix[0, c])) for c in range(2))
+    w, h, nch, px = decode_bmp(_bmp_file(2, 1, 32, rows32, masks32, comp=3))
+    exp = np.stack([(pix >> 16) & 255, (pix >> 8) & 255,
+                    pix & 255], axis=-1).astype(np.uint8)
+    assert np.frombuffer(px, np.uint8).reshape(1, 2, 3).tolist() \
+        == exp.tolist()
+
+    with pytest.raises(ValueError, match="BITFIELDS"):
+        decode_bmp(_bmp_file(2, 1, 8, b"\0" * 8, b"\0" * 64, comp=3))
+    with pytest.raises(ValueError, match="mask"):
+        decode_bmp(_bmp_file(3, 2, 16, rows,
+                             _st.pack("<III", 0, 0x07E0, 0x001F), comp=3))
