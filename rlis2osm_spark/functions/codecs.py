@@ -13,12 +13,13 @@
 - JPEG (r4/r5/r6): the public ITU T.81 spec — baseline sequential,
   progressive (SOF2 spectral selection + successive approximation,
   EOBRUN, correction bits), lossless (SOF3 predictive, predictors 1-7,
-  point transform) AND sequential arithmetic (SOF9: Annex E QM-coder
+  point transform), sequential arithmetic (SOF9: Annex E QM-coder
   probability state machine + Annex F DC/AC statistical models, DAC
-  conditioning, r6), grayscale and interleaved multi-component color
-  with full-RGB output (nearest/bilinear chroma upsampling), any
-  sampling layout, restart intervals, fill bytes, strict truncation
-  detection;
+  conditioning, r6) AND progressive arithmetic (SOF10: Annex G scan
+  procedures over the QM coder, r6), grayscale and interleaved
+  multi-component color with full-RGB output (nearest/bilinear chroma
+  upsampling), any sampling layout, restart intervals, fill bytes,
+  strict truncation detection;
 - BMP (r5/r6): uncompressed 24/32-bit BGR(X) and palettized 1/4/8-bit
   (MSB-first sub-byte packing) plus BI_RLE8/BI_RLE4 run-length decode
   (escapes, absolute mode, deltas — r6);
@@ -28,9 +29,9 @@
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
 ``NotImplementedError`` seams (see COVERAGE.md "Codec capability
-matrix"): progressive-arithmetic/hierarchical/12-bit JPEG, compressed
+matrix"): lossless-arithmetic/hierarchical/12-bit JPEG, compressed
 non-MJPG video codecs (uncompressed DIB AVI decodes natively, r5),
-BMP bitfields, MS-ADPCM/GSM WAV.
+JPEG/PNG-in-BMP, GSM WAV.
 """
 
 from __future__ import annotations
@@ -2391,13 +2392,17 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
         elif marker == 0xC9:
             # sequential arithmetic-coded (SOF9): QM-coder scan loop (r6)
             return _decode_arith(data, render_all)
+        elif marker == 0xCA:
+            # progressive arithmetic-coded (SOF10): Annex G scans (r6)
+            return _decode_arith_progressive(data, render_all)
         elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "only baseline sequential (SOF0), progressive (SOF2), "
-                "lossless (SOF3) and sequential arithmetic (SOF9) JPEG "
-                "are supported (progressive-arithmetic / hierarchical "
-                "modes remain the codec seam)")
+                "lossless (SOF3), sequential arithmetic (SOF9) and "
+                "progressive arithmetic (SOF10) JPEG are supported "
+                "(lossless-arithmetic / hierarchical modes remain the "
+                "codec seam)")
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -2758,6 +2763,533 @@ def _decode_arith(data: bytes, render_all: bool):
     if done < n_mcus:
         raise ValueError("JPEG entropy data truncated")
     return width, height, comps, planes, hmax, vmax
+
+
+def _arith_prog_ac_first(enc, ac_stats, seqs, ss, se, al, kx):
+    """Progressive-arithmetic AC first scan (Figure G.7): the sequential
+    AC model over the band's point-transformed magnitudes; the EOB
+    decision means end-of-band."""
+    for seq in seqs:
+        ke = ss - 1
+        for k in range(se, ss - 1, -1):
+            if abs(seq[k]) >> al:
+                ke = k
+                break
+        k = ss
+        while k <= ke:
+            st = 3 * (k - 1)
+            enc.encode(ac_stats, st, 0)  # not EOB
+            while True:
+                t = seq[k]
+                v = abs(t) >> al
+                if v:
+                    enc.encode(ac_stats, st + 1, 1)
+                    enc.encode_fixed(1 if t < 0 else 0)
+                    break
+                enc.encode(ac_stats, st + 1, 0)
+                st += 3
+                k += 1
+            st += 2
+            m = 0
+            v -= 1
+            if v:
+                enc.encode(ac_stats, st, 1)
+                m = 1
+                v2 = v
+                if v2 >> 1:
+                    enc.encode(ac_stats, st, 1)  # X2 shares the X1 bin
+                    m = 2
+                    v2 >>= 1
+                    st = 189 if k <= kx else 217
+                    while v2 >> 1:
+                        v2 >>= 1
+                        enc.encode(ac_stats, st, 1)
+                        m <<= 1
+                        st += 1
+            enc.encode(ac_stats, st, 0)
+            st += 14
+            while m >> 1:
+                m >>= 1
+                enc.encode(ac_stats, st, 1 if m & v else 0)
+            k += 1
+        if ke < se:
+            enc.encode(ac_stats, 3 * (k - 1), 1)  # end-of-band
+
+
+def _arith_prog_ac_refine(enc, ac_stats, seqs, ss, se, al):
+    """Progressive-arithmetic AC refinement scan (Figure G.10):
+    correction bits for previously-significant coefficients in the
+    st+2 bin, newly-significant arrivals through st+1 with a
+    fixed-probability sign; the EOB decision is only coded beyond the
+    previous scan's significance extent (kex)."""
+    for seq in seqs:
+        ke = ss - 1
+        for k in range(se, ss - 1, -1):
+            if abs(seq[k]) >> al:
+                ke = k
+                break
+        kex = ss - 1
+        for k in range(ke, ss - 1, -1):
+            if abs(seq[k]) >> (al + 1):
+                kex = k
+                break
+        k = ss
+        while k <= ke:
+            st = 3 * (k - 1)
+            if k > kex:
+                enc.encode(ac_stats, st, 0)  # EOB decision: not yet
+            while True:
+                t = seq[k]
+                v = abs(t) >> al
+                if v:
+                    if v >> 1:  # previously significant: correction bit
+                        enc.encode(ac_stats, st + 2, v & 1)
+                    else:       # newly significant
+                        enc.encode(ac_stats, st + 1, 1)
+                        enc.encode_fixed(1 if t < 0 else 0)
+                    break
+                enc.encode(ac_stats, st + 1, 0)
+                st += 3
+                k += 1
+            k += 1
+        if k <= se:
+            enc.encode(ac_stats, 3 * (k - 1), 1)  # end-of-block
+
+
+def encode_jpeg_arith_progressive(width: int, height: int, pixels: bytes,
+                                  subsampling: str | None = None,
+                                  cb_pixels: bytes | None = None,
+                                  cr_pixels: bytes | None = None) -> bytes:
+    """PROGRESSIVE ARITHMETIC-coded JPEG (SOF10 = 0xCA; T.81 Annex G
+    arithmetic procedures over the Annex E QM coder). Same scan script
+    as :func:`encode_jpeg_progressive` (DC first at Al=1 + DC refine;
+    per-component AC bands 1-5 / 6-63 at Al=2 with two refinement
+    passes), same quantized coefficients as the baseline encoders — so
+    decode must be pixel-identical to baseline decode. Statistics areas
+    reset at every scan per G.2; DC refinement bits and signs ride the
+    fixed equiprobable state."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    if subsampling not in (None, "4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError(
+            "subsampling must be None, '4:4:4', '4:2:2' or '4:2:0'")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    hy, vy = {None: (1, 1), "4:4:4": (1, 1), "4:2:2": (2, 1),
+              "4:2:0": (2, 2)}[subsampling]
+    tile_w, tile_h = 8 * hy, 8 * vy
+    ph = (height + tile_h - 1) // tile_h * tile_h
+    pw = (width + tile_w - 1) // tile_w * tile_w
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:, width:] = padded[:, width - 1:width]
+
+    C = _dct_matrix()
+    zz = _JPEG_ZIGZAG
+    lo, up, kx = 0, 1, 5
+
+    def quantize_plane(plane, qmat):
+        out = {}
+        for by in range(plane.shape[0] // 8):
+            for bx in range(plane.shape[1] // 8):
+                block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                quant = np.round((C @ block @ C.T) / qmat).astype(np.int64)
+                flat = quant.reshape(-1)
+                out[(by, bx)] = [int(flat[zz[i]]) for i in range(64)]
+        return out
+
+    qy = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    if subsampling is None:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0,
+                  "blocks": quantize_plane(padded, qy),
+                  "nbx": (width + 7) // 8, "nby": (height + 7) // 8}]
+    else:
+        qc = np.array(_JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+        cw, chh = -(-width // hy), -(-height // vy)
+        cpw, cph = pw // hy, ph // vy
+
+        def chroma_plane(pix, name):
+            if pix is None:
+                return np.full((cph, cpw), 128.0)
+            if len(pix) != cw * chh:
+                raise ValueError(
+                    f"{name} must be {cw}*{chh} bytes at {subsampling}")
+            c = np.frombuffer(pix, dtype=np.uint8).reshape(chh, cw)
+            out = np.empty((cph, cpw), dtype=np.float64)
+            out[:chh, :cw] = c
+            out[chh:, :cw] = c[-1:, :]
+            out[:, cw:] = out[:, cw - 1:cw]
+            return out
+
+        comps = [
+            {"id": 1, "h": hy, "v": vy, "tq": 0,
+             "blocks": quantize_plane(padded, qy),
+             "nbx": (width + 7) // 8, "nby": (height + 7) // 8},
+            {"id": 2, "h": 1, "v": 1, "tq": 1,
+             "blocks": quantize_plane(chroma_plane(cb_pixels, "cb_pixels"),
+                                      qc),
+             "nbx": -(-cw // 8), "nby": -(-chh // 8)},
+            {"id": 3, "h": 1, "v": 1, "tq": 1,
+             "blocks": quantize_plane(chroma_plane(cr_pixels, "cr_pixels"),
+                                      qc),
+             "nbx": -(-cw // 8), "nby": -(-chh // 8)},
+        ]
+    mcus_x, mcus_y = pw // tile_w, ph // tile_h
+
+    def dc_units():
+        if len(comps) == 1:
+            c = comps[0]
+            for by in range(c["nby"]):
+                for bx in range(c["nbx"]):
+                    yield c["id"], c["blocks"][(by, bx)]
+            return
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield c["id"], c["blocks"][
+                                (my * c["v"] + by, mx * c["h"] + bx)]
+
+    def ac_units(comp):
+        for by in range(comp["nby"]):
+            for bx in range(comp["nbx"]):
+                yield comp["blocks"][(by, bx)]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(scomps, ss, se, ah, al):
+        body = bytes([len(scomps)])
+        for cid in scomps:
+            # Td/Ta name conditioning tables: 0 for luma, 1 for chroma
+            tt = 0x00 if cid == 1 else 0x11
+            body += bytes([cid, tt])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray()
+    # DC first scan, Al=1 (interleaved when ns > 1)
+    enc = _ArithEncoder()
+    dc_stats = {0: bytearray(64), 1: bytearray(64)}
+    states = {c["id"]: [0, 0] for c in comps}
+    for cid, seq in dc_units():
+        st = states[cid]
+        t = seq[0] >> 1
+        _arith_encode_dc(enc, dc_stats[0 if cid == 1 else 1],
+                         st, t - st[1], lo, up)
+        st[1] = t
+    out += sos([c["id"] for c in comps], 0, 0, 0, 1) + enc.flush()
+
+    # AC bands, first pass at Al=2 (per component)
+    for ss, se in ((1, 5), (6, 63)):
+        for c in comps:
+            enc = _ArithEncoder()
+            ac_stats = bytearray(256)
+            _arith_prog_ac_first(enc, ac_stats, ac_units(c), ss, se, 2, kx)
+            out += sos([c["id"]], ss, se, 0, 2) + enc.flush()
+
+    # DC refinement, 1 -> 0: one fixed-bin bit per block
+    enc = _ArithEncoder()
+    for _cid, seq in dc_units():
+        enc.encode_fixed(seq[0] & 1)
+    out += sos([c["id"] for c in comps], 0, 0, 1, 0) + enc.flush()
+
+    # AC refinement passes 2->1 and 1->0 (per band, per component)
+    for ah, al in ((2, 1), (1, 0)):
+        for ss, se in ((1, 5), (6, 63)):
+            for c in comps:
+                enc = _ArithEncoder()
+                ac_stats = bytearray(256)
+                _arith_prog_ac_refine(enc, ac_stats, ac_units(c),
+                                      ss, se, al)
+                out += sos([c["id"]], ss, se, ah, al) + enc.flush()
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE[zz[i]]
+                                          for i in range(64)))
+    if subsampling is not None:
+        dqt += seg(0xDB, bytes([0x01]) + bytes(_JPEG_QTABLE_CHROMA[zz[i]]
+                                               for i in range(64)))
+    ncomp = len(comps)
+    sof_body = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in comps:
+        sof_body += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    sof = seg(0xCA, sof_body)
+    dac = seg(0xCC, bytes([0x00, (up << 4) | lo, 0x01, (up << 4) | lo,
+                           0x10, kx, 0x11, kx]))
+    return b"\xff\xd8" + dqt + sof + dac + bytes(out) + b"\xff\xd9"
+
+
+def _decode_arith_progressive(data: bytes, render_all: bool):
+    """Progressive arithmetic-coded (SOF10) JPEG decode — the T.81
+    Annex G arithmetic scan procedures (DC first/refine, AC band
+    first/refine with QM-coded EOB decisions) over the Annex E QM
+    decoder — returning the ``_decode_jpeg_planes`` tuple. Statistics
+    areas and DC conditioning state reset at each scan (and each
+    restart interval). DC refinement bits and AC signs use the fixed
+    equiprobable state."""
+    import numpy as np
+
+    qtables: dict[int, list[int]] = {}
+    width = height = None
+    comps: list[dict] = []
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    restart_interval = 0
+    scans: list[dict] = []
+    pos = 2
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = list(body[i + 1:i + 65])
+                i += 65
+        elif marker == 0xCA:
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("12-bit arithmetic JPEG")
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif marker == 0xCC:
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                cs = body[i + 1]
+                if tc == 0:
+                    lo_, up_ = cs & 0x0F, cs >> 4
+                    if not (0 <= lo_ <= up_ <= 15):
+                        raise ValueError(
+                            f"invalid DAC DC conditioning L={lo_} U={up_}")
+                    dc_cond[tb] = (lo_, up_)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"invalid DAC AC Kx={cs}")
+                    ac_cond[tb] = cs
+                i += 2
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            by_id = {c["id"]: c for c in comps}
+            scomps = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                scomps.append((by_id[cid], tt >> 4, tt & 0x0F))
+            ss, se, a = body[1 + 2 * ns:4 + 2 * ns]
+            end = _scan_arith_entropy_end(data, pos)
+            if end >= len(data):
+                raise ValueError(
+                    "JPEG entropy data truncated (arithmetic segment "
+                    "has no terminating marker)")
+            scans.append({"comps": scomps, "ss": ss, "se": se,
+                          "ah": a >> 4, "al": a & 0x0F,
+                          "ecs": data[pos:end],
+                          "dri": restart_interval})
+            pos = end
+    if width is None or not scans:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+        raise NotImplementedError(
+            "luma component must be at full resolution (subsampled-luma "
+            "layouts need a real resampler — PIL's seam)")
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    zz = _JPEG_ZIGZAG
+    for c in comps:
+        c["coef"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                             dtype=np.int32)
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        c["nbx"] = -(-cw // 8)
+        c["nby"] = -(-ch // 8)
+
+    for scan in scans:
+        scomps = scan["comps"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        intervals = _split_arith_intervals(scan["ecs"])
+        dri = scan["dri"]
+        if len(intervals) > 1 and dri == 0:
+            raise ValueError("restart markers present but no DRI segment")
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            units = (mcus_x * mcus_y if len(scomps) > 1
+                     else scomps[0][0]["nbx"] * scomps[0][0]["nby"])
+        else:
+            if len(scomps) != 1:
+                raise ValueError("interleaved AC scan in progressive JPEG")
+            comp = scomps[0][0]
+            units = comp["nbx"] * comp["nby"]
+
+        done = 0
+        for ci, chunk in enumerate(intervals):
+            dec = _ArithDecoder(chunk)
+            dc_stats = {tb: bytearray(64) for _, tb, _ in scomps}
+            ac_stats = {tb: bytearray(256) for _, _, tb in scomps}
+            states = {c[0]["id"]: [0, 0] for c in scomps}
+            in_chunk = (dri if dri and ci < len(intervals) - 1
+                        else units - done)
+            for _ in range(in_chunk):
+                if done >= units:
+                    break
+                if ss == 0 and len(scomps) > 1:
+                    my, mx = divmod(done, mcus_x)
+                    for comp, tdc, _tac in scomps:
+                        lo, up = dc_cond.get(tdc, (0, 1))
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                blk = comp["coef"][my * comp["v"] + by,
+                                                   mx * comp["h"] + bx]
+                                _arith_dc_pass(
+                                    dec, dc_stats[tdc],
+                                    states[comp["id"]], blk, ah, al,
+                                    lo, up)
+                else:
+                    comp, tdc, tac = scomps[0]
+                    by, bx = divmod(done, comp["nbx"])
+                    blk = comp["coef"][by, bx]
+                    if ss == 0:
+                        lo, up = dc_cond.get(tdc, (0, 1))
+                        _arith_dc_pass(dec, dc_stats[tdc],
+                                       states[comp["id"]], blk, ah, al,
+                                       lo, up)
+                    elif ah == 0:
+                        _arith_ac_first_pass(
+                            dec, ac_stats[tac], blk, ss, se, al,
+                            ac_cond.get(tac, 5), zz)
+                    else:
+                        _arith_ac_refine_pass(
+                            dec, ac_stats[tac], blk, ss, se, al, zz)
+                done += 1
+        if done < units:
+            raise ValueError("JPEG entropy data truncated")
+
+    C = _dct_matrix()
+    qnat: dict[int, "np.ndarray"] = {}
+    for tq, vals in qtables.items():
+        flatq = np.empty(64)
+        for i in range(64):
+            flatq[zz[i]] = vals[i]
+        qnat[tq] = flatq
+    render = comps if render_all else comps[:1]
+    planes = {}
+    for c in render:
+        coefs = c["coef"].astype(np.float64) * qnat[c["tq"]]
+        nby, nbx = coefs.shape[0], coefs.shape[1]
+        blocks = coefs.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ji,yxjk,kl->yxil", C, blocks, C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        planes[c["id"]] = plane
+    return width, height, comps, planes, hmax, vmax
+
+
+def _arith_dc_pass(dec, dc_stats, state, blk, ah, al, lo, up) -> None:
+    """One block's DC contribution: first pass decodes the diff at Al
+    precision through the DC model; refinement ORs in the fixed-bin
+    bit (Figure G.6)."""
+    if ah == 0:
+        state[1] += _arith_decode_dc(dec, dc_stats, state, lo, up)
+        blk[0] = state[1] << al
+    else:
+        if dec.decode_fixed():
+            blk[0] |= 1 << al
+
+
+def _arith_ac_first_pass(dec, ac_stats, blk, ss, se, al, kx, zz) -> None:
+    """Band first pass (Figure G.8): sequential AC model, EOB =
+    end-of-band, values arrive scaled by 1 << Al."""
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(ac_stats, st):
+            break  # end-of-band
+        while not dec.decode(ac_stats, st + 1):
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith JPEG: AC index overrun")
+        sign = dec.decode_fixed()
+        st += 2
+        m = 0
+        if dec.decode(ac_stats, st):
+            m = 1
+            if dec.decode(ac_stats, st):
+                m = 2
+                st = 189 if k <= kx else 217
+                while dec.decode(ac_stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "arith JPEG: runaway AC magnitude")
+                    st += 1
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(ac_stats, st):
+                v |= m
+        v += 1
+        blk[zz[k]] = (-v << al) if sign else (v << al)
+        k += 1
+
+
+def _arith_ac_refine_pass(dec, ac_stats, blk, ss, se, al, zz) -> None:
+    """Band refinement pass (Figure G.10): correction bit in the st+2
+    bin for previously-significant coefficients, newly-significant
+    arrivals as +-1<<Al through st+1 with a fixed-bin sign; the EOB
+    decision is only coded past the previous scan's significance
+    extent."""
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = ss - 1
+    for k in range(se, ss - 1, -1):
+        if blk[zz[k]]:
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(ac_stats, st):
+            break  # end-of-block
+        while True:
+            z = zz[k]
+            cur = int(blk[z])
+            if cur:
+                if dec.decode(ac_stats, st + 2):
+                    blk[z] = cur + (m1 if cur < 0 else p1)
+                break
+            if dec.decode(ac_stats, st + 1):
+                blk[z] = m1 if dec.decode_fixed() else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith JPEG: AC index overrun")
+        k += 1
 
 
 def _scan_arith_entropy_end(data: bytes, pos: int) -> int:

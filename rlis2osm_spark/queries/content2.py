@@ -453,11 +453,12 @@ def _m1_payload_frames(spark, sf_dir):
             # decoder end-to-end in the driver gate. Mode 4 (r5) is
             # LOSSLESS (SOF3) — exact on any image by construction, same
             # luma-sum oracle. Mode 5 (r6) is sequential ARITHMETIC (SOF9,
-            # T.81 Annex E QM-coder) — identical DCT/quant chain to mode
-            # 0, so the same luma-sum oracle proves the QM decoder in the
-            # driver gate. (doc_ids here are multiples of 4, so the mode
-            # selector is d//4.)
-            mode = (d // 4) % 6
+            # T.81 Annex E QM-coder) and mode 6 (r6) PROGRESSIVE
+            # ARITHMETIC (SOF10, Annex G scans over the QM coder) —
+            # identical DCT/quant chain to mode 0, so the same luma-sum
+            # oracle proves both QM decoders in the driver gate. (doc_ids
+            # here are multiples of 4, so the mode selector is d//4.)
+            mode = (d // 4) % 7
             if mode == 0:
                 blob = encode_jpeg_gray(bw * 8, bh * 8, img.tobytes(),
                                         restart_every=d % 4)
@@ -467,6 +468,12 @@ def _m1_payload_frames(spark, sf_dir):
 
                 blob = encode_jpeg_arith_gray(bw * 8, bh * 8, img.tobytes(),
                                               restart_every=d % 4)
+            elif mode == 6:
+                from rlis2osm_spark.functions.codecs import (
+                    encode_jpeg_arith_progressive)
+
+                blob = encode_jpeg_arith_progressive(bw * 8, bh * 8,
+                                                     img.tobytes())
             elif mode == 3:
                 from rlis2osm_spark.functions.codecs import (
                     encode_jpeg_progressive)
@@ -633,7 +640,7 @@ gif_leg AS (
 ),
 jpg AS (
   SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + (doc_id // 3) % 3 AS bh,
-         (doc_id // 4) % 6 AS mode,
+         (doc_id // 4) % 7 AS mode,
          CAST(17 * (doc_id % 5 - 2) AS DOUBLE) AS cbv,
          CAST(17 * ((doc_id // 5) % 5 - 2) AS DOUBLE) AS crv
   FROM documents WHERE doc_id % 4 = 0
@@ -642,8 +649,9 @@ jpg AS (
 -- spectral selection + successive approximation — same DCT-exact
 -- quantized coefficients, so same luma sum); mode 4: LOSSLESS (SOF3
 -- predictive, exact on any image); mode 5: sequential ARITHMETIC
--- grayscale (SOF9 QM-coder, r6 — same DCT/quant chain as mode 0, so
--- same luma sum). modes 1/2 (4:4:4 / 4:2:0
+-- grayscale (SOF9 QM-coder, r6); mode 6: PROGRESSIVE ARITHMETIC
+-- grayscale (SOF10 Annex G scans, r6) — 5 and 6 share mode 0's
+-- DCT/quant chain, so the same luma sum. modes 1/2 (4:4:4 / 4:2:0
 -- color): v = RGB sum — per-block constant Y plus per-image constant
 -- chroma (128 + 17k round-trips the chroma DC quant exactly), JFIF
 -- conversion with floor(x+0.5) and [0,255] clamp, matching
@@ -652,7 +660,7 @@ jpg AS (
 jpeg_leg AS (
   SELECT 'jpeg' AS kind, 'doc:' || doc_id AS media_ref,
          CAST(bw * 8 AS INT) AS d1, CAST(bh * 8 AS INT) AS d2,
-         CAST(CASE WHEN mode IN (0, 3, 4, 5) THEN
+         CAST(CASE WHEN mode IN (0, 3, 4, 5, 6) THEN
            64 * list_aggregate(list_transform(
                 generate_series(0, bw * bh - 1),
                 k -> 2 * ((doc_id * 13 + k * 29) % 128)), 'sum')

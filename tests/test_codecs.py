@@ -1743,3 +1743,85 @@ def test_bmp_bitfields():
     with pytest.raises(ValueError, match="mask"):
         decode_bmp(_bmp_file(3, 2, 16, rows,
                              _st.pack("<III", 0, 0x07E0, 0x001F), comp=3))
+
+
+def test_jpeg_arith_progressive_matches_baseline():
+    """r6: progressive ARITHMETIC (SOF10) — the T.81 Annex G scan
+    procedures (DC first/refine, per-band AC first + two refinement
+    passes, QM-coded EOB decisions, fixed-bin signs and DC correction
+    bits) emit the same quantized coefficients as baseline, so decode
+    must be pixel-identical to baseline decode on every input."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(7)
+    for w, h in [(8, 8), (16, 16), (21, 13), (64, 48), (40, 33)]:
+        for variant in range(3):
+            if variant == 0:
+                img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            elif variant == 1:
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                img = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+            else:
+                img = np.ascontiguousarray(np.kron(
+                    rng.integers(0, 128, ((h + 7) // 8, (w + 7) // 8)) * 2,
+                    np.ones((8, 8), int))[:h, :w]).astype(np.uint8)
+            blob = C.encode_jpeg_arith_progressive(w, h, img.tobytes())
+            assert b"\xff\xca" in blob  # really SOF10
+            base = C.decode_jpeg_gray(C.encode_jpeg_gray(w, h,
+                                                         img.tobytes()))
+            assert C.decode_jpeg_gray(blob) == base
+    # arithmetic progressive out-compresses huffman progressive
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    assert len(C.encode_jpeg_arith_progressive(64, 64, img.tobytes())) \
+        < len(C.encode_jpeg_progressive(64, 64, img.tobytes()))
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
+def test_jpeg_arith_progressive_color(subsampling):
+    """Color SOF10: MCU-interleaved arithmetic DC scans across three
+    components (per-table conditioning state, chroma sharing one
+    statistics area) + per-component AC band scans decode to the same
+    RGB as the baseline color encoding."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(19)
+    for w, h in [(16, 16), (24, 16), (21, 13)]:
+        hy, vy = {"4:4:4": (1, 1), "4:2:2": (2, 1),
+                  "4:2:0": (2, 2)}[subsampling]
+        cw, ch = -(-w // hy), -(-h // vy)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        cb = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        cr = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        base = C.decode_jpeg(C.encode_jpeg_color(
+            w, h, img.tobytes(), subsampling, cb.tobytes(), cr.tobytes()))
+        got = C.decode_jpeg(C.encode_jpeg_arith_progressive(
+            w, h, img.tobytes(), subsampling, cb.tobytes(), cr.tobytes()))
+        assert got == base
+        assert base[2] == 3
+
+
+def test_jpeg_arith_progressive_truncation():
+    """A SOF10 stream cut inside any scan loses that scan's terminating
+    marker -> container-level ValueError (same contract as SOF9). Cuts
+    landing exactly on a scan boundary decode silently — a progressive
+    stream ending after a complete scan is a LEGAL partial-quality
+    image, not corruption — so a handful of boundary cuts pass."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    blob = C.encode_jpeg_arith_progressive(24, 24, img.tobytes())
+    det = tot = 0
+    for cut in range(len(blob) // 4, len(blob) - 2, 3):
+        tot += 1
+        try:
+            C.decode_jpeg_gray(blob[:cut])
+        except ValueError:
+            det += 1
+    assert det >= tot - 8  # only scan-boundary cuts may pass
