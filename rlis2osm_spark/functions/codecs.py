@@ -15,11 +15,12 @@
   EOBRUN, correction bits), lossless (SOF3 predictive, predictors 1-7,
   point transform), sequential arithmetic (SOF9: Annex E QM-coder
   probability state machine + Annex F DC/AC statistical models, DAC
-  conditioning, r6) AND progressive arithmetic (SOF10: Annex G scan
-  procedures over the QM coder, r6), grayscale and interleaved
-  multi-component color with full-RGB output (nearest/bilinear chroma
-  upsampling), any sampling layout, restart intervals, fill bytes,
-  strict truncation detection;
+  conditioning, r6), progressive arithmetic (SOF10: Annex G scan
+  procedures over the QM coder, r6) AND lossless arithmetic (SOF11:
+  Annex H (Da,Db)-conditioned difference model, r6), grayscale and
+  interleaved multi-component color with full-RGB output
+  (nearest/bilinear chroma upsampling), any sampling layout, restart
+  intervals, fill bytes, strict truncation detection;
 - BMP (r5/r6): uncompressed 24/32-bit BGR(X) and palettized 1/4/8-bit
   (MSB-first sub-byte packing) plus BI_RLE8/BI_RLE4 run-length decode
   (escapes, absolute mode, deltas — r6);
@@ -29,9 +30,8 @@
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
 ``NotImplementedError`` seams (see COVERAGE.md "Codec capability
-matrix"): lossless-arithmetic/hierarchical/12-bit JPEG, compressed
-non-MJPG video codecs (uncompressed DIB AVI decodes natively, r5),
-JPEG/PNG-in-BMP, GSM WAV.
+matrix"): hierarchical/12-bit JPEG, compressed non-MJPG video codecs
+(uncompressed DIB AVI decodes natively, r5), JPEG/PNG-in-BMP, GSM WAV.
 """
 
 from __future__ import annotations
@@ -2395,14 +2395,16 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
         elif marker == 0xCA:
             # progressive arithmetic-coded (SOF10): Annex G scans (r6)
             return _decode_arith_progressive(data, render_all)
+        elif marker == 0xCB:
+            # lossless arithmetic-coded (SOF11): Annex H model (r6)
+            return _decode_arith_lossless(data, render_all)
         elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "only baseline sequential (SOF0), progressive (SOF2), "
-                "lossless (SOF3), sequential arithmetic (SOF9) and "
-                "progressive arithmetic (SOF10) JPEG are supported "
-                "(lossless-arithmetic / hierarchical modes remain the "
-                "codec seam)")
+                "lossless (SOF3) and the arithmetic modes SOF9/10/11 "
+                "are supported (hierarchical modes remain the codec "
+                "seam)")
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -3290,6 +3292,251 @@ def _arith_ac_refine_pass(dec, ac_stats, blk, ss, se, al, zz) -> None:
             if k > se:
                 raise ValueError("arith JPEG: AC index overrun")
         k += 1
+
+
+def _lossless_cls(v: int, lo: int, up: int) -> int:
+    """5-way conditioning classification of a neighbor difference for
+    the lossless arithmetic model (T.81 Annex H): 0 zero/below-L,
+    1/2 small +/-, 3/4 large +/- — same magnitude-category thresholds
+    as the DC conditioning state."""
+    if v == 0:
+        return 0
+    v2 = abs(v) - 1
+    m = 0
+    if v2:
+        m = 1
+        while v2 >> 1:
+            v2 >>= 1
+            m <<= 1
+    if m < (1 << lo) >> 1:
+        return 0
+    if m <= (1 << up) >> 1:
+        return 1 if v > 0 else 2
+    return 3 if v > 0 else 4
+
+
+def _arith_code_lossless(enc, stats, base, xbase, d) -> None:
+    """Code one prediction difference with the DC-style decision tree in
+    the (Da, Db) conditioning context: S0/SS/SP/SN at ``base``, the
+    magnitude-category and mantissa bins in the X/M set at ``xbase``
+    (selected by the Db classification)."""
+    if d == 0:
+        enc.encode(stats, base, 0)
+        return
+    enc.encode(stats, base, 1)
+    sign = 1 if d < 0 else 0
+    enc.encode(stats, base + 1, sign)
+    st = base + 2 + sign
+    v = abs(d) - 1
+    m = 0
+    if v:
+        enc.encode(stats, st, 1)
+        m = 1
+        v2 = v
+        st = xbase
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(stats, st, 0)
+    st += 16
+    while m >> 1:
+        m >>= 1
+        enc.encode(stats, st, 1 if m & v else 0)
+
+
+def _arith_decode_lossless_diff(dec, stats, base, xbase) -> int:
+    """Mirror of :func:`_arith_code_lossless`."""
+    if not dec.decode(stats, base):
+        return 0
+    sign = dec.decode(stats, base + 1)
+    st = base + 2 + sign
+    m = 0
+    if dec.decode(stats, st):
+        st = xbase
+        m = 1
+        while dec.decode(stats, st):
+            m <<= 1
+            if m > 0x8000:
+                raise ValueError("arith JPEG: runaway lossless magnitude")
+            st += 1
+    v = m
+    st += 16
+    while m >> 1:
+        m >>= 1
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _lossless_pred(img, y: int, x: int, predictor: int,
+                   default: int) -> int:
+    """Shared lossless prediction rules (T.81 H.1.2.1): first sample
+    from the precision default, first line from `a`, line starts from
+    `b`, else the selected predictor 1-7."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(img[0, x - 1])
+    if x == 0:
+        return int(img[y - 1, 0])
+    a = int(img[y, x - 1])
+    b = int(img[y - 1, x])
+    c = int(img[y - 1, x - 1])
+    return {1: a, 2: b, 3: c,
+            4: a + b - c,
+            5: a + ((b - c) >> 1),
+            6: b + ((a - c) >> 1),
+            7: (a + b) >> 1}[predictor]
+
+
+def encode_jpeg_arith_lossless(width: int, height: int, pixels: bytes,
+                               predictor: int = 1,
+                               point_transform: int = 0) -> bytes:
+    """LOSSLESS ARITHMETIC-coded JPEG (SOF11 = 0xCB; T.81 Annex H
+    prediction + the Annex H arithmetic statistical model over the
+    Annex E QM coder). Grayscale 8-bit; same prediction/Pt contract as
+    :func:`encode_jpeg_lossless`, so decode is exact by construction.
+    Each difference is coded in a conditioning context derived from the
+    5x5 classification of the left (Da) and above (Db) neighbor
+    differences — 25 contexts x 4 decision bins, plus two X/M
+    magnitude bin sets selected by the Db class (stats area layout
+    documented at :func:`_arith_code_lossless`)."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 0 <= point_transform <= 7:
+        raise ValueError("point_transform must be 0..7")
+    img = (np.frombuffer(pixels, dtype=np.uint8)
+           .reshape(height, width).astype(np.int64) >> point_transform)
+    lo, up = 0, 1
+    default = 1 << (8 - 1 - point_transform)
+
+    enc = _ArithEncoder()
+    stats = bytearray(164)  # 25*4 context bins + 2 * (16 X + 16 M)
+    diffs = np.zeros((height, width), dtype=np.int32)
+    for y in range(height):
+        for x in range(width):
+            pred = _lossless_pred(img, y, x, predictor, default)
+            d = (int(img[y, x]) - pred + 32768) % 65536 - 32768
+            diffs[y, x] = d
+            da = int(diffs[y, x - 1]) if x > 0 else 0
+            db = int(diffs[y - 1, x]) if y > 0 else 0
+            ca = _lossless_cls(da, lo, up)
+            cb = _lossless_cls(db, lo, up)
+            _arith_code_lossless(enc, stats, 4 * (ca * 5 + cb),
+                                 100 + 32 * (cb >= 3), d)
+    ecs = enc.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof = seg(0xCB, struct.pack(">BHHB", 8, height, width, 1)
+              + bytes([1, 0x11, 0]))
+    dac = seg(0xCC, bytes([0x00, (up << 4) | lo]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, predictor, 0, point_transform]))
+    return b"\xff\xd8" + sof + dac + sos + ecs + b"\xff\xd9"
+
+
+def _decode_arith_lossless(data: bytes, render_all: bool):
+    """SOF11 lossless-arithmetic decode (single-component, 8-bit) ->
+    the ``_decode_jpeg_planes`` tuple; mirrors
+    :func:`encode_jpeg_arith_lossless`."""
+    import numpy as np
+
+    width = height = None
+    comps: list[dict] = []
+    dc_cond: dict[int, tuple[int, int]] = {}
+    scan = None
+    restart_interval = 0
+    pos = 2
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xCB:
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "lossless-arithmetic JPEG decode supports 8-bit "
+                    "single-component streams")
+            cid, hv, tq = body[6:9]
+            comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                          "tq": tq})
+        elif marker == 0xCC:
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                if tc == 0:
+                    cs = body[i + 1]
+                    lo_, up_ = cs & 0x0F, cs >> 4
+                    if not (0 <= lo_ <= up_ <= 15):
+                        raise ValueError(
+                            f"invalid DAC DC conditioning L={lo_} U={up_}")
+                    dc_cond[tb] = (lo_, up_)
+                i += 2
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            tt = body[2]
+            predictor = body[1 + 2 * ns]
+            al = body[3 + 2 * ns] & 0x0F
+            if ns != 1:
+                raise NotImplementedError(
+                    "interleaved lossless-arithmetic scan")
+            end = _scan_arith_entropy_end(data, pos)
+            if end >= len(data):
+                raise ValueError(
+                    "JPEG entropy data truncated (arithmetic segment "
+                    "has no terminating marker)")
+            scan = (predictor, al, tt >> 4, data[pos:end])
+            pos = end
+    if width is None or scan is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+    if restart_interval:
+        raise NotImplementedError(
+            "restart intervals in lossless-arithmetic JPEG are not "
+            "supported")
+    predictor, al, tdc, ecs = scan
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    lo, up = dc_cond.get(tdc, (0, 1))
+    default = 1 << (8 - 1 - al)
+
+    dec = _ArithDecoder(ecs)
+    stats = bytearray(164)
+    out = np.empty((height, width), dtype=np.int64)
+    diffs = np.zeros((height, width), dtype=np.int32)
+    for y in range(height):
+        for x in range(width):
+            pred = _lossless_pred(out, y, x, predictor, default)
+            da = int(diffs[y, x - 1]) if x > 0 else 0
+            db = int(diffs[y - 1, x]) if y > 0 else 0
+            ca = _lossless_cls(da, lo, up)
+            cb = _lossless_cls(db, lo, up)
+            d = _arith_decode_lossless_diff(
+                dec, stats, 4 * (ca * 5 + cb), 100 + 32 * (cb >= 3))
+            diffs[y, x] = d
+            out[y, x] = (pred + d) % 65536
+    plane = ((out & 0xFFFF) << al).astype(np.float64)
+    return width, height, comps, {comps[0]["id"]: plane}, 1, 1
 
 
 def _scan_arith_entropy_end(data: bytes, pos: int) -> int:

@@ -1825,3 +1825,47 @@ def test_jpeg_arith_progressive_truncation():
         except ValueError:
             det += 1
     assert det >= tot - 8  # only scan-boundary cuts may pass
+
+
+def test_jpeg_arith_lossless_roundtrip():
+    """r6: lossless ARITHMETIC (SOF11, T.81 Annex H) — prediction
+    differences QM-coded in a 5x5 (Da, Db) conditioning context with
+    Db-selected magnitude bin sets. Must reproduce the input EXACTLY
+    for every predictor; point transform drops/restores low bits like
+    huffman lossless; hierarchical SOFs stay behind the seam."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(11)
+    for w, h in [(8, 8), (21, 13), (64, 48)]:
+        for pred in range(1, 8):
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            blob = C.encode_jpeg_arith_lossless(w, h, img.tobytes(),
+                                                predictor=pred)
+            assert b"\xff\xcb" in blob  # really SOF11
+            assert C.decode_jpeg_gray(blob) == (w, h, img.tobytes())
+
+    # adaptive contexts crush smooth content vs the flat huffman table
+    xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+    img = ((xx * 2 + yy * 3) % 256).astype(np.uint8)
+    assert len(C.encode_jpeg_arith_lossless(64, 64, img.tobytes(),
+                                            predictor=4)) \
+        < len(C.encode_jpeg_lossless(64, 64, img.tobytes(),
+                                     predictor=4)) // 10
+
+    # point transform: decoded == (orig >> Pt) << Pt
+    blob = C.encode_jpeg_arith_lossless(64, 64, img.tobytes(),
+                                        predictor=4, point_transform=2)
+    assert C.decode_jpeg_gray(blob)[2] == ((img >> 2) << 2).tobytes()
+
+    # truncation: segment must end at a real marker
+    blob = C.encode_jpeg_arith_lossless(16, 16, bytes(range(256)))
+    with pytest.raises(ValueError):
+        C.decode_jpeg_gray(blob[:len(blob) // 2])
+
+    # hierarchical (SOF5) is still the seam
+    base = C.encode_jpeg_gray(8, 8, bytes(64))
+    sof0 = base.find(b"\xff\xc0")
+    with pytest.raises(NotImplementedError, match="hierarchical"):
+        C.decode_jpeg_gray(base[:sof0] + b"\xff\xc5" + base[sof0 + 2:])
