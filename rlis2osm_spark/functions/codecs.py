@@ -30,8 +30,10 @@
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
 ``NotImplementedError`` seams (see COVERAGE.md "Codec capability
-matrix"): hierarchical/12-bit JPEG, compressed non-MJPG video codecs
-(uncompressed DIB AVI decodes natively, r5), JPEG/PNG-in-BMP, GSM WAV.
+matrix"): hierarchical and 12-bit-huffman JPEG (12-bit decodes through
+the arithmetic modes; lossless-arithmetic spans precision 2-16),
+compressed non-MJPG video codecs (uncompressed DIB AVI decodes
+natively, r5), JPEG/PNG-in-BMP, GSM WAV.
 """
 
 from __future__ import annotations
@@ -1967,19 +1969,34 @@ def _arith_decode_block(dec, dc_stats, ac_stats, state, lo, up, kx):
 
 
 def encode_jpeg_arith_gray(width: int, height: int, pixels: bytes,
-                           restart_every: int = 0) -> bytes:
+                           restart_every: int = 0,
+                           precision: int = 8) -> bytes:
     """Sequential ARITHMETIC-coded grayscale JPEG (SOF9; T.81 Annex E QM
     coder over the Annex F statistical models; Annex K quant table, same
     lossy/exact contract as :func:`encode_jpeg_gray`). Default
     conditioning (L=0, U=1, Kx=5) — no DAC segment needed, but one is
     emitted anyway so the decoder's DAC path is exercised by every
     stream. ``restart_every`` > 0 emits DRI + RSTn, resetting statistics,
-    DC conditioning contexts and the coder per interval."""
+    DC conditioning contexts and the coder per interval.
+    ``precision`` = 8 (``pixels`` is width*height bytes) or 12 (r6:
+    ``pixels`` is width*height little-endian uint16 samples in 0..4095,
+    level shift 2048 — decode via :func:`decode_jpeg_gray12`; the QM
+    models need no table changes at 12-bit, unlike huffman)."""
     import numpy as np
 
-    if len(pixels) != width * height:
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12:
+        if len(pixels) != width * height * 2:
+            raise ValueError(
+                "pixels must be width*height uint16-LE samples at 12-bit")
+        img = np.frombuffer(pixels, dtype="<u2").reshape(height, width)
+        if int(img.max(initial=0)) > 4095:
+            raise ValueError("12-bit samples must be in 0..4095")
+    elif len(pixels) != width * height:
         raise ValueError("pixels must be width*height bytes")
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    else:
+        img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
     bh, bw = (height + 7) // 8, (width + 7) // 8
     padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
     padded[:height, :width] = img
@@ -2009,7 +2026,8 @@ def encode_jpeg_arith_gray(width: int, height: int, pixels: bytes,
                 ac_stats = bytearray(256)
                 state = [0, 0]
             mcu += 1
-            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            block = (padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                     - float(1 << (precision - 1)))
             coef = C @ block @ C.T
             quant = np.round(coef / q).astype(np.int64)
             flat = quant.reshape(-1)
@@ -2024,7 +2042,7 @@ def encode_jpeg_arith_gray(width: int, height: int, pixels: bytes,
 
     dqt = seg(0xDB, bytes([0x00]) + bytes(
         _JPEG_QTABLE[zz[i]] for i in range(64)))
-    sof = seg(0xC9, struct.pack(">BHHB", 8, height, width, 1)
+    sof = seg(0xC9, struct.pack(">BHHB", precision, height, width, 1)
               + bytes([1, 0x11, 0]))
     dac = seg(0xCC, bytes([0x00, (up << 4) | lo, 0x10, kx]))
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
@@ -2247,8 +2265,30 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             data, render_all=False)
     except (IndexError, KeyError, struct.error) as e:
         raise ValueError(f"malformed or truncated JPEG stream: {e}") from e
+    if comps[0].get("prec", 8) != 8:
+        raise ValueError(
+            "12-bit stream: use decode_jpeg_gray12 for full-range output")
     y = planes[comps[0]["id"]]
     pix = np.clip(np.round(y[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, pix.tobytes()
+
+
+def decode_jpeg_gray12(data: bytes) -> tuple[int, int, bytes]:
+    """12-bit-precision JPEG (r6; sequential arithmetic SOF9) ->
+    (width, height, little-endian uint16 LUMA samples clamped to
+    0..4095). 8-bit streams decode too (their samples simply stay
+    within 0..255)."""
+    import numpy as np
+
+    try:
+        width, height, comps, planes, _, _ = _decode_jpeg_planes(
+            data, render_all=False)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed or truncated JPEG stream: {e}") from e
+    prec = comps[0].get("prec", 8)
+    y = planes[comps[0]["id"]]
+    pix = np.clip(np.round(y[:height, :width]), 0,
+                  (1 << prec) - 1).astype("<u2")
     return width, height, pix.tobytes()
 
 
@@ -2277,6 +2317,9 @@ def decode_jpeg(data: bytes, upsample: str = "nearest",
             data, render_all=True)
     except (IndexError, KeyError, struct.error) as e:
         raise ValueError(f"malformed or truncated JPEG stream: {e}") from e
+    if comps[0].get("prec", 8) != 8:
+        raise ValueError(
+            "12-bit stream: use decode_jpeg_gray12 for full-range output")
     if len(comps) == 1:
         y = planes[comps[0]["id"]]
         pix = np.clip(np.round(y[:height, :width]), 0, 255).astype(np.uint8)
@@ -2642,13 +2685,13 @@ def _decode_arith(data: bytes, render_all: bool):
                 i += 65
         elif marker == 0xC9:
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(
-                    "12-bit arithmetic JPEG (8-bit samples only)")
+                    f"{prec}-bit arithmetic JPEG (8/12-bit only)")
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                              "tq": tq})
+                              "tq": tq, "prec": prec})
         elif marker == 0xCC:  # DAC: (Tc<<4|Tb, Cs) pairs
             i = 0
             while i + 1 < len(body):
@@ -2757,7 +2800,10 @@ def _decode_arith(data: bytes, render_all: bool):
                         for i2 in range(64):
                             flat[zz[i2]] = seq[i2]
                         coef = flat.reshape(8, 8) * qmats[comp["tq"]]
-                        block = C.T @ coef @ C + 128.0
+                        # level shift = 2^(P-1): 128 at 8-bit, 2048 at
+                        # 12-bit precision
+                        block = (C.T @ coef @ C
+                                 + float(1 << (comp["prec"] - 1)))
                         r0 = (my * comp["v"] + by) * 8
                         c0 = (mx * comp["h"] + bx) * 8
                         plane[r0:r0 + 8, c0:c0 + 8] = block
@@ -3394,11 +3440,16 @@ def _lossless_pred(img, y: int, x: int, predictor: int,
 
 def encode_jpeg_arith_lossless(width: int, height: int, pixels: bytes,
                                predictor: int = 1,
-                               point_transform: int = 0) -> bytes:
+                               point_transform: int = 0,
+                               precision: int = 8) -> bytes:
     """LOSSLESS ARITHMETIC-coded JPEG (SOF11 = 0xCB; T.81 Annex H
     prediction + the Annex H arithmetic statistical model over the
-    Annex E QM coder). Grayscale 8-bit; same prediction/Pt contract as
+    Annex E QM coder). Grayscale; same prediction/Pt contract as
     :func:`encode_jpeg_lossless`, so decode is exact by construction.
+    ``precision`` 2-16 (r6): at <= 8 ``pixels`` is bytes, above 8 it is
+    little-endian uint16 samples in 0..2^P-1 (the spec's full lossless
+    precision range — decode >8-bit output via
+    :func:`decode_jpeg_gray12`).
     Each difference is coded in a conditioning context derived from the
     5x5 classification of the left (Da) and above (Db) neighbor
     differences — 25 contexts x 4 decision bins, plus two X/M
@@ -3406,16 +3457,27 @@ def encode_jpeg_arith_lossless(width: int, height: int, pixels: bytes,
     documented at :func:`_arith_code_lossless`)."""
     import numpy as np
 
-    if len(pixels) != width * height:
-        raise ValueError("pixels must be width*height bytes")
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
     if not 1 <= predictor <= 7:
         raise ValueError("predictor must be 1..7")
     if not 0 <= point_transform <= 7:
         raise ValueError("point_transform must be 0..7")
-    img = (np.frombuffer(pixels, dtype=np.uint8)
-           .reshape(height, width).astype(np.int64) >> point_transform)
+    if precision <= 8:
+        if len(pixels) != width * height:
+            raise ValueError("pixels must be width*height bytes")
+        img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    else:
+        if len(pixels) != width * height * 2:
+            raise ValueError(
+                "pixels must be width*height uint16-LE samples above "
+                "8-bit precision")
+        img = np.frombuffer(pixels, dtype="<u2").reshape(height, width)
+    if int(img.max(initial=0)) >= 1 << precision:
+        raise ValueError(f"samples exceed {precision}-bit range")
+    img = img.astype(np.int64) >> point_transform
     lo, up = 0, 1
-    default = 1 << (8 - 1 - point_transform)
+    default = 1 << (precision - 1 - point_transform)
 
     enc = _ArithEncoder()
     stats = bytearray(164)  # 25*4 context bins + 2 * (16 X + 16 M)
@@ -3436,7 +3498,7 @@ def encode_jpeg_arith_lossless(width: int, height: int, pixels: bytes,
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    sof = seg(0xCB, struct.pack(">BHHB", 8, height, width, 1)
+    sof = seg(0xCB, struct.pack(">BHHB", precision, height, width, 1)
               + bytes([1, 0x11, 0]))
     dac = seg(0xCC, bytes([0x00, (up << 4) | lo]))
     sos = seg(0xDA, bytes([1, 1, 0x00, predictor, 0, point_transform]))
@@ -3444,8 +3506,8 @@ def encode_jpeg_arith_lossless(width: int, height: int, pixels: bytes,
 
 
 def _decode_arith_lossless(data: bytes, render_all: bool):
-    """SOF11 lossless-arithmetic decode (single-component, 8-bit) ->
-    the ``_decode_jpeg_planes`` tuple; mirrors
+    """SOF11 lossless-arithmetic decode (single-component, precision
+    2-16) -> the ``_decode_jpeg_planes`` tuple; mirrors
     :func:`encode_jpeg_arith_lossless`."""
     import numpy as np
 
@@ -3472,13 +3534,13 @@ def _decode_arith_lossless(data: bytes, render_all: bool):
         pos += seglen
         if marker == 0xCB:
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
+            if not 2 <= prec <= 16 or ncomp != 1:
                 raise NotImplementedError(
-                    "lossless-arithmetic JPEG decode supports 8-bit "
-                    "single-component streams")
+                    "lossless-arithmetic JPEG decode supports "
+                    "single-component streams at precision 2-16")
             cid, hv, tq = body[6:9]
             comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                          "tq": tq})
+                          "tq": tq, "prec": prec})
         elif marker == 0xCC:
             i = 0
             while i + 1 < len(body):
@@ -3518,7 +3580,7 @@ def _decode_arith_lossless(data: bytes, render_all: bool):
     if not 1 <= predictor <= 7:
         raise ValueError(f"invalid lossless predictor {predictor}")
     lo, up = dc_cond.get(tdc, (0, 1))
-    default = 1 << (8 - 1 - al)
+    default = 1 << (comps[0]["prec"] - 1 - al)
 
     dec = _ArithDecoder(ecs)
     stats = bytearray(164)

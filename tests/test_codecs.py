@@ -1869,3 +1869,55 @@ def test_jpeg_arith_lossless_roundtrip():
     sof0 = base.find(b"\xff\xc0")
     with pytest.raises(NotImplementedError, match="hierarchical"):
         C.decode_jpeg_gray(base[:sof0] + b"\xff\xc5" + base[sof0 + 2:])
+
+
+def test_jpeg_arith_12bit_and_precision_sweep():
+    """r6: 12-bit-precision sequential arithmetic (SOF9: level shift
+    2048, uint16 sample I/O via decode_jpeg_gray12 — the QM models need
+    no table changes above 8-bit, unlike huffman) and the spec's FULL
+    lossless precision range 2-16 through SOF11, exact at every
+    precision/predictor combination."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(5)
+    # sequential 12-bit: DCT-exact on constant blocks at even values
+    # (luma DC quant step 16 divides 8*(v-2048) exactly for even v)
+    img = np.ascontiguousarray(np.kron(rng.integers(0, 2048, (3, 3)) * 2,
+                                       np.ones((8, 8), int))
+                               ).astype(np.uint16)
+    blob = C.encode_jpeg_arith_gray(24, 24, img.astype("<u2").tobytes(),
+                                    precision=12)
+    w, h, px = C.decode_jpeg_gray12(blob)
+    assert (w, h) == (24, 24)
+    assert np.array_equal(np.frombuffer(px, "<u2").reshape(24, 24), img)
+    # 12-bit random content is lossy-but-close at the 8-bit-scaled
+    # quant table; the decode path itself must hold range
+    img = rng.integers(0, 4096, (16, 16), dtype=np.uint16)
+    blob = C.encode_jpeg_arith_gray(16, 16, img.astype("<u2").tobytes(),
+                                    restart_every=2, precision=12)
+    got = np.frombuffer(C.decode_jpeg_gray12(blob)[2], "<u2")
+    assert got.max() <= 4095
+    assert np.abs(got.astype(int).reshape(16, 16)
+                  - img.astype(int)).mean() < 64
+    # an 8-bit caller must not silently clamp a 12-bit stream
+    with pytest.raises(ValueError, match="12-bit"):
+        C.decode_jpeg_gray(blob)
+    with pytest.raises(ValueError, match="12-bit"):
+        C.decode_jpeg(blob)
+
+    # lossless: every precision 2..16 roundtrips exactly
+    for prec in (2, 4, 8, 12, 16):
+        img = rng.integers(0, 1 << prec, (17, 21)).astype(np.uint16)
+        px = (img.astype(np.uint8).tobytes() if prec <= 8
+              else img.astype("<u2").tobytes())
+        blob = C.encode_jpeg_arith_lossless(21, 17, px, predictor=4,
+                                            precision=prec)
+        got = np.frombuffer(C.decode_jpeg_gray12(blob)[2],
+                            "<u2").reshape(17, 21)
+        assert np.array_equal(got, img)
+    with pytest.raises(ValueError, match="range"):
+        C.encode_jpeg_arith_lossless(
+            2, 2, np.array([0, 0, 0, 4096], "<u2").tobytes(),
+            precision=12)
