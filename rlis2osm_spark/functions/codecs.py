@@ -30,9 +30,10 @@
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
 ``NotImplementedError`` seams (see COVERAGE.md "Codec capability
-matrix"): hierarchical and 12-bit-huffman JPEG (12-bit decodes through
-the arithmetic modes; lossless-arithmetic spans precision 2-16),
-compressed non-MJPG video codecs (uncompressed DIB AVI decodes
+matrix"): huffman/DCT differential frames and 12-bit-huffman JPEG
+(hierarchical pyramids decode via SOF15 differentials; 12-bit decodes
+through the arithmetic modes; lossless-arithmetic spans precision
+2-16), compressed non-MJPG video codecs (uncompressed DIB AVI decodes
 natively, r5), JPEG/PNG-in-BMP, GSM WAV.
 """
 
@@ -2441,13 +2442,17 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
         elif marker == 0xCB:
             # lossless arithmetic-coded (SOF11): Annex H model (r6)
             return _decode_arith_lossless(data, render_all)
+        elif marker == 0xDE:
+            # hierarchical pyramid (DHP, Annex J): frame walker (r6)
+            return _decode_hierarchical(data, render_all)
         elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "only baseline sequential (SOF0), progressive (SOF2), "
-                "lossless (SOF3) and the arithmetic modes SOF9/10/11 "
-                "are supported (hierarchical modes remain the codec "
-                "seam)")
+                "lossless (SOF3), the arithmetic modes SOF9/10/11 and "
+                "DHP hierarchical pyramids with SOF15 differentials are "
+                "supported (standalone extended-sequential and huffman/"
+                "DCT differential frames remain the codec seam)")
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -3599,6 +3604,251 @@ def _decode_arith_lossless(data: bytes, render_all: bool):
             out[y, x] = (pred + d) % 65536
     plane = ((out & 0xFFFF) << al).astype(np.float64)
     return width, height, comps, {comps[0]["id"]: plane}, 1, 1
+
+
+def _hier_upsample(ref, out_h: int, out_w: int):
+    """T.81 J.1.1.3 expansion filter, one 2x step per axis as signalled
+    by EXP: even output samples copy the input, odd samples are the
+    rounded mean of the two neighbors ((a + b + 1) >> 1, edge
+    replicated), then crop to the target frame dimensions."""
+    import numpy as np
+
+    h, w = ref.shape
+    upw = np.empty((h, 2 * w), dtype=np.int64)
+    upw[:, 0::2] = ref
+    nxt = np.concatenate([ref[:, 1:], ref[:, -1:]], axis=1)
+    upw[:, 1::2] = (ref + nxt + 1) >> 1
+    up = np.empty((2 * h, 2 * w), dtype=np.int64)
+    up[0::2, :] = upw
+    nxt = np.concatenate([upw[1:, :], upw[-1:, :]], axis=0)
+    up[1::2, :] = (upw + nxt + 1) >> 1
+    return up[:out_h, :out_w]
+
+
+def encode_jpeg_hierarchical(width: int, height: int,
+                             pixels: bytes) -> bytes:
+    """HIERARCHICAL JPEG (T.81 Annex J), grayscale 8-bit, two-level
+    pyramid: a DHP segment declares the full-resolution frame, the
+    first (non-differential) frame is sequential-arithmetic SOF9 at
+    half resolution, an EXP segment signals 2x expansion in both axes
+    (J.1.1.3 bilinear filter), and the final frame is DIFFERENTIAL
+    LOSSLESS ARITHMETIC (SOF15): the mod-65536 difference between the
+    source and the expanded reference, coded sample-by-sample with the
+    Annex H conditioning model (prediction is zero in differential
+    frames). Lossy base + lossless refinement means the overall decode
+    reproduces the input EXACTLY — the differential pin the tests
+    hold."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    img = (np.frombuffer(pixels, dtype=np.uint8)
+           .reshape(height, width).astype(np.int64))
+    h2, w2 = (height + 1) // 2, (width + 1) // 2
+    # encoder's decimation choice (not normative): 2x2 mean over an
+    # edge-replicated canvas
+    pad = np.empty((h2 * 2, w2 * 2), dtype=np.int64)
+    pad[:height, :width] = img
+    pad[height:, :width] = img[-1:, :]
+    pad[:, width:] = pad[:, width - 1:width]
+    half = ((pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2]
+             + pad[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+
+    # the base frame as a standalone SOF9 stream; reuse its segments
+    # (between SOI and EOI) verbatim and decode it locally to get the
+    # reference the decoder will reconstruct
+    base = encode_jpeg_arith_gray(w2, h2, half.tobytes())
+    _, _, base_px = decode_jpeg_gray(base)
+    ref = np.frombuffer(base_px, dtype=np.uint8).reshape(
+        h2, w2).astype(np.int64)
+    up = _hier_upsample(ref, height, width)
+    diff = (img - up) % 65536
+    sdiff = np.where(diff >= 32768, diff - 65536, diff)
+
+    lo, up_c = 0, 1
+    enc = _ArithEncoder()
+    stats = bytearray(164)
+    coded = np.zeros((height, width), dtype=np.int32)
+    for y in range(height):
+        for x in range(width):
+            d = int(sdiff[y, x])
+            coded[y, x] = d
+            da = int(coded[y, x - 1]) if x > 0 else 0
+            db = int(coded[y - 1, x]) if y > 0 else 0
+            ca = _lossless_cls(da, lo, up_c)
+            cb = _lossless_cls(db, lo, up_c)
+            _arith_code_lossless(enc, stats, 4 * (ca * 5 + cb),
+                                 100 + 32 * (cb >= 3), d)
+    ecs = enc.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dhp = seg(0xDE, struct.pack(">BHHB", 8, height, width, 1)
+              + bytes([1, 0x11, 0]))
+    exp = seg(0xDF, bytes([0x11]))  # expand 2x horizontally + vertically
+    sof15 = seg(0xCF, struct.pack(">BHHB", 8, height, width, 1)
+                + bytes([1, 0x11, 0]))
+    dac = seg(0xCC, bytes([0x00, (up_c << 4) | lo]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    return (b"\xff\xd8" + dhp + base[2:-2] + exp
+            + sof15 + dac + sos + ecs + b"\xff\xd9")
+
+
+def _decode_hierarchical(data: bytes, render_all: bool):
+    """Hierarchical (DHP, T.81 Annex J) decode -> the
+    ``_decode_jpeg_planes`` tuple. Walks the frame sequence: the first
+    non-differential frame decodes through the normal SOF dispatch (its
+    segments are re-wrapped as a standalone stream), EXP expands the
+    reference per J.1.1.3, and differential lossless arithmetic (SOF15)
+    frames add mod-65536 QM-coded sample differences. Huffman
+    differential frames (SOF5-7) and differential DCT frames
+    (SOF13/14) raise NotImplementedError."""
+    import numpy as np
+
+    # DHP header
+    pos = 2
+    full_h = full_w = None
+    comps: list[dict] = []
+    ref = None
+    pending: list[tuple[int, bytes]] = []  # segments of the base frame
+    exp_pending = None
+    dc_cond: dict[int, tuple[int, int]] = {}
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        seg_bytes = data[pos - 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDE:
+            prec, full_h, full_w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "hierarchical decode supports 8-bit single-component "
+                    "pyramids")
+            cid, hv, tq = body[6:9]
+            comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                          "tq": tq})
+        elif marker == 0xDF:
+            if ref is None:
+                raise ValueError("EXP before any reference frame")
+            eh, ev = body[0] >> 4, body[0] & 0x0F
+            exp_pending = (eh, ev)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE):
+            raise NotImplementedError(
+                "huffman/DCT differential frames (SOF5-7/13/14) are the "
+                "remaining hierarchical seam — only differential "
+                "lossless arithmetic (SOF15) decodes")
+        elif marker == 0xCF:
+            fprec, fh, fw, fncomp = struct.unpack(">BHHB", body[:6])
+            if fprec != 8 or fncomp != 1:
+                raise NotImplementedError(
+                    "differential frames must be 8-bit single-component")
+            if ref is None:
+                raise ValueError("differential frame without a reference")
+            if exp_pending:
+                eh, ev = exp_pending
+                out_h = fh if ev else ref.shape[0]
+                out_w = fw if eh else ref.shape[1]
+                ref = _hier_upsample(ref, out_h, out_w)
+                exp_pending = None
+            if ref.shape != (fh, fw):
+                raise ValueError(
+                    f"differential frame {fw}x{fh} does not match the "
+                    f"reference {ref.shape[1]}x{ref.shape[0]}")
+            # scan header + ECS follow
+            sos_scan = None
+            while pos + 1 < len(data):
+                if data[pos] != 0xFF:
+                    pos += 1
+                    continue
+                m2 = data[pos + 1]
+                pos += 2
+                (l2,) = struct.unpack(">H", data[pos:pos + 2])
+                b2 = data[pos + 2:pos + l2]
+                pos += l2
+                if m2 == 0xCC:
+                    i = 0
+                    while i + 1 < len(b2):
+                        tc, tb = b2[i] >> 4, b2[i] & 0x0F
+                        if tc == 0:
+                            cs = b2[i + 1]
+                            dc_cond[tb] = (cs & 0x0F, cs >> 4)
+                        i += 2
+                elif m2 == 0xDA:
+                    end = _scan_arith_entropy_end(data, pos)
+                    if end >= len(data):
+                        raise ValueError(
+                            "JPEG entropy data truncated (arithmetic "
+                            "segment has no terminating marker)")
+                    sos_scan = (b2[2] >> 4, data[pos:end])
+                    pos = end
+                    break
+            if sos_scan is None:
+                raise ValueError("differential frame missing SOS")
+            tdc, ecs = sos_scan
+            lo, up_c = dc_cond.get(tdc, (0, 1))
+            dec = _ArithDecoder(ecs)
+            stats = bytearray(164)
+            coded = np.zeros((fh, fw), dtype=np.int32)
+            for y in range(fh):
+                for x in range(fw):
+                    da = int(coded[y, x - 1]) if x > 0 else 0
+                    db = int(coded[y - 1, x]) if y > 0 else 0
+                    ca = _lossless_cls(da, lo, up_c)
+                    cb = _lossless_cls(db, lo, up_c)
+                    d = _arith_decode_lossless_diff(
+                        dec, stats, 4 * (ca * 5 + cb),
+                        100 + 32 * (cb >= 3))
+                    coded[y, x] = d
+            ref = (ref + coded) % 65536
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB, 0xC1):
+            # non-differential frame: collect its segments (DQT etc.
+            # already in ``pending``) and decode as a standalone stream
+            frame = (b"\xff\xd8"
+                     + b"".join(s for _, s in pending) + seg_bytes)
+            # the frame's scan follows; find its entropy end
+            while pos + 1 < len(data):
+                if data[pos] != 0xFF:
+                    pos += 1
+                    continue
+                m2 = data[pos + 1]
+                pos += 2
+                (l2,) = struct.unpack(">H", data[pos:pos + 2])
+                frame += data[pos - 2:pos + l2]
+                b2pos = pos + l2
+                pos = b2pos
+                if m2 == 0xDA:
+                    end = (_scan_arith_entropy_end(data, pos)
+                           if marker in (0xC9, 0xCA, 0xCB)
+                           else _scan_entropy_end(data, pos))
+                    frame += data[pos:end]
+                    pos = end
+                    break
+            frame += b"\xff\xd9"
+            pending = []
+            fw_, fh_, px = decode_jpeg_gray(frame)
+            ref = np.frombuffer(px, dtype=np.uint8).reshape(
+                fh_, fw_).astype(np.int64)
+        else:
+            pending.append((marker, seg_bytes))
+    if full_w is None:
+        raise ValueError("hierarchical stream missing DHP")
+    if ref is None or ref.shape != (full_h, full_w):
+        raise ValueError("hierarchical stream incomplete (no frame at "
+                         "the DHP resolution)")
+    plane = (ref & 0xFFFF).astype(np.float64)
+    return full_w, full_h, comps, {comps[0]["id"]: plane}, 1, 1
 
 
 def _scan_arith_entropy_end(data: bytes, pos: int) -> int:

@@ -455,11 +455,13 @@ def _m1_payload_frames(spark, sf_dir):
             # luma-sum oracle. Mode 5 (r6) is sequential ARITHMETIC (SOF9,
             # T.81 Annex E QM-coder), mode 6 (r6) PROGRESSIVE ARITHMETIC
             # (SOF10, Annex G scans) — both share mode 0's DCT/quant
-            # chain — and mode 7 (r6) LOSSLESS ARITHMETIC (SOF11, Annex H
-            # contexts; exact like SOF3). The same luma-sum oracle proves
-            # all three QM decoders in the driver gate. (doc_ids here are
-            # multiples of 4, so the mode selector is d//4.)
-            mode = (d // 4) % 8
+            # chain — mode 7 (r6) LOSSLESS ARITHMETIC (SOF11, Annex H
+            # contexts; exact like SOF3), and mode 8 (r6) HIERARCHICAL
+            # (DHP pyramid: SOF9 base + EXP + SOF15 lossless-differential
+            # refinement = exact overall). The same luma-sum oracle
+            # proves every QM decoder in the driver gate. (doc_ids here
+            # are multiples of 4, so the mode selector is d//4.)
+            mode = (d // 4) % 9
             if mode == 0:
                 blob = encode_jpeg_gray(bw * 8, bh * 8, img.tobytes(),
                                         restart_every=d % 4)
@@ -482,6 +484,12 @@ def _m1_payload_frames(spark, sf_dir):
                 blob = encode_jpeg_arith_lossless(bw * 8, bh * 8,
                                                   img.tobytes(),
                                                   predictor=1 + d % 7)
+            elif mode == 8:
+                from rlis2osm_spark.functions.codecs import (
+                    encode_jpeg_hierarchical)
+
+                blob = encode_jpeg_hierarchical(bw * 8, bh * 8,
+                                                img.tobytes())
             elif mode == 3:
                 from rlis2osm_spark.functions.codecs import (
                     encode_jpeg_progressive)
@@ -648,7 +656,7 @@ gif_leg AS (
 ),
 jpg AS (
   SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + (doc_id // 3) % 3 AS bh,
-         (doc_id // 4) % 8 AS mode,
+         (doc_id // 4) % 9 AS mode,
          CAST(17 * (doc_id % 5 - 2) AS DOUBLE) AS cbv,
          CAST(17 * ((doc_id // 5) % 5 - 2) AS DOUBLE) AS crv
   FROM documents WHERE doc_id % 4 = 0
@@ -660,7 +668,9 @@ jpg AS (
 -- grayscale (SOF9 QM-coder, r6); mode 6: PROGRESSIVE ARITHMETIC
 -- grayscale (SOF10 Annex G scans, r6) — 5 and 6 share mode 0's
 -- DCT/quant chain; mode 7: LOSSLESS ARITHMETIC (SOF11 Annex H, r6,
--- exact like mode 4) — so the same luma sum. modes 1/2 (4:4:4 / 4:2:0
+-- exact like mode 4); mode 8: HIERARCHICAL (DHP + SOF9 base + SOF15
+-- lossless differential, r6 — exact overall) — so the same luma sum.
+-- modes 1/2 (4:4:4 / 4:2:0
 -- color): v = RGB sum — per-block constant Y plus per-image constant
 -- chroma (128 + 17k round-trips the chroma DC quant exactly), JFIF
 -- conversion with floor(x+0.5) and [0,255] clamp, matching
@@ -669,7 +679,7 @@ jpg AS (
 jpeg_leg AS (
   SELECT 'jpeg' AS kind, 'doc:' || doc_id AS media_ref,
          CAST(bw * 8 AS INT) AS d1, CAST(bh * 8 AS INT) AS d2,
-         CAST(CASE WHEN mode IN (0, 3, 4, 5, 6, 7) THEN
+         CAST(CASE WHEN mode IN (0, 3, 4, 5, 6, 7, 8) THEN
            64 * list_aggregate(list_transform(
                 generate_series(0, bw * bh - 1),
                 k -> 2 * ((doc_id * 13 + k * 29) % 128)), 'sum')

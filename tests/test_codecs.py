@@ -1921,3 +1921,38 @@ def test_jpeg_arith_12bit_and_precision_sweep():
         C.encode_jpeg_arith_lossless(
             2, 2, np.array([0, 0, 0, 4096], "<u2").tobytes(),
             precision=12)
+
+
+def test_jpeg_hierarchical_exact_roundtrip():
+    """r6: hierarchical JPEG (T.81 Annex J): DHP pyramid with a lossy
+    SOF9 base at half resolution, EXP bilinear expansion (even samples
+    copied, odd = (a+b+1)>>1 edge-replicated), and a DIFFERENTIAL
+    LOSSLESS ARITHMETIC (SOF15) refinement frame coding the mod-65536
+    difference — so the overall decode reproduces the input EXACTLY,
+    including odd dimensions. Huffman/DCT differential frames stay
+    behind the seam."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(17)
+    for w, h in [(8, 8), (21, 13), (64, 48), (9, 9)]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        blob = C.encode_jpeg_hierarchical(w, h, img.tobytes())
+        assert b"\xff\xde" in blob  # DHP
+        assert b"\xff\xdf" in blob  # EXP
+        assert b"\xff\xcf" in blob  # SOF15 differential
+        assert C.decode_jpeg_gray(blob) == (w, h, img.tobytes())
+
+    # a DCT-differential frame marker (SOF13) inside a pyramid is the
+    # remaining seam
+    blob = bytearray(C.encode_jpeg_hierarchical(16, 16, bytes(256)))
+    i = blob.find(b"\xff\xcf")
+    blob[i + 1] = 0xCD
+    with pytest.raises(NotImplementedError, match="differential"):
+        C.decode_jpeg_gray(bytes(blob))
+
+    # truncation inside the differential scan is detected
+    full = C.encode_jpeg_hierarchical(16, 16, bytes(range(256)))
+    with pytest.raises(ValueError):
+        C.decode_jpeg_gray(full[:len(full) - 8])
