@@ -195,6 +195,12 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
         "load_gate": gate,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        # the shared host can be oversubscribed by neighbors INVISIBLE to
+        # container loadavg (r6: 32-way throughput dropped 8x while
+        # loadavg sat under 2) — the probe turns that into a recorded,
+        # per-artifact number so cross-round comparisons can be
+        # adjudicated mechanically
+        "effective_cores_probe": _effective_cores_probe(),
     }
     # bulk throughput + N->4N efficiency come from the dedicated probe
     # (`bench.py --scaling`, min-of-3, fresh JVMs) — measured once and
@@ -307,6 +313,7 @@ def _scaling_child(cpus: str) -> dict:
             "n_docs": n_docs, "repeats": repeats,
             "load_gate": gate, "loadavg_before": load_before,
             "loadavg_after": _loadavg(),
+            "effective_cores_probe": _effective_cores_probe(8),
             "doc_path": {"sec": round(doc_best, 3),
                          "docs_per_sec": round(n_span_docs / doc_best, 1),
                          "n_docs": n_span_docs,
