@@ -74,13 +74,50 @@ def _load_gate(max_load1: float, timeout_s: float = 300.0) -> dict:
             "gate_passed": float(_loadavg()[0]) <= max_load1}
 
 
+def _capacity_gate(max_load1: float, timeout_s: float = 300.0) -> dict:
+    """Load gate + effective-cores gate. Container loadavg is blind to
+    neighbor containers on the shared physical host (r6 observed: 32-way
+    throughput down 8-10x at loadavg 0.9), so after the loadavg wait this
+    also runs :func:`_effective_cores_probe` and waits — bounded by
+    ``SPARK_GRAFT_CORES_GATE_TIMEOUT`` (sec, default 1800) — until the
+    container actually gets ``SPARK_GRAFT_CORES_GATE`` effective cores
+    (default half the configured CPUs). Proceeds regardless at timeout;
+    either way the returned dict records every probe attempt so the
+    artifact self-documents whether its numbers are comparable."""
+    gate = _load_gate(max_load1, timeout_s)
+    floor = float(os.environ.get("SPARK_GRAFT_CORES_GATE",
+                                 str(int(CPUS) / 2)))
+    probe_timeout = float(os.environ.get(
+        "SPARK_GRAFT_CORES_GATE_TIMEOUT", "1800"))
+    t0 = time.time()
+    attempts = []
+    while True:
+        probe = _effective_cores_probe()
+        attempts.append(probe["effective_cores"])
+        if (probe["effective_cores"] is not None
+                and probe["effective_cores"] >= floor):
+            break
+        if time.time() - t0 >= probe_timeout:
+            break
+        time.sleep(60)
+    gate.update({
+        "cores_floor": floor,
+        "cores_attempts": attempts,
+        "cores_waited_sec": round(time.time() - t0, 1),
+        "cores_gate_passed": (probe["effective_cores"] is not None
+                              and probe["effective_cores"] >= floor),
+        "probe": probe,
+    })
+    return gate
+
+
 def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     from rlis2osm_spark.driver_support import ensure_package_on_workers
     from rlis2osm_spark.queries import all_queries
     from rlis2osm_spark.session import build_session
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
-    gate = _load_gate(float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4")))
+    gate = _capacity_gate(float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4")))
     load_before = _loadavg()
     # MB-sized bench inputs: give scans the task count a TB input would
     # naturally have (otherwise every single-file scan runs one task and
@@ -199,7 +236,7 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
         # container loadavg (r6: 32-way throughput dropped 8x while
         # loadavg sat under 2) — the probe turns that into a recorded,
         # per-artifact number so cross-round comparisons can be
-        # adjudicated mechanically
+        # adjudicated mechanically; "before" lives in load_gate["probe"]
         "effective_cores_probe": _effective_cores_probe(),
     }
     # bulk throughput + N->4N efficiency come from the dedicated probe
@@ -264,8 +301,8 @@ def _scaling_child(cpus: str) -> dict:
     # built-in load gate (r5): the scaling evidence previously relied on an
     # external launcher waiting for load1 <= 2 — the gate now lives here so
     # every recorded number self-documents its measurement window
-    gate = _load_gate(float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2")),
-                      timeout_s=600)
+    gate = _capacity_gate(float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2")),
+                          timeout_s=600)
     load_before = _loadavg()
     spark = build_session(
         app_name=f"scaling-{cpus}",
@@ -471,7 +508,8 @@ def _host_speed_probe() -> float:
     return round(best, 4)
 
 
-def _effective_cores_probe(n: int | None = None) -> dict:
+def _effective_cores_probe(n: int | None = None,
+                           single: float | None = None) -> dict:
     """Parallel companion to :func:`_host_speed_probe`: run the same
     fixed single-thread workload in N concurrent PROCESSES and report
     per-task mean vs the single-task time. On a dedicated 32-core box
@@ -485,7 +523,11 @@ def _effective_cores_probe(n: int | None = None) -> dict:
     import numpy as np
 
     n = n or int(CPUS)
-    single = _host_speed_probe()
+    # reuse a just-measured single-thread time when the caller has one:
+    # two divergent "single" numbers in one artifact defeat the
+    # mechanical adjudication this probe exists for
+    if single is None:
+        single = _host_speed_probe()
     with mp.Pool(n) as pool:
         els = pool.map(_probe_task, range(n))
     ratio = float(np.mean(els)) / single if single else float("nan")
@@ -615,11 +657,12 @@ def run_pipeline_scale() -> dict:
     ensure_dataset(DOC_SCALE_DIR, n_streets=4000, n_trails=800)
     # gate like the suite/scaling runs (VERDICT r5 #3): the r5 artifact was
     # captured at loadavg 10.36, making round-over-round leg comparison
-    # noise-dominated
-    gate = _load_gate(float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4")))
+    # noise-dominated; r6 adds the effective-cores wait (loadavg alone
+    # passed at 0.9 while neighbors held the box to ~3 effective cores)
+    gate = _capacity_gate(float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4")))
     load_before = open("/proc/loadavg").read().split()[:3]
-    speed = _host_speed_probe()
-    cores_before = _effective_cores_probe()
+    cores_before = gate["probe"]
+    speed = cores_before["single_sec"]
     spark = build_session(
         app_name="pipeline-scale",
         master=f"local[{CPUS}]",
@@ -643,15 +686,19 @@ def run_pipeline_scale() -> dict:
         "cpus": int(CPUS),
         "load_gate": gate,
         "host_speed_probe_sec": speed,
-        "host_speed_probe_sec_after": _host_speed_probe(),
         "effective_cores_probe_before": cores_before,
-        "effective_cores_probe_after": _effective_cores_probe(),
         "loadavg_before": load_before,
         "loadavg_after": open("/proc/loadavg").read().split()[:3],
     }
     report.pop("osm_dir", None)
     report.pop("dissolved_parquet", None)
     spark.stop()
+    # after-probes run with the 48g local[32] JVM STOPPED — probing next
+    # to a live heap reads self-contention as neighbor contention
+    speed_after = _host_speed_probe()
+    report["host_speed_probe_sec_after"] = speed_after
+    report["effective_cores_probe_after"] = _effective_cores_probe(
+        single=speed_after)
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/pipeline_scale.json", "w") as fh:
         json.dump(report, fh, indent=1)

@@ -2250,15 +2250,18 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     Parses DQT/SOF/DHT/SOS/DRI from the stream (any conformant file, not
     just our encoder's — 0xFF fill bytes per T.81 B.1.1.2 included),
     huffman-decodes, dequantizes, inverse-DCTs with numpy. Handles
-    baseline (SOF0), progressive (SOF2, r5) AND sequential arithmetic
-    (SOF9, r6) streams, grayscale AND interleaved multi-component color
-    (any sampling-factor layout — 4:4:4, 4:2:0, 4:2:2, ... — with the
-    luma component at full resolution); the output is the LUMA plane (Y
-    is BT.601 luma directly — chroma components are decoded to keep the
-    stream in sync and discarded). Hierarchical mode,
-    progressive-arithmetic, 16-bit quant tables and subsampled-luma
-    layouts raise NotImplementedError — the documented codec seam.
-    Malformed / truncated input raises ValueError."""
+    baseline (SOF0), progressive (SOF2, r5), lossless (SOF3, r5), the
+    arithmetic modes SOF9/10/11 (r6) and DHP hierarchical pyramids with
+    SOF15 differentials (r6), grayscale AND interleaved multi-component
+    color (any sampling-factor layout — 4:4:4, 4:2:0, 4:2:2, ... — with
+    the luma component at full resolution); the output is the LUMA
+    plane (Y is BT.601 luma directly — chroma components are decoded to
+    keep the stream in sync and discarded). Extended-sequential (SOF1),
+    huffman/DCT differential frames, 16-bit quant tables and
+    subsampled-luma layouts raise NotImplementedError — the documented
+    codec seam; 12-bit streams raise ValueError toward
+    :func:`decode_jpeg_gray12`. Malformed / truncated input raises
+    ValueError."""
     import numpy as np
 
     try:
@@ -2305,10 +2308,10 @@ def decode_jpeg(data: bytes, upsample: str = "nearest",
     choice our oracles use — or ``"bilinear"``, the
     centered-sample triangular filter), then converted per the JFIF
     YCbCr<->RGB matrix with floor(x+0.5) rounding and [0,255] clamping.
-    Baseline, progressive (r5) and sequential-arithmetic (r6) streams
-    all decode; same seam as :func:`decode_jpeg_gray` for
-    hierarchical/progressive-arithmetic streams; ValueError on
-    malformed input."""
+    Baseline, progressive (r5), lossless, the arithmetic modes
+    SOF9/10/11 and DHP pyramids (r6) all decode; same seam as
+    :func:`decode_jpeg_gray` for extended-sequential and huffman/DCT
+    differential streams; ValueError on malformed input."""
     import numpy as np
 
     if upsample not in ("nearest", "bilinear"):
@@ -3606,22 +3609,31 @@ def _decode_arith_lossless(data: bytes, render_all: bool):
     return width, height, comps, {comps[0]["id"]: plane}, 1, 1
 
 
-def _hier_upsample(ref, out_h: int, out_w: int):
-    """T.81 J.1.1.3 expansion filter, one 2x step per axis as signalled
-    by EXP: even output samples copy the input, odd samples are the
-    rounded mean of the two neighbors ((a + b + 1) >> 1, edge
-    replicated), then crop to the target frame dimensions."""
+def _hier_upsample(ref, out_h: int, out_w: int, eh: int = 1,
+                   ev: int = 1):
+    """T.81 J.1.1.3 expansion filter, one 2x step PER SIGNALLED AXIS
+    (EXP's Eh/Ev flags — single-axis expansion is conformant and must
+    not touch the other axis): even output samples copy the input, odd
+    samples are the rounded mean of the two neighbors
+    ((a + b + 1) >> 1, edge replicated), then crop to the target frame
+    dimensions."""
     import numpy as np
 
-    h, w = ref.shape
-    upw = np.empty((h, 2 * w), dtype=np.int64)
-    upw[:, 0::2] = ref
-    nxt = np.concatenate([ref[:, 1:], ref[:, -1:]], axis=1)
-    upw[:, 1::2] = (ref + nxt + 1) >> 1
-    up = np.empty((2 * h, 2 * w), dtype=np.int64)
-    up[0::2, :] = upw
-    nxt = np.concatenate([upw[1:, :], upw[-1:, :]], axis=0)
-    up[1::2, :] = (upw + nxt + 1) >> 1
+    up = ref
+    if eh:
+        h, w = up.shape
+        upw = np.empty((h, 2 * w), dtype=np.int64)
+        upw[:, 0::2] = up
+        nxt = np.concatenate([up[:, 1:], up[:, -1:]], axis=1)
+        upw[:, 1::2] = (up + nxt + 1) >> 1
+        up = upw
+    if ev:
+        h, w = up.shape
+        upv = np.empty((2 * h, w), dtype=np.int64)
+        upv[0::2, :] = up
+        nxt = np.concatenate([up[1:, :], up[-1:, :]], axis=0)
+        upv[1::2, :] = (up + nxt + 1) >> 1
+        up = upv
     return up[:out_h, :out_w]
 
 
@@ -3758,14 +3770,29 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                 raise ValueError("differential frame without a reference")
             if exp_pending:
                 eh, ev = exp_pending
-                out_h = fh if ev else ref.shape[0]
-                out_w = fw if eh else ref.shape[1]
-                ref = _hier_upsample(ref, out_h, out_w)
+                ref = _hier_upsample(ref, fh, fw, eh, ev)
                 exp_pending = None
             if ref.shape != (fh, fw):
                 raise ValueError(
                     f"differential frame {fw}x{fh} does not match the "
                     f"reference {ref.shape[1]}x{ref.shape[0]}")
+            # tables-misc segments collected BEFORE this SOF (B.2
+            # placement: DAC/DRI may precede the frame header) apply to
+            # this frame too
+            dri = 0
+            for mk, sb in pending:
+                b2 = sb[4:]
+                if mk == 0xCC:
+                    i = 0
+                    while i + 1 < len(b2):
+                        tc, tb = b2[i] >> 4, b2[i] & 0x0F
+                        if tc == 0:
+                            cs = b2[i + 1]
+                            dc_cond[tb] = (cs & 0x0F, cs >> 4)
+                        i += 2
+                elif mk == 0xDD:
+                    (dri,) = struct.unpack(">H", b2[:2])
+            pending = []
             # scan header + ECS follow
             sos_scan = None
             while pos + 1 < len(data):
@@ -3785,6 +3812,8 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                             cs = b2[i + 1]
                             dc_cond[tb] = (cs & 0x0F, cs >> 4)
                         i += 2
+                elif m2 == 0xDD:
+                    (dri,) = struct.unpack(">H", b2[:2])
                 elif m2 == 0xDA:
                     end = _scan_arith_entropy_end(data, pos)
                     if end >= len(data):
@@ -3796,6 +3825,14 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                     break
             if sos_scan is None:
                 raise ValueError("differential frame missing SOS")
+            if dri:
+                # restart-interval state-reset semantics in differential
+                # lossless frames have no second implementation to
+                # differ against here — refuse loudly rather than feed
+                # RSTn bytes to the QM decoder as 1-bit markers
+                raise NotImplementedError(
+                    "restart intervals in differential lossless frames "
+                    "are not supported")
             tdc, ecs = sos_scan
             lo, up_c = dc_cond.get(tdc, (0, 1))
             dec = _ArithDecoder(ecs)
@@ -4822,10 +4859,11 @@ def decode_wav(data: bytes) -> tuple[int, list]:
     (signed) or 24 bits packed (r6, returned as full-range ints); IEEE
     float32 (format 3, returned as Python floats); G.711 A-law (format
     6) and mu-law (format 7) companded 8-bit (r6, expanded to int16
-    range); and IMA/DVI ADPCM (format 0x11, r6, mono/stereo block
-    decode honoring the ``fact`` frame count). 1-2 channels throughout.
-    Anything else — MS-ADPCM (format 2), GSM, >2 channels — raises
-    NotImplementedError (the soundfile/torchaudio seam)."""
+    range); and IMA/DVI ADPCM (format 0x11) plus MS-ADPCM (format 2)
+    (both r6, mono/stereo block decode honoring the ``fact`` frame
+    count). 1-2 channels throughout. Anything else — GSM, MP3-in-WAV,
+    >2 channels — raises NotImplementedError (the soundfile/torchaudio
+    seam)."""
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":

@@ -463,14 +463,19 @@ def _m1_payload_frames(spark, sf_dir):
             # are multiples of 4, so the mode selector is d//4.)
             mode = (d // 4) % 9
             if mode == 0:
+                # restart interval varied via d//4 (doc_ids are
+                # multiples of 4; d % 4 would always be 0)
                 blob = encode_jpeg_gray(bw * 8, bh * 8, img.tobytes(),
-                                        restart_every=d % 4)
+                                        restart_every=(d // 4) % 4)
             elif mode == 5:
                 from rlis2osm_spark.functions.codecs import (
                     encode_jpeg_arith_gray)
 
+                # doc_ids are multiples of 4, so vary the restart
+                # interval via d//4 (d % 4 would always be 0 and the
+                # gate would never exercise the QM restart path)
                 blob = encode_jpeg_arith_gray(bw * 8, bh * 8, img.tobytes(),
-                                              restart_every=d % 4)
+                                              restart_every=(d // 4) % 4)
             elif mode == 6:
                 from rlis2osm_spark.functions.codecs import (
                     encode_jpeg_arith_progressive)

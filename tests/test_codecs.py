@@ -1956,3 +1956,83 @@ def test_jpeg_hierarchical_exact_roundtrip():
     full = C.encode_jpeg_hierarchical(16, 16, bytes(range(256)))
     with pytest.raises(ValueError):
         C.decode_jpeg_gray(full[:len(full) - 8])
+
+
+def test_jpeg_hierarchical_single_axis_exp():
+    """A conformant pyramid may expand only one axis per EXP (Eh=1,Ev=0
+    or Eh=0,Ev=1) — the filter must leave the other axis untouched
+    (review r6: the both-axes-then-crop shortcut silently decoded
+    garbage). Built by hand: SOF9 base at half-width/full-height, EXP
+    0x10, SOF15 differential at full size."""
+    import struct as _st
+
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(23)
+    w, h = 20, 12
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8).astype(np.int64)
+    w2 = (w + 1) // 2
+    half = img[:, 0::2].astype(np.uint8)  # decimate horizontally only
+
+    base = C.encode_jpeg_arith_gray(w2, h, half.tobytes())
+    _, _, bpx = C.decode_jpeg_gray(base)
+    ref = np.frombuffer(bpx, np.uint8).reshape(h, w2).astype(np.int64)
+    up = C._hier_upsample(ref, h, w, eh=1, ev=0)
+    diff = (img - up) % 65536
+    sdiff = np.where(diff >= 32768, diff - 65536, diff)
+
+    enc = C._ArithEncoder()
+    stats = bytearray(164)
+    coded = np.zeros((h, w), dtype=np.int32)
+    for y in range(h):
+        for x in range(w):
+            d = int(sdiff[y, x])
+            coded[y, x] = d
+            da = int(coded[y, x - 1]) if x > 0 else 0
+            db = int(coded[y - 1, x]) if y > 0 else 0
+            ca, cb = C._lossless_cls(da, 0, 1), C._lossless_cls(db, 0, 1)
+            C._arith_code_lossless(enc, stats, 4 * (ca * 5 + cb),
+                                   100 + 32 * (cb >= 3), d)
+
+    def seg(marker, body):
+        return (bytes([0xFF, marker])
+                + _st.pack(">H", len(body) + 2) + body)
+
+    blob = (b"\xff\xd8"
+            + seg(0xDE, _st.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            + base[2:-2]
+            + seg(0xDF, bytes([0x10]))  # horizontal-only expansion
+            + seg(0xCF, _st.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            + seg(0xCC, bytes([0x00, 0x10]))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+            + enc.flush() + b"\xff\xd9")
+    assert C.decode_jpeg_gray(blob) == (w, h, img.astype(np.uint8).tobytes())
+
+    # a DAC segment placed BEFORE the SOF15 header (B.2 placement) must
+    # be honored, and DRI in a differential frame refuses loudly
+    blob2 = (b"\xff\xd8"
+             + seg(0xDE, _st.pack(">BHHB", 8, h, w, 1)
+                   + bytes([1, 0x11, 0]))
+             + base[2:-2]
+             + seg(0xDF, bytes([0x10]))
+             + seg(0xCC, bytes([0x00, 0x10]))  # DAC before the frame
+             + seg(0xCF, _st.pack(">BHHB", 8, h, w, 1)
+                   + bytes([1, 0x11, 0]))
+             + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+             + enc.flush() + b"\xff\xd9")
+    assert C.decode_jpeg_gray(blob2) == (w, h,
+                                         img.astype(np.uint8).tobytes())
+    blob3 = (b"\xff\xd8"
+             + seg(0xDE, _st.pack(">BHHB", 8, h, w, 1)
+                   + bytes([1, 0x11, 0]))
+             + base[2:-2]
+             + seg(0xDF, bytes([0x10]))
+             + seg(0xCF, _st.pack(">BHHB", 8, h, w, 1)
+                   + bytes([1, 0x11, 0]))
+             + seg(0xDD, _st.pack(">H", 4))  # DRI inside the frame
+             + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+             + enc.flush() + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="restart"):
+        C.decode_jpeg_gray(blob3)
