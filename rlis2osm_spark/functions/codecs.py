@@ -16,8 +16,10 @@
   point transform), sequential arithmetic (SOF9: Annex E QM-coder
   probability state machine + Annex F DC/AC statistical models, DAC
   conditioning, r6), progressive arithmetic (SOF10: Annex G scan
-  procedures over the QM coder, r6) AND lossless arithmetic (SOF11:
-  Annex H (Da,Db)-conditioned difference model, r6), grayscale and
+  procedures over the QM coder, r6), lossless arithmetic (SOF11:
+  Annex H (Da,Db)-conditioned difference model, r6) AND extended
+  sequential (SOF1: 8/12-bit with extended-range DHT tables, r6),
+  grayscale and
   interleaved multi-component color with full-RGB output
   (nearest/bilinear chroma upsampling), any sampling layout, restart
   intervals, fill bytes, strict truncation detection;
@@ -30,11 +32,12 @@
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
 ``NotImplementedError`` seams (see COVERAGE.md "Codec capability
-matrix"): huffman/DCT differential frames and 12-bit-huffman JPEG
-(hierarchical pyramids decode via SOF15 differentials; 12-bit decodes
-through the arithmetic modes; lossless-arithmetic spans precision
-2-16), compressed non-MJPG video codecs (uncompressed DIB AVI decodes
-natively, r5), JPEG/PNG-in-BMP, GSM WAV.
+matrix"): DCT differential frames (SOF5/6/13/14 — hierarchical
+pyramids decode via SOF15 arithmetic or SOF7 huffman lossless
+differentials; extended-sequential SOF1 decodes at 8- and 12-bit;
+lossless-arithmetic spans precision 2-16), compressed non-MJPG video
+codecs (uncompressed DIB AVI decodes natively, r5), JPEG/PNG-in-BMP,
+GSM WAV.
 """
 
 from __future__ import annotations
@@ -734,6 +737,19 @@ _JPEG_AC_VALS = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
+# Extended-sequential (SOF1) 12-bit tables: Annex K's typical tables
+# only reach DC category 11 / AC size 10, but 12-bit samples need DC
+# categories to 15 and AC sizes to 14 (T.81 F.1.2.1.1 extends SSSS at
+# 12-bit precision). T.81 ships no "typical" 12-bit tables, so these
+# are simple valid canonical codes with Kraft slack: all 16 DC symbols
+# at length 5 (16/32), all 226 AC symbols — EOB, ZRL, run 0-15 x size
+# 1-14 — at length 9 (226/512); neither code reaches all-ones.
+_JPEG_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC12_VALS = list(range(16))
+_JPEG_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)]
+
 
 def _huff_codes(bits, vals):
     """Canonical huffman: value -> (code, length)."""
@@ -808,6 +824,48 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
     if len(pixels) != width * height:
         raise ValueError("pixels must be width*height bytes")
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    return _encode_sequential_gray(img, 8, restart_every, 0xC0)
+
+
+def encode_jpeg_ext_gray(width: int, height: int, pixels: bytes,
+                         restart_every: int = 0,
+                         precision: int = 12) -> bytes:
+    """EXTENDED sequential grayscale JPEG (SOF1 = 0xC1; huffman, r6).
+    Identical scan structure to baseline; at ``precision`` = 12 the
+    level shift is 2048 and the DHT segments carry the extended-range
+    tables (DC categories to 15, AC sizes to 14 — Annex K stops at
+    11/10). ``pixels`` is width*height bytes at precision 8 or
+    little-endian uint16 samples in 0..4095 at precision 12 (same
+    convention as :func:`encode_jpeg_arith_gray`); decode via
+    :func:`decode_jpeg_gray` / :func:`decode_jpeg_gray12`. Same
+    even-constant-block exactness contract as :func:`encode_jpeg_gray`
+    (q00=16 divides (v - 2^(P-1))*8 for even v at either precision)."""
+    import numpy as np
+
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12:
+        if len(pixels) != width * height * 2:
+            raise ValueError(
+                "pixels must be width*height uint16-LE samples at 12-bit")
+        img = np.frombuffer(pixels, dtype="<u2").reshape(height, width)
+        if int(img.max(initial=0)) > 4095:
+            raise ValueError("12-bit samples must be in 0..4095")
+    else:
+        if len(pixels) != width * height:
+            raise ValueError("pixels must be width*height bytes")
+        img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    return _encode_sequential_gray(img, precision, restart_every, 0xC1)
+
+
+def _encode_sequential_gray(img, prec: int, restart_every: int,
+                            sof_marker: int) -> bytes:
+    """Shared SOF0/SOF1 sequential grayscale emitter: level shift
+    2^(prec-1), Annex K quant, typical tables at 8-bit / extended-range
+    tables at 12-bit."""
+    import numpy as np
+
+    height, width = img.shape
     bh, bw = (height + 7) // 8, (width + 7) // 8
     padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
     padded[:height, :width] = img
@@ -816,9 +874,16 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
 
     C = _dct_matrix()
     q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
-    dc_tab = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_tab = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    if prec == 8:
+        dc_bits, dc_vals = _JPEG_DC_BITS, _JPEG_DC_VALS
+        ac_bits, ac_vals = _JPEG_AC_BITS, _JPEG_AC_VALS
+    else:
+        dc_bits, dc_vals = _JPEG_DC12_BITS, _JPEG_DC12_VALS
+        ac_bits, ac_vals = _JPEG_AC12_BITS, _JPEG_AC12_VALS
+    dc_tab = _huff_codes(dc_bits, dc_vals)
+    ac_tab = _huff_codes(ac_bits, ac_vals)
     zz = _JPEG_ZIGZAG
+    shift = float(1 << (prec - 1))
 
     w = _BitWriter()
     prev_dc = 0
@@ -832,7 +897,7 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
                 rst += 1
                 prev_dc = 0
             mcu += 1
-            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - shift
             coef = C @ block @ C.T
             quant = np.round(coef / q).astype(np.int64)
             flat = quant.reshape(-1)
@@ -872,12 +937,10 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
 
     dqt = seg(0xDB, bytes([0x00]) + bytes(
         _JPEG_QTABLE[zz[i]] for i in range(64)))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1)
+    sof = seg(sof_marker, struct.pack(">BHHB", prec, height, width, 1)
               + bytes([1, 0x11, 0]))
-    dht = (seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
-               + bytes(_JPEG_DC_VALS))
-           + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
-                 + bytes(_JPEG_AC_VALS)))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+           + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)))
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     dri = (seg(0xDD, struct.pack(">H", restart_every))
            if restart_every else b"")
@@ -2250,16 +2313,16 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     Parses DQT/SOF/DHT/SOS/DRI from the stream (any conformant file, not
     just our encoder's — 0xFF fill bytes per T.81 B.1.1.2 included),
     huffman-decodes, dequantizes, inverse-DCTs with numpy. Handles
-    baseline (SOF0), progressive (SOF2, r5), lossless (SOF3, r5), the
-    arithmetic modes SOF9/10/11 (r6) and DHP hierarchical pyramids with
-    SOF15 differentials (r6), grayscale AND interleaved multi-component
-    color (any sampling-factor layout — 4:4:4, 4:2:0, 4:2:2, ... — with
-    the luma component at full resolution); the output is the LUMA
-    plane (Y is BT.601 luma directly — chroma components are decoded to
-    keep the stream in sync and discarded). Extended-sequential (SOF1),
-    huffman/DCT differential frames, 16-bit quant tables and
-    subsampled-luma layouts raise NotImplementedError — the documented
-    codec seam; 12-bit streams raise ValueError toward
+    baseline (SOF0), extended sequential (SOF1, r6), progressive (SOF2,
+    r5), lossless (SOF3, r5), the arithmetic modes SOF9/10/11 (r6) and
+    DHP hierarchical pyramids with SOF15 differentials (r6), grayscale
+    AND interleaved multi-component color (any sampling-factor layout —
+    4:4:4, 4:2:0, 4:2:2, ... — with the luma component at full
+    resolution); the output is the LUMA plane (Y is BT.601 luma
+    directly — chroma components are decoded to keep the stream in sync
+    and discarded). Huffman/DCT differential frames, 16-bit quant
+    tables and subsampled-luma layouts raise NotImplementedError — the
+    documented codec seam; 12-bit streams raise ValueError toward
     :func:`decode_jpeg_gray12`. Malformed / truncated input raises
     ValueError."""
     import numpy as np
@@ -2278,10 +2341,10 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_jpeg_gray12(data: bytes) -> tuple[int, int, bytes]:
-    """12-bit-precision JPEG (r6; sequential arithmetic SOF9) ->
-    (width, height, little-endian uint16 LUMA samples clamped to
-    0..4095). 8-bit streams decode too (their samples simply stay
-    within 0..255)."""
+    """12-bit-precision JPEG (r6; sequential arithmetic SOF9 and
+    extended-sequential huffman SOF1) -> (width, height, little-endian
+    uint16 LUMA samples clamped to 0..4095). 8-bit streams decode too
+    (their samples simply stay within 0..255)."""
     import numpy as np
 
     try:
@@ -2308,10 +2371,10 @@ def decode_jpeg(data: bytes, upsample: str = "nearest",
     choice our oracles use — or ``"bilinear"``, the
     centered-sample triangular filter), then converted per the JFIF
     YCbCr<->RGB matrix with floor(x+0.5) rounding and [0,255] clamping.
-    Baseline, progressive (r5), lossless, the arithmetic modes
-    SOF9/10/11 and DHP pyramids (r6) all decode; same seam as
-    :func:`decode_jpeg_gray` for extended-sequential and huffman/DCT
-    differential streams; ValueError on malformed input."""
+    Baseline, extended-sequential, progressive (r5), lossless, the
+    arithmetic modes SOF9/10/11 and DHP pyramids (r6) all decode; same
+    seam as :func:`decode_jpeg_gray` for huffman/DCT differential
+    streams; ValueError on malformed input."""
     import numpy as np
 
     if upsample not in ("nearest", "bilinear"):
@@ -2423,12 +2486,21 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
                     raise NotImplementedError("16-bit quant tables")
                 qtables[tq] = list(body[i + 1:i + 65])
                 i += 65
-        elif marker == 0xC0:
-            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+        elif marker in (0xC0, 0xC1):
+            # SOF0 baseline and SOF1 extended sequential share the scan
+            # structure; extended adds 12-bit precision (r6) and table
+            # ids 2-3 (the huff dict is id-agnostic already)
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if marker == 0xC0 and prec != 8:
+                raise ValueError("baseline (SOF0) precision must be 8")
+            if prec not in (8, 12):
+                raise ValueError(
+                    f"extended-sequential precision must be 8 or 12, "
+                    f"got {prec}")
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                              "tq": tq})
+                              "tq": tq, "prec": prec})
         elif marker == 0xC2:
             # progressive DCT (SOF2): own scan loop — spectral selection
             # + successive approximation (r5)
@@ -2448,14 +2520,15 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
         elif marker == 0xDE:
             # hierarchical pyramid (DHP, Annex J): frame walker (r6)
             return _decode_hierarchical(data, render_all)
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0), progressive (SOF2), "
-                "lossless (SOF3), the arithmetic modes SOF9/10/11 and "
-                "DHP hierarchical pyramids with SOF15 differentials are "
-                "supported (standalone extended-sequential and huffman/"
-                "DCT differential frames remain the codec seam)")
+                "only baseline sequential (SOF0), extended sequential "
+                "(SOF1), progressive (SOF2), lossless (SOF3), the "
+                "arithmetic modes SOF9/10/11 and DHP hierarchical "
+                "pyramids with SOF15 differentials are supported "
+                "(standalone huffman/DCT differential frames remain the "
+                "codec seam)")
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -2578,7 +2651,8 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
                         for i2 in range(64):
                             flat[zz[i2]] = seq[i2]
                         coef = flat.reshape(8, 8) * qmats[comp["tq"]]
-                        block = C.T @ coef @ C + 128.0
+                        block = (C.T @ coef @ C
+                                 + float(1 << (comp.get("prec", 8) - 1)))
                         r0 = (my * comp["v"] + by) * 8
                         c0 = (mx * comp["h"] + bx) * 8
                         plane[r0:r0 + 8, c0:c0 + 8] = block
@@ -3637,21 +3711,31 @@ def _hier_upsample(ref, out_h: int, out_w: int, eh: int = 1,
     return up[:out_h, :out_w]
 
 
-def encode_jpeg_hierarchical(width: int, height: int,
-                             pixels: bytes) -> bytes:
+def encode_jpeg_hierarchical(width: int, height: int, pixels: bytes,
+                             entropy: str = "arith",
+                             restart_every: int = 0) -> bytes:
     """HIERARCHICAL JPEG (T.81 Annex J), grayscale 8-bit, two-level
     pyramid: a DHP segment declares the full-resolution frame, the
-    first (non-differential) frame is sequential-arithmetic SOF9 at
-    half resolution, an EXP segment signals 2x expansion in both axes
-    (J.1.1.3 bilinear filter), and the final frame is DIFFERENTIAL
-    LOSSLESS ARITHMETIC (SOF15): the mod-65536 difference between the
-    source and the expanded reference, coded sample-by-sample with the
-    Annex H conditioning model (prediction is zero in differential
-    frames). Lossy base + lossless refinement means the overall decode
-    reproduces the input EXACTLY — the differential pin the tests
-    hold."""
+    first (non-differential) frame is a half-resolution sequential
+    stream, an EXP segment signals 2x expansion in both axes (J.1.1.3
+    bilinear filter), and the final frame is DIFFERENTIAL LOSSLESS:
+    the mod-65536 difference between the source and the expanded
+    reference, coded sample-by-sample. ``entropy`` picks the stack:
+    ``"arith"`` = SOF9 base + SOF15 differential with the Annex H QM
+    conditioning model; ``"huffman"`` (r6) = SOF0 base + SOF7
+    differential with the flat SSSS 0-16 lossless table (prediction is
+    zero in differential frames either way). ``restart_every`` > 0
+    (huffman only) emits DRI + RSTn every that many samples in the
+    differential scan. Lossy base + lossless refinement means the
+    overall decode reproduces the input EXACTLY — the differential pin
+    the tests hold."""
     import numpy as np
 
+    if entropy not in ("arith", "huffman"):
+        raise ValueError("entropy must be 'arith' or 'huffman'")
+    if restart_every and entropy != "huffman":
+        raise ValueError(
+            "restart_every is only supported for huffman differentials")
     if len(pixels) != width * height:
         raise ValueError("pixels must be width*height bytes")
     img = (np.frombuffer(pixels, dtype=np.uint8)
@@ -3666,10 +3750,13 @@ def encode_jpeg_hierarchical(width: int, height: int,
     half = ((pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2]
              + pad[1::2, 1::2] + 2) >> 2).astype(np.uint8)
 
-    # the base frame as a standalone SOF9 stream; reuse its segments
-    # (between SOI and EOI) verbatim and decode it locally to get the
-    # reference the decoder will reconstruct
-    base = encode_jpeg_arith_gray(w2, h2, half.tobytes())
+    # the base frame as a standalone sequential stream; reuse its
+    # segments (between SOI and EOI) verbatim and decode it locally to
+    # get the reference the decoder will reconstruct
+    if entropy == "arith":
+        base = encode_jpeg_arith_gray(w2, h2, half.tobytes())
+    else:
+        base = encode_jpeg_gray(w2, h2, half.tobytes())
     _, _, base_px = decode_jpeg_gray(base)
     ref = np.frombuffer(base_px, dtype=np.uint8).reshape(
         h2, w2).astype(np.int64)
@@ -3677,34 +3764,66 @@ def encode_jpeg_hierarchical(width: int, height: int,
     diff = (img - up) % 65536
     sdiff = np.where(diff >= 32768, diff - 65536, diff)
 
-    lo, up_c = 0, 1
-    enc = _ArithEncoder()
-    stats = bytearray(164)
-    coded = np.zeros((height, width), dtype=np.int32)
-    for y in range(height):
-        for x in range(width):
-            d = int(sdiff[y, x])
-            coded[y, x] = d
-            da = int(coded[y, x - 1]) if x > 0 else 0
-            db = int(coded[y - 1, x]) if y > 0 else 0
-            ca = _lossless_cls(da, lo, up_c)
-            cb = _lossless_cls(db, lo, up_c)
-            _arith_code_lossless(enc, stats, 4 * (ca * 5 + cb),
-                                 100 + 32 * (cb >= 3), d)
-    ecs = enc.flush()
-
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     dhp = seg(0xDE, struct.pack(">BHHB", 8, height, width, 1)
               + bytes([1, 0x11, 0]))
     exp = seg(0xDF, bytes([0x11]))  # expand 2x horizontally + vertically
-    sof15 = seg(0xCF, struct.pack(">BHHB", 8, height, width, 1)
-                + bytes([1, 0x11, 0]))
-    dac = seg(0xCC, bytes([0x00, (up_c << 4) | lo]))
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    frame_hdr = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11,
+                                                                   0])
+    if entropy == "arith":
+        lo, up_c = 0, 1
+        enc = _ArithEncoder()
+        stats = bytearray(164)
+        coded = np.zeros((height, width), dtype=np.int32)
+        for y in range(height):
+            for x in range(width):
+                d = int(sdiff[y, x])
+                coded[y, x] = d
+                da = int(coded[y, x - 1]) if x > 0 else 0
+                db = int(coded[y - 1, x]) if y > 0 else 0
+                ca = _lossless_cls(da, lo, up_c)
+                cb = _lossless_cls(db, lo, up_c)
+                _arith_code_lossless(enc, stats, 4 * (ca * 5 + cb),
+                                     100 + 32 * (cb >= 3), d)
+        ecs = enc.flush()
+        sof = seg(0xCF, frame_hdr)
+        tables = seg(0xCC, bytes([0x00, (up_c << 4) | lo]))
+        dri = b""
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    else:
+        ll_vals = list(range(17))  # SSSS 0..16, flat 5-bit (17 <= 32)
+        ll_bits = [0] * 16
+        ll_bits[4] = 17
+        tab = _huff_codes(ll_bits, ll_vals)
+        w = _BitWriter()
+        rst = 0
+        flat = sdiff.reshape(-1)
+        for i, dv in enumerate(flat):
+            if restart_every and i and i % restart_every == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+            d = int(dv)
+            if d == -32768:
+                code, length = tab[16]  # diff 32768, no extra bits
+                w.write(code, length)
+                continue
+            size, bits = _magnitude(d)
+            code, length = tab[size]
+            w.write(code, length)
+            if size:
+                w.write(bits, size)
+        w.flush()
+        ecs = bytes(w.out)
+        sof = seg(0xC7, frame_hdr)
+        tables = seg(0xC4, bytes([0x00]) + bytes(ll_bits) + bytes(ll_vals))
+        dri = (seg(0xDD, struct.pack(">H", restart_every))
+               if restart_every else b"")
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
     return (b"\xff\xd8" + dhp + base[2:-2] + exp
-            + sof15 + dac + sos + ecs + b"\xff\xd9")
+            + sof + tables + dri + sos + ecs + b"\xff\xd9")
 
 
 def _decode_hierarchical(data: bytes, render_all: bool):
@@ -3712,10 +3831,11 @@ def _decode_hierarchical(data: bytes, render_all: bool):
     ``_decode_jpeg_planes`` tuple. Walks the frame sequence: the first
     non-differential frame decodes through the normal SOF dispatch (its
     segments are re-wrapped as a standalone stream), EXP expands the
-    reference per J.1.1.3, and differential lossless arithmetic (SOF15)
-    frames add mod-65536 QM-coded sample differences. Huffman
-    differential frames (SOF5-7) and differential DCT frames
-    (SOF13/14) raise NotImplementedError."""
+    reference per J.1.1.3, and differential lossless frames add
+    mod-65536 sample differences — QM-coded (SOF15) or huffman-coded
+    (SOF7, r6: lossless SSSS categories 0-16, no prediction, RSTn
+    splitting honored). Differential DCT frames (SOF5/6/13/14) raise
+    NotImplementedError."""
     import numpy as np
 
     # DHP header
@@ -3726,6 +3846,17 @@ def _decode_hierarchical(data: bytes, render_all: bool):
     pending: list[tuple[int, bytes]] = []  # segments of the base frame
     exp_pending = None
     dc_cond: dict[int, tuple[int, int]] = {}
+    hier_huff: dict[tuple[int, int], dict] = {}
+
+    def _parse_dht(b2):
+        i = 0
+        while i < len(b2):
+            tc, th = b2[i] >> 4, b2[i] & 0x0F
+            bits = list(b2[i + 1:i + 17])
+            n = sum(bits)
+            vals = list(b2[i + 17:i + 17 + n])
+            hier_huff[(tc, th)] = _huff_decode_tree(bits, vals)
+            i += 17 + n
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -3756,12 +3887,14 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                 raise ValueError("EXP before any reference frame")
             eh, ev = body[0] >> 4, body[0] & 0x0F
             exp_pending = (eh, ev)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE):
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
             raise NotImplementedError(
-                "huffman/DCT differential frames (SOF5-7/13/14) are the "
-                "remaining hierarchical seam — only differential "
-                "lossless arithmetic (SOF15) decodes")
-        elif marker == 0xCF:
+                "DCT differential frames (SOF5/6/13/14) are the "
+                "remaining hierarchical seam — differential lossless "
+                "decodes in both entropy modes (SOF7 huffman, SOF15 "
+                "arithmetic)")
+        elif marker in (0xC7, 0xCF):
+            is_arith = marker == 0xCF
             fprec, fh, fw, fncomp = struct.unpack(">BHHB", body[:6])
             if fprec != 8 or fncomp != 1:
                 raise NotImplementedError(
@@ -3790,6 +3923,8 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                             cs = b2[i + 1]
                             dc_cond[tb] = (cs & 0x0F, cs >> 4)
                         i += 2
+                elif mk == 0xC4:
+                    _parse_dht(b2)
                 elif mk == 0xDD:
                     (dri,) = struct.unpack(">H", b2[:2])
             pending = []
@@ -3812,11 +3947,14 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                             cs = b2[i + 1]
                             dc_cond[tb] = (cs & 0x0F, cs >> 4)
                         i += 2
+                elif m2 == 0xC4:
+                    _parse_dht(b2)
                 elif m2 == 0xDD:
                     (dri,) = struct.unpack(">H", b2[:2])
                 elif m2 == 0xDA:
-                    end = _scan_arith_entropy_end(data, pos)
-                    if end >= len(data):
+                    end = (_scan_arith_entropy_end(data, pos) if is_arith
+                           else _scan_entropy_end(data, pos))
+                    if is_arith and end >= len(data):
                         raise ValueError(
                             "JPEG entropy data truncated (arithmetic "
                             "segment has no terminating marker)")
@@ -3825,29 +3963,66 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                     break
             if sos_scan is None:
                 raise ValueError("differential frame missing SOS")
-            if dri:
-                # restart-interval state-reset semantics in differential
-                # lossless frames have no second implementation to
-                # differ against here — refuse loudly rather than feed
-                # RSTn bytes to the QM decoder as 1-bit markers
-                raise NotImplementedError(
-                    "restart intervals in differential lossless frames "
-                    "are not supported")
             tdc, ecs = sos_scan
-            lo, up_c = dc_cond.get(tdc, (0, 1))
-            dec = _ArithDecoder(ecs)
-            stats = bytearray(164)
-            coded = np.zeros((fh, fw), dtype=np.int32)
-            for y in range(fh):
-                for x in range(fw):
-                    da = int(coded[y, x - 1]) if x > 0 else 0
-                    db = int(coded[y - 1, x]) if y > 0 else 0
-                    ca = _lossless_cls(da, lo, up_c)
-                    cb = _lossless_cls(db, lo, up_c)
-                    d = _arith_decode_lossless_diff(
-                        dec, stats, 4 * (ca * 5 + cb),
-                        100 + 32 * (cb >= 3))
-                    coded[y, x] = d
+            if is_arith:
+                if dri:
+                    # restart-interval state-reset semantics in QM-coded
+                    # differential frames have no second implementation
+                    # to differ against here — refuse loudly rather than
+                    # feed RSTn bytes to the QM decoder as 1-bit markers
+                    raise NotImplementedError(
+                        "restart intervals in differential "
+                        "lossless-arithmetic frames are not supported")
+                lo, up_c = dc_cond.get(tdc, (0, 1))
+                dec = _ArithDecoder(ecs)
+                stats = bytearray(164)
+                coded = np.zeros((fh, fw), dtype=np.int32)
+                for y in range(fh):
+                    for x in range(fw):
+                        da = int(coded[y, x - 1]) if x > 0 else 0
+                        db = int(coded[y - 1, x]) if y > 0 else 0
+                        ca = _lossless_cls(da, lo, up_c)
+                        cb = _lossless_cls(db, lo, up_c)
+                        d = _arith_decode_lossless_diff(
+                            dec, stats, 4 * (ca * 5 + cb),
+                            100 + 32 * (cb >= 3))
+                        coded[y, x] = d
+            else:
+                # SOF7 differential lossless huffman (r6): SSSS 0-16
+                # categories, NO prediction (the reference frame is the
+                # prediction); restarts are stateless byte realignments
+                # (nothing to reset — split and continue)
+                tab = hier_huff.get((0, tdc))
+                if tab is None:
+                    raise ValueError(
+                        "differential scan references an undefined "
+                        "huffman table (missing DHT)")
+                intervals = _split_restart_intervals(ecs)
+                if len(intervals) > 1 and not dri:
+                    raise ValueError(
+                        "restart markers present but no DRI segment")
+                coded = np.zeros((fh, fw), dtype=np.int64)
+                n_samp = fh * fw
+                done = 0
+                for ci, chunk in enumerate(intervals):
+                    reader = _BitReader(chunk)
+                    in_chunk = (dri if dri and ci < len(intervals) - 1
+                                else n_samp - done)
+                    for _ in range(in_chunk):
+                        if done >= n_samp:
+                            break
+                        size = _read_huff(reader, tab)
+                        d = (32768 if size == 16
+                             else _extend(reader.read_bits(size), size))
+                        yy, xx = divmod(done, fw)
+                        coded[yy, xx] = d
+                        done += 1
+                        if reader.consumed_synthetic():
+                            raise ValueError(
+                                "JPEG entropy data truncated "
+                                "(differential lossless scan)")
+                if done < n_samp:
+                    raise ValueError("JPEG entropy data truncated")
             ref = (ref + coded) % 65536
         elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB, 0xC1):
             # non-differential frame: collect its segments (DQT etc.

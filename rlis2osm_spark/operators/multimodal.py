@@ -11,14 +11,15 @@ shapes, partitioning, the UDF signatures. The codec step:
   (pure-Python LZW, r4), JPEG — baseline, progressive (SOF2 spectral
   selection + successive approximation, r5), lossless (SOF3, r5), the
   full arithmetic triad SOF9/10/11 (T.81 Annex E QM-coder + Annex G/H
-  models, r6) AND hierarchical DHP pyramids with SOF15 differentials
-  (r6), grayscale AND interleaved color, any sampling layout, full-RGB
+  models, r6), extended-sequential SOF1 (r6) AND hierarchical DHP
+  pyramids with SOF15 arithmetic or SOF7 huffman differentials (r6),
+  grayscale AND interleaved color, any sampling layout, full-RGB
   output with nearest/bilinear chroma upsampling (pure Python + numpy
   huffman/DCT, r4; chroma + progressive r5) — MJPEG-AVI video and WAV
   (struct over RIFF) via functions/codecs.py; what remains behind
-  ``NotImplementedError`` is huffman/DCT differential frames,
-  12-bit-huffman JPEG and compressed non-MJPG video codecs — the exact
-  seam where PIL / pyav plug in.
+  ``NotImplementedError`` is DCT differential frames (SOF5/6/13/14)
+  and compressed non-MJPG video codecs — the exact seam where PIL /
+  pyav plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -112,11 +113,12 @@ def extract_image_features(
 
                 if fmt == "jpeg":
                     # decode_jpeg raises NotImplementedError itself for
-                    # huffman/DCT-differential and extended-sequential
-                    # streams — the remaining seam; color is full RGB
-                    # (r5, nearest chroma upsample), progressive and
-                    # lossless decode for real (r5), the arithmetic
-                    # triad SOF9/10/11 and DHP pyramids for real (r6)
+                    # DCT-differential streams (SOF5/6/13/14) — the
+                    # remaining seam; color is full RGB (r5, nearest
+                    # chroma upsample), progressive and lossless decode
+                    # for real (r5), the arithmetic triad SOF9/10/11,
+                    # extended-sequential SOF1 and DHP pyramids (both
+                    # differential entropy modes) for real (r6)
                     w, h, nch, px = decode_jpeg(b)
                 elif fmt == "png":
                     # gray/RGB/palette/alpha at depths 1-8, Adam7 (r5);

@@ -458,10 +458,15 @@ def _m1_payload_frames(spark, sf_dir):
             # chain — mode 7 (r6) LOSSLESS ARITHMETIC (SOF11, Annex H
             # contexts; exact like SOF3), and mode 8 (r6) HIERARCHICAL
             # (DHP pyramid: SOF9 base + EXP + SOF15 lossless-differential
-            # refinement = exact overall). The same luma-sum oracle
-            # proves every QM decoder in the driver gate. (doc_ids here
-            # are multiples of 4, so the mode selector is d//4.)
-            mode = (d // 4) % 9
+            # refinement = exact overall). Mode 9 (r6) is EXTENDED
+            # SEQUENTIAL (SOF1 — mode 0's DCT chain under the extended
+            # SOF marker), mode 10 (r6) the HUFFMAN pyramid (SOF0 base +
+            # SOF7 lossless-huffman differential with restart intervals
+            # in the differential scan = exact overall). The same
+            # luma-sum oracle proves every decoder in the driver gate.
+            # (doc_ids here are multiples of 4, so the mode selector is
+            # d//4.)
+            mode = (d // 4) % 11
             if mode == 0:
                 # restart interval varied via d//4 (doc_ids are
                 # multiples of 4; d % 4 would always be 0)
@@ -495,6 +500,21 @@ def _m1_payload_frames(spark, sf_dir):
 
                 blob = encode_jpeg_hierarchical(bw * 8, bh * 8,
                                                 img.tobytes())
+            elif mode == 9:
+                from rlis2osm_spark.functions.codecs import (
+                    encode_jpeg_ext_gray)
+
+                blob = encode_jpeg_ext_gray(bw * 8, bh * 8, img.tobytes(),
+                                            precision=8,
+                                            restart_every=(d // 4) % 4)
+            elif mode == 10:
+                from rlis2osm_spark.functions.codecs import (
+                    encode_jpeg_hierarchical)
+
+                blob = encode_jpeg_hierarchical(bw * 8, bh * 8,
+                                                img.tobytes(),
+                                                entropy="huffman",
+                                                restart_every=(d // 4) % 4)
             elif mode == 3:
                 from rlis2osm_spark.functions.codecs import (
                     encode_jpeg_progressive)
@@ -661,7 +681,7 @@ gif_leg AS (
 ),
 jpg AS (
   SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + (doc_id // 3) % 3 AS bh,
-         (doc_id // 4) % 9 AS mode,
+         (doc_id // 4) % 11 AS mode,
          CAST(17 * (doc_id % 5 - 2) AS DOUBLE) AS cbv,
          CAST(17 * ((doc_id // 5) % 5 - 2) AS DOUBLE) AS crv
   FROM documents WHERE doc_id % 4 = 0
@@ -674,7 +694,10 @@ jpg AS (
 -- grayscale (SOF10 Annex G scans, r6) — 5 and 6 share mode 0's
 -- DCT/quant chain; mode 7: LOSSLESS ARITHMETIC (SOF11 Annex H, r6,
 -- exact like mode 4); mode 8: HIERARCHICAL (DHP + SOF9 base + SOF15
--- lossless differential, r6 — exact overall) — so the same luma sum.
+-- lossless differential, r6 — exact overall); mode 9: EXTENDED
+-- SEQUENTIAL (SOF1, r6 — mode 0's DCT chain); mode 10: HUFFMAN
+-- pyramid (SOF0 base + SOF7 lossless-huffman differential, r6 — exact
+-- overall) — so the same luma sum.
 -- modes 1/2 (4:4:4 / 4:2:0
 -- color): v = RGB sum — per-block constant Y plus per-image constant
 -- chroma (128 + 17k round-trips the chroma DC quant exactly), JFIF
@@ -684,7 +707,7 @@ jpg AS (
 jpeg_leg AS (
   SELECT 'jpeg' AS kind, 'doc:' || doc_id AS media_ref,
          CAST(bw * 8 AS INT) AS d1, CAST(bh * 8 AS INT) AS d2,
-         CAST(CASE WHEN mode IN (0, 3, 4, 5, 6, 7, 8) THEN
+         CAST(CASE WHEN mode IN (0, 3, 4, 5, 6, 7, 8, 9, 10) THEN
            64 * list_aggregate(list_transform(
                 generate_series(0, bw * bh - 1),
                 k -> 2 * ((doc_id * 13 + k * 29) % 128)), 'sum')

@@ -2036,3 +2036,100 @@ def test_jpeg_hierarchical_single_axis_exp():
              + enc.flush() + b"\xff\xd9")
     with pytest.raises(NotImplementedError, match="restart"):
         C.decode_jpeg_gray(blob3)
+
+
+def test_jpeg_extended_sequential_sof1():
+    """SOF1 extended-sequential huffman (r6): 8-bit decodes exactly like
+    baseline (same transform, different SOF marker + table ids allowed);
+    12-bit level-shifts by 2048, uses the extended-range DHT tables and
+    roundtrips via decode_jpeg_gray12; decode_jpeg_gray routes 12-bit
+    streams to ValueError; restart intervals reset the DC predictor;
+    the huffman and arithmetic entropy coders agree bit-for-bit on the
+    same image (same quant + DCT, independent entropy layers)."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(7)
+    # 8-bit: even constant blocks are exact; the stream really is SOF1
+    blocks = rng.integers(0, 128, (3, 4), dtype=np.uint8) * 2
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    h, w = img.shape
+    blob = C.encode_jpeg_ext_gray(w, h, img.tobytes(), precision=8)
+    assert b"\xff\xc1" in blob
+    assert C.decode_jpeg_gray(blob) == (w, h, img.tobytes())
+    # lossy natural image: SOF1 and SOF0 must decode identically
+    nat = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    b0 = C.encode_jpeg_gray(17, 24, nat.tobytes())
+    b1 = C.encode_jpeg_ext_gray(17, 24, nat.tobytes(), precision=8)
+    assert C.decode_jpeg_gray(b1) == C.decode_jpeg_gray(b0)
+
+    # 12-bit: even constant blocks exact through decode_jpeg_gray12,
+    # with restart intervals in play
+    blocks12 = (rng.integers(0, 2048, (2, 3)) * 2).astype("<u2")
+    img12 = np.kron(blocks12,
+                    np.ones((8, 8), dtype=np.uint16)).astype("<u2")
+    h2, w2 = img12.shape
+    blob12 = C.encode_jpeg_ext_gray(w2, h2, img12.tobytes(),
+                                    precision=12, restart_every=2)
+    assert C.decode_jpeg_gray12(blob12) == (w2, h2, img12.tobytes())
+    with pytest.raises(ValueError, match="12-bit"):
+        C.decode_jpeg_gray(blob12)
+
+    # differential: huffman (SOF1) vs QM-coder (SOF9) at 12-bit decode
+    # to the SAME samples on a lossy natural image
+    nat12 = rng.integers(0, 4096, (19, 21)).astype("<u2")
+    bh_ = C.encode_jpeg_ext_gray(21, 19, nat12.tobytes(), precision=12)
+    ba_ = C.encode_jpeg_arith_gray(21, 19, nat12.tobytes(), precision=12)
+    assert C.decode_jpeg_gray12(bh_) == C.decode_jpeg_gray12(ba_)
+
+    # truncation fails loudly, not with fabricated tail blocks
+    with pytest.raises(ValueError):
+        C.decode_jpeg_gray12(blob12[:len(blob12) - 10])
+
+
+def test_jpeg_hierarchical_huffman_differential():
+    """SOF7 differential lossless HUFFMAN pyramids (r6): SOF0 base +
+    EXP + SOF7 refinement reproduce the input exactly, with and without
+    restart intervals in the differential scan; a missing DHT is
+    malformed input; the huffman and arithmetic pyramids agree (both
+    are exact by construction)."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (21, 26), dtype=np.uint8)
+    blob = C.encode_jpeg_hierarchical(26, 21, img.tobytes(),
+                                      entropy="huffman")
+    assert b"\xff\xc7" in blob
+    assert C.decode_jpeg_gray(blob) == (26, 21, img.tobytes())
+
+    # restart intervals split the differential scan losslessly
+    blob_r = C.encode_jpeg_hierarchical(26, 21, img.tobytes(),
+                                        entropy="huffman",
+                                        restart_every=100)
+    assert blob_r != blob
+    assert C.decode_jpeg_gray(blob_r) == (26, 21, img.tobytes())
+
+    # both entropy stacks are exact, so they agree end-to-end
+    blob_a = C.encode_jpeg_hierarchical(26, 21, img.tobytes())
+    assert C.decode_jpeg_gray(blob_a) == C.decode_jpeg_gray(blob)
+
+    # stripping the differential frame's DHT (the one after SOF7) is
+    # malformed input
+    sof7_at = blob.index(b"\xff\xc7")
+    dht_at = blob.index(b"\xff\xc4", sof7_at)
+    ln = int.from_bytes(blob[dht_at + 2:dht_at + 4], "big")
+    broken = blob[:dht_at] + blob[dht_at + 2 + ln:]
+    with pytest.raises(ValueError, match="huffman table"):
+        C.decode_jpeg_gray(broken)
+
+    # truncated differential entropy data fails loudly
+    with pytest.raises(ValueError):
+        C.decode_jpeg_gray(blob[:len(blob) - 12])
+
+    # arith differentials still refuse restart intervals
+    with pytest.raises(ValueError, match="huffman"):
+        C.encode_jpeg_hierarchical(26, 21, img.tobytes(),
+                                   restart_every=4)
