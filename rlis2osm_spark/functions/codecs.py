@@ -32,8 +32,9 @@
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
 ``NotImplementedError`` seams (see COVERAGE.md "Codec capability
-matrix"): DCT differential frames (SOF5/6/13/14 — hierarchical
-pyramids decode via SOF15 arithmetic or SOF7 huffman lossless
+matrix"): differential progressive (SOF6/14) and arithmetic-DCT
+(SOF13) frames (hierarchical pyramids decode via SOF15 arithmetic or
+SOF7 huffman lossless differentials AND SOF5 huffman DCT
 differentials; extended-sequential SOF1 decodes at 8- and 12-bit;
 lossless-arithmetic spans precision 2-16), compressed non-MJPG video
 codecs (uncompressed DIB AVI decodes natively, r5), JPEG/PNG-in-BMP,
@@ -3713,7 +3714,8 @@ def _hier_upsample(ref, out_h: int, out_w: int, eh: int = 1,
 
 def encode_jpeg_hierarchical(width: int, height: int, pixels: bytes,
                              entropy: str = "arith",
-                             restart_every: int = 0) -> bytes:
+                             restart_every: int = 0,
+                             differential: str = "lossless") -> bytes:
     """HIERARCHICAL JPEG (T.81 Annex J), grayscale 8-bit, two-level
     pyramid: a DHP segment declares the full-resolution frame, the
     first (non-differential) frame is a half-resolution sequential
@@ -3726,13 +3728,25 @@ def encode_jpeg_hierarchical(width: int, height: int, pixels: bytes,
     differential with the flat SSSS 0-16 lossless table (prediction is
     zero in differential frames either way). ``restart_every`` > 0
     (huffman only) emits DRI + RSTn every that many samples in the
-    differential scan. Lossy base + lossless refinement means the
-    overall decode reproduces the input EXACTLY — the differential pin
-    the tests hold."""
+    differential scan. ``differential`` = ``"lossless"`` (above) or
+    ``"dct"`` (r6, huffman only): a SOF5 differential sequential DCT
+    frame — the DCT of (input - reference) quantized with the Annex K
+    table, no level shift, no DC prediction (T.81 J.1.1.2); lossy in
+    general, exact when the per-block differences are DCT-exact (even
+    constant blocks — the analytic-oracle path). With the lossless
+    differential, lossy base + lossless refinement means the overall
+    decode reproduces the input EXACTLY — the differential pin the
+    tests hold."""
     import numpy as np
 
     if entropy not in ("arith", "huffman"):
         raise ValueError("entropy must be 'arith' or 'huffman'")
+    if differential not in ("lossless", "dct"):
+        raise ValueError("differential must be 'lossless' or 'dct'")
+    if differential == "dct" and entropy != "huffman":
+        raise NotImplementedError(
+            "arithmetic DCT differentials (SOF13) are the remaining "
+            "hierarchical seam — use entropy='huffman' for SOF5")
     if restart_every and entropy != "huffman":
         raise ValueError(
             "restart_every is only supported for huffman differentials")
@@ -3792,6 +3806,45 @@ def encode_jpeg_hierarchical(width: int, height: int, pixels: bytes,
         tables = seg(0xCC, bytes([0x00, (up_c << 4) | lo]))
         dri = b""
         sos = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    elif differential == "dct":
+        # SOF5: DCT of the (already signed) spatial difference, no level
+        # shift, PRED=0 per block (T.81 J.1.1.2); Annex K quant + typical
+        # tables (differential coefficients stay inside their SSSS range:
+        # |diff| <= 255 -> |DCT| <= 2040 -> quantized sizes <= 8)
+        bh2, bw2 = -(-height // 8), -(-width // 8)
+        dpad = np.zeros((bh2 * 8, bw2 * 8), dtype=np.float64)
+        dpad[:height, :width] = sdiff
+        dpad[height:, :width] = sdiff[-1:, :]
+        dpad[:, width:] = dpad[:, width - 1:width]
+        qmat = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+        dc_tab = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_tab = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+        w = _BitWriter()
+        rst = 0
+        nb = 0
+        for by in range(bh2):
+            for bx in range(bw2):
+                if restart_every and nb and nb % restart_every == 0:
+                    w.flush()
+                    w.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                nb += 1
+                _encode_block(
+                    w, dpad[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8],
+                    qmat, dc_tab, ac_tab, 0)
+        w.flush()
+        ecs = bytes(w.out)
+        zz = _JPEG_ZIGZAG
+        sof = seg(0xC5, frame_hdr)
+        tables = (seg(0xDB, bytes([0x00]) + bytes(
+                      _JPEG_QTABLE[zz[i]] for i in range(64)))
+                  + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                        + bytes(_JPEG_DC_VALS))
+                  + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                        + bytes(_JPEG_AC_VALS)))
+        dri = (seg(0xDD, struct.pack(">H", restart_every))
+               if restart_every else b"")
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     else:
         ll_vals = list(range(17))  # SSSS 0..16, flat 5-bit (17 <= 32)
         ll_bits = [0] * 16
@@ -3847,6 +3900,7 @@ def _decode_hierarchical(data: bytes, render_all: bool):
     exp_pending = None
     dc_cond: dict[int, tuple[int, int]] = {}
     hier_huff: dict[tuple[int, int], dict] = {}
+    hier_q: dict[int, list[int]] = {}
 
     def _parse_dht(b2):
         i = 0
@@ -3857,6 +3911,15 @@ def _decode_hierarchical(data: bytes, render_all: bool):
             vals = list(b2[i + 17:i + 17 + n])
             hier_huff[(tc, th)] = _huff_decode_tree(bits, vals)
             i += 17 + n
+
+    def _parse_dqt(b2):
+        i = 0
+        while i < len(b2):
+            pq, tq = b2[i] >> 4, b2[i] & 0x0F
+            if pq != 0:
+                raise NotImplementedError("16-bit quant tables")
+            hier_q[tq] = list(b2[i + 1:i + 65])
+            i += 65
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -3887,18 +3950,21 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                 raise ValueError("EXP before any reference frame")
             eh, ev = body[0] >> 4, body[0] & 0x0F
             exp_pending = (eh, ev)
-        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
+        elif marker in (0xC6, 0xCD, 0xCE):
             raise NotImplementedError(
-                "DCT differential frames (SOF5/6/13/14) are the "
-                "remaining hierarchical seam — differential lossless "
-                "decodes in both entropy modes (SOF7 huffman, SOF15 "
-                "arithmetic)")
-        elif marker in (0xC7, 0xCF):
+                "differential progressive (SOF6/14) and arithmetic DCT "
+                "(SOF13) frames are the remaining hierarchical seam — "
+                "differential lossless decodes in both entropy modes "
+                "(SOF7 huffman, SOF15 arithmetic) and differential "
+                "sequential DCT via SOF5 huffman")
+        elif marker in (0xC5, 0xC7, 0xCF):
             is_arith = marker == 0xCF
+            is_dct = marker == 0xC5
             fprec, fh, fw, fncomp = struct.unpack(">BHHB", body[:6])
             if fprec != 8 or fncomp != 1:
                 raise NotImplementedError(
                     "differential frames must be 8-bit single-component")
+            ftq = body[8]
             if ref is None:
                 raise ValueError("differential frame without a reference")
             if exp_pending:
@@ -3925,6 +3991,8 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                         i += 2
                 elif mk == 0xC4:
                     _parse_dht(b2)
+                elif mk == 0xDB:
+                    _parse_dqt(b2)
                 elif mk == 0xDD:
                     (dri,) = struct.unpack(">H", b2[:2])
             pending = []
@@ -3949,6 +4017,8 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                         i += 2
                 elif m2 == 0xC4:
                     _parse_dht(b2)
+                elif m2 == 0xDB:
+                    _parse_dqt(b2)
                 elif m2 == 0xDD:
                     (dri,) = struct.unpack(">H", b2[:2])
                 elif m2 == 0xDA:
@@ -3958,12 +4028,13 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                         raise ValueError(
                             "JPEG entropy data truncated (arithmetic "
                             "segment has no terminating marker)")
-                    sos_scan = (b2[2] >> 4, data[pos:end])
+                    sos_scan = (b2[2], data[pos:end])
                     pos = end
                     break
             if sos_scan is None:
                 raise ValueError("differential frame missing SOS")
-            tdc, ecs = sos_scan
+            tt_scan, ecs = sos_scan
+            tdc = tt_scan >> 4
             if is_arith:
                 if dri:
                     # restart-interval state-reset semantics in QM-coded
@@ -3987,6 +4058,77 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                             dec, stats, 4 * (ca * 5 + cb),
                             100 + 32 * (cb >= 3))
                         coded[y, x] = d
+            elif is_dct:
+                # SOF5 differential sequential DCT huffman (r6, T.81
+                # J.1.1.2): the DCT of (input - reference), coded like a
+                # baseline scan but with NO level shift and NO DC
+                # prediction (the reference frame is the prediction), so
+                # restarts are stateless byte realignments here too
+                dc_tab = hier_huff.get((0, tt_scan >> 4))
+                ac_tab = hier_huff.get((1, tt_scan & 0x0F))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError(
+                        "differential scan references an undefined "
+                        "huffman table (missing DHT)")
+                qvals = hier_q.get(ftq)
+                if qvals is None:
+                    raise ValueError(
+                        "differential DCT frame references an undefined "
+                        "quant table (missing DQT)")
+                zz = _JPEG_ZIGZAG
+                flatq = np.empty(64)
+                for i in range(64):
+                    flatq[zz[i]] = qvals[i]
+                qmat = flatq.reshape(8, 8)
+                Cm = _dct_matrix()
+                bxs, bys = -(-fw // 8), -(-fh // 8)
+                n_blocks = bxs * bys
+                dplane = np.zeros((bys * 8, bxs * 8), dtype=np.float64)
+                intervals = _split_restart_intervals(ecs)
+                if len(intervals) > 1 and not dri:
+                    raise ValueError(
+                        "restart markers present but no DRI segment")
+                done = 0
+                for ci, chunk in enumerate(intervals):
+                    reader = _BitReader(chunk)
+                    in_chunk = (dri if dri and ci < len(intervals) - 1
+                                else n_blocks - done)
+                    for _ in range(in_chunk):
+                        if done >= n_blocks:
+                            break
+                        size = _read_huff(reader, dc_tab)
+                        dc = _extend(reader.read_bits(size), size)
+                        seq = [0] * 64
+                        seq[0] = dc
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff(reader, ac_tab)
+                            run, sz = rs >> 4, rs & 0x0F
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            seq[k] = _extend(reader.read_bits(sz), sz)
+                            k += 1
+                        flat = np.zeros(64)
+                        for i2 in range(64):
+                            flat[zz[i2]] = seq[i2]
+                        coef = flat.reshape(8, 8) * qmat
+                        by, bx = divmod(done, bxs)
+                        dplane[by * 8:(by + 1) * 8,
+                               bx * 8:(bx + 1) * 8] = Cm.T @ coef @ Cm
+                        done += 1
+                        if reader.consumed_synthetic():
+                            raise ValueError(
+                                "JPEG entropy data truncated "
+                                "(differential DCT scan)")
+                if done < n_blocks:
+                    raise ValueError("JPEG entropy data truncated")
+                coded = np.round(dplane[:fh, :fw]).astype(np.int64)
             else:
                 # SOF7 differential lossless huffman (r6): SSSS 0-16
                 # categories, NO prediction (the reference frame is the

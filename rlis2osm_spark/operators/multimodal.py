@@ -17,8 +17,9 @@ shapes, partitioning, the UDF signatures. The codec step:
   output with nearest/bilinear chroma upsampling (pure Python + numpy
   huffman/DCT, r4; chroma + progressive r5) — MJPEG-AVI video and WAV
   (struct over RIFF) via functions/codecs.py; what remains behind
-  ``NotImplementedError`` is DCT differential frames (SOF5/6/13/14)
-  and compressed non-MJPG video codecs — the exact seam where PIL /
+  ``NotImplementedError`` is differential progressive (SOF6/14) and
+  arithmetic-DCT (SOF13) frames — SOF5 decodes (r6) — and compressed
+  non-MJPG video codecs — the exact seam where PIL /
   pyav plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
@@ -113,12 +114,13 @@ def extract_image_features(
 
                 if fmt == "jpeg":
                     # decode_jpeg raises NotImplementedError itself for
-                    # DCT-differential streams (SOF5/6/13/14) — the
-                    # remaining seam; color is full RGB (r5, nearest
-                    # chroma upsample), progressive and lossless decode
-                    # for real (r5), the arithmetic triad SOF9/10/11,
-                    # extended-sequential SOF1 and DHP pyramids (both
-                    # differential entropy modes) for real (r6)
+                    # differential-progressive/arith-DCT streams
+                    # (SOF6/13/14) — the remaining seam; color is full
+                    # RGB (r5, nearest chroma upsample), progressive and
+                    # lossless decode for real (r5), the arithmetic
+                    # triad SOF9/10/11, extended-sequential SOF1 and DHP
+                    # pyramids (lossless differentials in both entropy
+                    # modes + SOF5 DCT differentials) for real (r6)
                     w, h, nch, px = decode_jpeg(b)
                 elif fmt == "png":
                     # gray/RGB/palette/alpha at depths 1-8, Adam7 (r5);

@@ -2133,3 +2133,89 @@ def test_jpeg_hierarchical_huffman_differential():
     with pytest.raises(ValueError, match="huffman"):
         C.encode_jpeg_hierarchical(26, 21, img.tobytes(),
                                    restart_every=4)
+
+
+def test_jpeg_hierarchical_dct_differential():
+    """SOF5 differential sequential DCT pyramids (r6): the differential
+    frame codes DCT(input - reference) with no level shift and no DC
+    prediction (T.81 J.1.1.2). The expected output is rebuilt test-side
+    from first principles (own cosine matrix, Annex K quant) on top of
+    the decoded base + J.1.1.3 upsample; a constant image (zero diff)
+    roundtrips exactly; restart intervals split the block scan; a
+    missing DQT is malformed input; arithmetic DCT differentials
+    (SOF13) stay a loud seam."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    def dct_m():
+        m = np.zeros((8, 8))
+        for k in range(8):
+            for i in range(8):
+                m[k, i] = ((1 / np.sqrt(8)) if k == 0
+                           else np.sqrt(2 / 8)) * np.cos(
+                               (2 * i + 1) * k * np.pi / 16)
+        return m
+
+    rng = np.random.default_rng(41)
+    h, w = 24, 32
+    img = rng.integers(0, 256, (h, w)).astype(np.int64)
+    blob = C.encode_jpeg_hierarchical(w, h, img.astype(np.uint8).tobytes(),
+                                      entropy="huffman",
+                                      differential="dct")
+    assert b"\xff\xc5" in blob
+    gw, gh, gpx = C.decode_jpeg_gray(blob)
+    got = np.frombuffer(gpx, np.uint8).reshape(h, w).astype(np.int64)
+
+    # test-side expected reconstruction
+    pad = np.empty((h, w), dtype=np.int64)  # dims already multiples of 2
+    pad[:, :] = img
+    half = ((pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2]
+             + pad[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+    _, _, bpx = C.decode_jpeg_gray(
+        C.encode_jpeg_gray(w // 2, h // 2, half.tobytes()))
+    ref = np.frombuffer(bpx, np.uint8).reshape(h // 2, w // 2).astype(
+        np.int64)
+    up = C._hier_upsample(ref, h, w)
+    diff = (img - up).astype(np.float64)
+    M = dct_m()
+    q = np.array(C._JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    expected = np.empty((h, w), dtype=np.int64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = diff[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            quant = np.round((M @ blk @ M.T) / q) * q
+            rec = np.round(M.T @ quant @ M).astype(np.int64)
+            expected[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = rec
+    expected = np.clip((up + expected) % 65536, 0, 255)
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(got, expected)
+
+    # restart intervals: same reconstruction, split scan
+    blob_r = C.encode_jpeg_hierarchical(w, h,
+                                        img.astype(np.uint8).tobytes(),
+                                        entropy="huffman",
+                                        differential="dct",
+                                        restart_every=3)
+    assert blob_r != blob
+    assert C.decode_jpeg_gray(blob_r) == (gw, gh, gpx)
+
+    # zero diff (constant image) is exact end-to-end
+    flat = np.full((16, 16), 88, dtype=np.uint8)
+    blob_c = C.encode_jpeg_hierarchical(16, 16, flat.tobytes(),
+                                        entropy="huffman",
+                                        differential="dct")
+    assert C.decode_jpeg_gray(blob_c) == (16, 16, flat.tobytes())
+
+    # stripping the differential DQT is malformed input
+    sof5_at = blob.index(b"\xff\xc5")
+    dqt_at = blob.index(b"\xff\xdb", sof5_at)
+    ln = int.from_bytes(blob[dqt_at + 2:dqt_at + 4], "big")
+    broken = blob[:dqt_at] + blob[dqt_at + 2 + ln:]
+    with pytest.raises(ValueError, match="quant table"):
+        C.decode_jpeg_gray(broken)
+
+    # SOF13 (arithmetic DCT differential) refuses loudly
+    with pytest.raises(NotImplementedError, match="SOF13"):
+        C.encode_jpeg_hierarchical(16, 16, flat.tobytes(),
+                                   differential="dct")
