@@ -32,10 +32,9 @@
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
 ``NotImplementedError`` seams (see COVERAGE.md "Codec capability
-matrix"): differential progressive (SOF6/14) and arithmetic-DCT
-(SOF13) frames (hierarchical pyramids decode via SOF15 arithmetic or
-SOF7 huffman lossless differentials AND SOF5 huffman DCT
-differentials; extended-sequential SOF1 decodes at 8- and 12-bit;
+matrix"): differential progressive frames (SOF6/14) (hierarchical
+pyramids decode via SOF15 arithmetic or SOF7 huffman lossless
+differentials AND SOF5 huffman / SOF13 arithmetic DCT differentials; extended-sequential SOF1 decodes at 8- and 12-bit;
 lossless-arithmetic spans precision 2-16), compressed non-MJPG video
 codecs (uncompressed DIB AVI decodes natively, r5), JPEG/PNG-in-BMP,
 GSM WAV.
@@ -1992,11 +1991,19 @@ def _arith_decode_dc(dec, dc_stats, state, lo, up) -> int:
     return -v if sign else v
 
 
-def _arith_decode_block(dec, dc_stats, ac_stats, state, lo, up, kx):
-    """Decode one 8x8 block -> zigzag coefficient list (DC absolute)."""
+def _arith_decode_block(dec, dc_stats, ac_stats, state, lo, up, kx,
+                        differential: bool = False):
+    """Decode one 8x8 block -> zigzag coefficient list (DC absolute).
+    ``differential`` (T.81 J.1.1.2): the DC prediction is zero, so the
+    decoded difference IS the coefficient (conditioning still follows
+    the previous difference via ``state[0]``)."""
     seq = [0] * 64
-    state[1] += _arith_decode_dc(dec, dc_stats, state, lo, up)
-    seq[0] = state[1]
+    d = _arith_decode_dc(dec, dc_stats, state, lo, up)
+    if differential:
+        seq[0] = d
+    else:
+        state[1] += d
+        seq[0] = state[1]
     k = 1
     while k <= 63:
         st = 3 * (k - 1)
@@ -2722,14 +2729,18 @@ def _split_arith_intervals(ecs: bytes) -> list[bytes]:
     return intervals
 
 
-def _decode_arith(data: bytes, render_all: bool):
+def _decode_arith(data: bytes, render_all: bool,
+                  differential: bool = False):
     """Sequential arithmetic-coded (SOF9) JPEG decode — T.81 Annex E QM
     coder over the Annex F DC/AC statistical models — returning the
     ``_decode_jpeg_planes`` tuple (same dequant/IDCT as baseline).
     Grayscale and interleaved multi-component streams; DAC conditioning
     (L/U per DC table, Kx per AC table) with the §F.1.4.4.1.2 defaults;
     restart intervals reset the coder, statistics areas and DC state.
-    This retires the former "arithmetic coding" codec seam (r6)."""
+    ``differential`` (r6): accept an SOF13 frame instead — no level
+    shift, zero DC prediction (T.81 J.1.1.2); the hierarchical walker
+    accumulates the returned plane onto its reference. This retires the
+    former "arithmetic coding" codec seam (r6)."""
     import numpy as np
 
     qtables: dict[int, list[int]] = {}
@@ -2766,7 +2777,7 @@ def _decode_arith(data: bytes, render_all: bool):
                     raise NotImplementedError("16-bit quant tables")
                 qtables[tq] = list(body[i + 1:i + 65])
                 i += 65
-        elif marker == 0xC9:
+        elif marker == 0xC9 or (differential and marker == 0xCD):
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec not in (8, 12):
                 raise NotImplementedError(
@@ -2875,7 +2886,8 @@ def _decode_arith(data: bytes, render_all: bool):
                     for bx in range(comp["h"]):
                         seq = _arith_decode_block(
                             dec, dc_stats[tdc], ac_stats[tac],
-                            states[comp["id"]], lo, up, kx)
+                            states[comp["id"]], lo, up, kx,
+                            differential=differential)
                         plane = planes.get(comp["id"])
                         if plane is None:
                             continue  # sync-decoded, not rendered
@@ -2884,9 +2896,10 @@ def _decode_arith(data: bytes, render_all: bool):
                             flat[zz[i2]] = seq[i2]
                         coef = flat.reshape(8, 8) * qmats[comp["tq"]]
                         # level shift = 2^(P-1): 128 at 8-bit, 2048 at
-                        # 12-bit precision
+                        # 12-bit precision; NONE in differential frames
                         block = (C.T @ coef @ C
-                                 + float(1 << (comp["prec"] - 1)))
+                                 + (0.0 if differential else
+                                    float(1 << (comp["prec"] - 1))))
                         r0 = (my * comp["v"] + by) * 8
                         c0 = (mx * comp["h"] + bx) * 8
                         plane[r0:r0 + 8, c0:c0 + 8] = block
@@ -3729,11 +3742,12 @@ def encode_jpeg_hierarchical(width: int, height: int, pixels: bytes,
     zero in differential frames either way). ``restart_every`` > 0
     (huffman only) emits DRI + RSTn every that many samples in the
     differential scan. ``differential`` = ``"lossless"`` (above) or
-    ``"dct"`` (r6, huffman only): a SOF5 differential sequential DCT
-    frame — the DCT of (input - reference) quantized with the Annex K
-    table, no level shift, no DC prediction (T.81 J.1.1.2); lossy in
-    general, exact when the per-block differences are DCT-exact (even
-    constant blocks — the analytic-oracle path). With the lossless
+    ``"dct"`` (r6): a differential sequential DCT frame — the DCT of
+    (input - reference) quantized with the Annex K table, no level
+    shift, no DC prediction (T.81 J.1.1.2) — as SOF5 under huffman or
+    SOF13 under the Annex F arithmetic models; lossy in general, exact
+    when the per-block differences are DCT-exact (even constant blocks
+    — the analytic-oracle path). With the lossless
     differential, lossy base + lossless refinement means the overall
     decode reproduces the input EXACTLY — the differential pin the
     tests hold."""
@@ -3743,10 +3757,6 @@ def encode_jpeg_hierarchical(width: int, height: int, pixels: bytes,
         raise ValueError("entropy must be 'arith' or 'huffman'")
     if differential not in ("lossless", "dct"):
         raise ValueError("differential must be 'lossless' or 'dct'")
-    if differential == "dct" and entropy != "huffman":
-        raise NotImplementedError(
-            "arithmetic DCT differentials (SOF13) are the remaining "
-            "hierarchical seam — use entropy='huffman' for SOF5")
     if restart_every and entropy != "huffman":
         raise ValueError(
             "restart_every is only supported for huffman differentials")
@@ -3786,7 +3796,39 @@ def encode_jpeg_hierarchical(width: int, height: int, pixels: bytes,
     exp = seg(0xDF, bytes([0x11]))  # expand 2x horizontally + vertically
     frame_hdr = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11,
                                                                    0])
-    if entropy == "arith":
+    if entropy == "arith" and differential == "dct":
+        # SOF13: the SOF5 transform chain under the Annex F arithmetic
+        # models — no level shift, zero DC prediction (conditioning
+        # still follows the previous coded difference)
+        bh2, bw2 = -(-height // 8), -(-width // 8)
+        dpad = np.zeros((bh2 * 8, bw2 * 8), dtype=np.float64)
+        dpad[:height, :width] = sdiff
+        dpad[height:, :width] = sdiff[-1:, :]
+        dpad[:, width:] = dpad[:, width - 1:width]
+        qmat = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+        Cm = _dct_matrix()
+        zz = _JPEG_ZIGZAG
+        lo, up_c, kx = 0, 1, 5
+        enc = _ArithEncoder()
+        dc_stats = bytearray(64)
+        ac_stats = bytearray(256)
+        state = [0, 0]
+        for by in range(bh2):
+            for bx in range(bw2):
+                blk = dpad[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                quant = np.round((Cm @ blk @ Cm.T) / qmat).astype(np.int64)
+                flat = quant.reshape(-1)
+                seq = [int(flat[zz[i]]) for i in range(64)]
+                _arith_encode_dc(enc, dc_stats, state, seq[0], lo, up_c)
+                _arith_encode_ac(enc, ac_stats, seq, kx)
+        ecs = enc.flush()
+        sof = seg(0xCD, frame_hdr)
+        tables = (seg(0xDB, bytes([0x00]) + bytes(
+                      _JPEG_QTABLE[zz[i]] for i in range(64)))
+                  + seg(0xCC, bytes([0x00, (up_c << 4) | lo, 0x10, kx])))
+        dri = b""
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    elif entropy == "arith":
         lo, up_c = 0, 1
         enc = _ArithEncoder()
         stats = bytearray(164)
@@ -3950,13 +3992,59 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                 raise ValueError("EXP before any reference frame")
             eh, ev = body[0] >> 4, body[0] & 0x0F
             exp_pending = (eh, ev)
-        elif marker in (0xC6, 0xCD, 0xCE):
+        elif marker in (0xC6, 0xCE):
             raise NotImplementedError(
-                "differential progressive (SOF6/14) and arithmetic DCT "
-                "(SOF13) frames are the remaining hierarchical seam — "
-                "differential lossless decodes in both entropy modes "
-                "(SOF7 huffman, SOF15 arithmetic) and differential "
-                "sequential DCT via SOF5 huffman")
+                "differential progressive frames (SOF6/14) are the "
+                "remaining hierarchical seam — differential lossless "
+                "decodes in both entropy modes (SOF7 huffman, SOF15 "
+                "arithmetic) and differential sequential DCT in both "
+                "too (SOF5 huffman, SOF13 arithmetic)")
+        elif marker == 0xCD:
+            # differential sequential DCT, ARITHMETIC (SOF13, r6):
+            # rewrap as a standalone stream (tables collected in
+            # ``pending`` included) and decode through _decode_arith's
+            # differential model — no level shift, zero DC prediction
+            fprec, fh, fw, fncomp = struct.unpack(">BHHB", body[:6])
+            if fprec != 8 or fncomp != 1:
+                raise NotImplementedError(
+                    "differential frames must be 8-bit single-component")
+            if ref is None:
+                raise ValueError("differential frame without a reference")
+            if exp_pending:
+                eh, ev = exp_pending
+                ref = _hier_upsample(ref, fh, fw, eh, ev)
+                exp_pending = None
+            if ref.shape != (fh, fw):
+                raise ValueError(
+                    f"differential frame {fw}x{fh} does not match the "
+                    f"reference {ref.shape[1]}x{ref.shape[0]}")
+            frame = (b"\xff\xd8"
+                     + b"".join(s for _, s in pending) + seg_bytes)
+            while pos + 1 < len(data):
+                if data[pos] != 0xFF:
+                    pos += 1
+                    continue
+                m2 = data[pos + 1]
+                pos += 2
+                (l2,) = struct.unpack(">H", data[pos:pos + 2])
+                frame += data[pos - 2:pos + l2]
+                pos += l2
+                if m2 == 0xDA:
+                    end = _scan_arith_entropy_end(data, pos)
+                    if end >= len(data):
+                        raise ValueError(
+                            "JPEG entropy data truncated (arithmetic "
+                            "segment has no terminating marker)")
+                    frame += data[pos:end]
+                    pos = end
+                    break
+            frame += b"\xff\xd9"
+            pending = []
+            _, _, fcomps, fplanes, _, _ = _decode_arith(
+                frame, render_all=False, differential=True)
+            coded = np.round(
+                fplanes[fcomps[0]["id"]][:fh, :fw]).astype(np.int64)
+            ref = (ref + coded) % 65536
         elif marker in (0xC5, 0xC7, 0xCF):
             is_arith = marker == 0xCF
             is_dct = marker == 0xC5

@@ -17,8 +17,8 @@ shapes, partitioning, the UDF signatures. The codec step:
   output with nearest/bilinear chroma upsampling (pure Python + numpy
   huffman/DCT, r4; chroma + progressive r5) — MJPEG-AVI video and WAV
   (struct over RIFF) via functions/codecs.py; what remains behind
-  ``NotImplementedError`` is differential progressive (SOF6/14) and
-  arithmetic-DCT (SOF13) frames — SOF5 decodes (r6) — and compressed
+  ``NotImplementedError`` is differential progressive frames (SOF6/14)
+  — SOF5/SOF13 DCT differentials decode (r6) — and compressed
   non-MJPG video codecs — the exact seam where PIL /
   pyav plug in.
 
@@ -114,8 +114,8 @@ def extract_image_features(
 
                 if fmt == "jpeg":
                     # decode_jpeg raises NotImplementedError itself for
-                    # differential-progressive/arith-DCT streams
-                    # (SOF6/13/14) — the remaining seam; color is full
+                    # differential-progressive streams (SOF6/14) — the
+                    # remaining seam; color is full
                     # RGB (r5, nearest chroma upsample), progressive and
                     # lossless decode for real (r5), the arithmetic
                     # triad SOF9/10/11, extended-sequential SOF1 and DHP

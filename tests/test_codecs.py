@@ -1929,7 +1929,7 @@ def test_jpeg_hierarchical_exact_roundtrip():
     copied, odd = (a+b+1)>>1 edge-replicated), and a DIFFERENTIAL
     LOSSLESS ARITHMETIC (SOF15) refinement frame coding the mod-65536
     difference — so the overall decode reproduces the input EXACTLY,
-    including odd dimensions. Huffman/DCT differential frames stay
+    including odd dimensions. Differential progressive frames stay
     behind the seam."""
     import numpy as np
 
@@ -1944,12 +1944,16 @@ def test_jpeg_hierarchical_exact_roundtrip():
         assert b"\xff\xcf" in blob  # SOF15 differential
         assert C.decode_jpeg_gray(blob) == (w, h, img.tobytes())
 
-    # a DCT-differential frame marker (SOF13) inside a pyramid is the
-    # remaining seam
+    # a differential-progressive frame marker (SOF14) inside a pyramid
+    # is the remaining seam; a frame relabeled SOF13 whose body is a
+    # lossless-arith scan (no DQT) is malformed input, not a seam
     blob = bytearray(C.encode_jpeg_hierarchical(16, 16, bytes(256)))
     i = blob.find(b"\xff\xcf")
+    blob[i + 1] = 0xCE
+    with pytest.raises(NotImplementedError, match="progressive"):
+        C.decode_jpeg_gray(bytes(blob))
     blob[i + 1] = 0xCD
-    with pytest.raises(NotImplementedError, match="differential"):
+    with pytest.raises(ValueError):
         C.decode_jpeg_gray(bytes(blob))
 
     # truncation inside the differential scan is detected
@@ -2215,7 +2219,22 @@ def test_jpeg_hierarchical_dct_differential():
     with pytest.raises(ValueError, match="quant table"):
         C.decode_jpeg_gray(broken)
 
-    # SOF13 (arithmetic DCT differential) refuses loudly
-    with pytest.raises(NotImplementedError, match="SOF13"):
-        C.encode_jpeg_hierarchical(16, 16, flat.tobytes(),
-                                   differential="dct")
+    # SOF13 (arithmetic DCT differential, r6): same transform chain
+    # under the QM coder — must decode bit-for-bit like the SOF5 stream
+    blob13 = C.encode_jpeg_hierarchical(w, h,
+                                        img.astype(np.uint8).tobytes(),
+                                        entropy="arith",
+                                        differential="dct")
+    assert b"\xff\xcd" in blob13
+    w13, h13, px13 = C.decode_jpeg_gray(blob13)
+    assert (w13, h13) == (w, h)
+    # NOT identical to SOF5's output: the bases differ (SOF9 vs SOF0
+    # encode the same half image through the same quant chain, so they
+    # reconstruct the same reference) — with equal references the DCT
+    # differential chain is also equal, so outputs DO agree
+    assert px13 == gpx
+    # constant image exact through SOF13 too
+    blob13c = C.encode_jpeg_hierarchical(16, 16, flat.tobytes(),
+                                         entropy="arith",
+                                         differential="dct")
+    assert C.decode_jpeg_gray(blob13c) == (16, 16, flat.tobytes())
