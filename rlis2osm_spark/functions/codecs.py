@@ -32,12 +32,14 @@
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
 ``NotImplementedError`` seams (see COVERAGE.md "Codec capability
-matrix"): differential progressive frames (SOF6/14) (hierarchical
-pyramids decode via SOF15 arithmetic or SOF7 huffman lossless
-differentials AND SOF5 huffman / SOF13 arithmetic DCT differentials; extended-sequential SOF1 decodes at 8- and 12-bit;
-lossless-arithmetic spans precision 2-16), compressed non-MJPG video
-codecs (uncompressed DIB AVI decodes natively, r5), JPEG/PNG-in-BMP,
-GSM WAV.
+matrix"): for JPEG, parameter-space only — EVERY T.81 frame type
+decodes (r6): hierarchical pyramids take all six differential frame
+types (SOF5/6/13/14 DCT + SOF7/15 lossless), extended-sequential SOF1
+decodes at 8- and 12-bit, lossless-arithmetic spans precision 2-16;
+still seams: 16-bit quant tables, non-interleaved multi-scan
+sequential, CMYK/YCCK, subsampled-luma layouts. Beyond JPEG:
+compressed non-MJPG video codecs (uncompressed DIB AVI decodes
+natively, r5), JPEG/PNG-in-BMP, GSM WAV.
 """
 
 from __future__ import annotations
@@ -3165,14 +3167,16 @@ def encode_jpeg_arith_progressive(width: int, height: int, pixels: bytes,
     return b"\xff\xd8" + dqt + sof + dac + bytes(out) + b"\xff\xd9"
 
 
-def _decode_arith_progressive(data: bytes, render_all: bool):
+def _decode_arith_progressive(data: bytes, render_all: bool,
+                              differential: bool = False):
     """Progressive arithmetic-coded (SOF10) JPEG decode — the T.81
     Annex G arithmetic scan procedures (DC first/refine, AC band
     first/refine with QM-coded EOB decisions) over the Annex E QM
     decoder — returning the ``_decode_jpeg_planes`` tuple. Statistics
     areas and DC conditioning state reset at each scan (and each
     restart interval). DC refinement bits and AC signs use the fixed
-    equiprobable state."""
+    equiprobable state. ``differential`` (r6): accept an SOF14 frame
+    instead — no level shift, zero DC prediction (T.81 J.1.1.2)."""
     import numpy as np
 
     qtables: dict[int, list[int]] = {}
@@ -3206,7 +3210,7 @@ def _decode_arith_progressive(data: bytes, render_all: bool):
                     raise NotImplementedError("16-bit quant tables")
                 qtables[tq] = list(body[i + 1:i + 65])
                 i += 65
-        elif marker == 0xCA:
+        elif marker == 0xCA or (differential and marker == 0xCE):
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("12-bit arithmetic JPEG")
@@ -3311,7 +3315,7 @@ def _decode_arith_progressive(data: bytes, render_all: bool):
                                 _arith_dc_pass(
                                     dec, dc_stats[tdc],
                                     states[comp["id"]], blk, ah, al,
-                                    lo, up)
+                                    lo, up, differential=differential)
                 else:
                     comp, tdc, tac = scomps[0]
                     by, bx = divmod(done, comp["nbx"])
@@ -3320,7 +3324,7 @@ def _decode_arith_progressive(data: bytes, render_all: bool):
                         lo, up = dc_cond.get(tdc, (0, 1))
                         _arith_dc_pass(dec, dc_stats[tdc],
                                        states[comp["id"]], blk, ah, al,
-                                       lo, up)
+                                       lo, up, differential=differential)
                     elif ah == 0:
                         _arith_ac_first_pass(
                             dec, ac_stats[tac], blk, ss, se, al,
@@ -3345,19 +3349,26 @@ def _decode_arith_progressive(data: bytes, render_all: bool):
         coefs = c["coef"].astype(np.float64) * qnat[c["tq"]]
         nby, nbx = coefs.shape[0], coefs.shape[1]
         blocks = coefs.reshape(nby, nbx, 8, 8)
-        px = np.einsum("ji,yxjk,kl->yxil", C, blocks, C) + 128.0
+        px = (np.einsum("ji,yxjk,kl->yxil", C, blocks, C)
+              + (0.0 if differential else 128.0))
         plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         planes[c["id"]] = plane
     return width, height, comps, planes, hmax, vmax
 
 
-def _arith_dc_pass(dec, dc_stats, state, blk, ah, al, lo, up) -> None:
+def _arith_dc_pass(dec, dc_stats, state, blk, ah, al, lo, up,
+                   differential: bool = False) -> None:
     """One block's DC contribution: first pass decodes the diff at Al
     precision through the DC model; refinement ORs in the fixed-bin
-    bit (Figure G.6)."""
+    bit (Figure G.6). ``differential``: zero DC prediction (T.81
+    J.1.1.2) — the decoded difference IS the coefficient."""
     if ah == 0:
-        state[1] += _arith_decode_dc(dec, dc_stats, state, lo, up)
-        blk[0] = state[1] << al
+        d = _arith_decode_dc(dec, dc_stats, state, lo, up)
+        if differential:
+            blk[0] = d << al
+        else:
+            state[1] += d
+            blk[0] = state[1] << al
     else:
         if dec.decode_fixed():
             blk[0] |= 1 << al
@@ -3755,11 +3766,14 @@ def encode_jpeg_hierarchical(width: int, height: int, pixels: bytes,
 
     if entropy not in ("arith", "huffman"):
         raise ValueError("entropy must be 'arith' or 'huffman'")
-    if differential not in ("lossless", "dct"):
-        raise ValueError("differential must be 'lossless' or 'dct'")
-    if restart_every and entropy != "huffman":
+    if differential not in ("lossless", "dct", "dct-progressive"):
         raise ValueError(
-            "restart_every is only supported for huffman differentials")
+            "differential must be 'lossless', 'dct' or 'dct-progressive'")
+    if restart_every and (entropy != "huffman"
+                          or differential == "dct-progressive"):
+        raise ValueError(
+            "restart_every is only supported for non-progressive "
+            "huffman differentials")
     if len(pixels) != width * height:
         raise ValueError("pixels must be width*height bytes")
     img = (np.frombuffer(pixels, dtype=np.uint8)
@@ -3796,6 +3810,97 @@ def encode_jpeg_hierarchical(width: int, height: int, pixels: bytes,
     exp = seg(0xDF, bytes([0x11]))  # expand 2x horizontally + vertically
     frame_hdr = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11,
                                                                    0])
+    if differential == "dct-progressive":
+        # SOF6 (huffman) / SOF14 (arithmetic): the DCT differential
+        # chain split into a DC-first scan + one full-band AC-first
+        # scan (Ss=1..63, Ah=Al=0) — progressive scan structure over
+        # the same no-shift / zero-DC-prediction coefficients
+        bh2, bw2 = -(-height // 8), -(-width // 8)
+        dpad = np.zeros((bh2 * 8, bw2 * 8), dtype=np.float64)
+        dpad[:height, :width] = sdiff
+        dpad[height:, :width] = sdiff[-1:, :]
+        dpad[:, width:] = dpad[:, width - 1:width]
+        qmat = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+        Cm = _dct_matrix()
+        zz = _JPEG_ZIGZAG
+        seqs = []
+        for by in range(bh2):
+            for bx in range(bw2):
+                blk = dpad[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                quant = np.round((Cm @ blk @ Cm.T) / qmat).astype(np.int64)
+                flat = quant.reshape(-1)
+                seqs.append([int(flat[zz[i]]) for i in range(64)])
+        dri = b""
+        if entropy == "huffman":
+            # DC-first: per-block category coding, PRED=0; AC-first:
+            # baseline-style per-block coding (EOB == EOBRUN of one
+            # band — conformant G.1.2.2 coding with no EOBRUN joins)
+            dc_tab = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+            ac_tab = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+            wdc = _BitWriter()
+            for seq in seqs:
+                size, bits = _magnitude(seq[0])
+                code, length = dc_tab[size]
+                wdc.write(code, length)
+                if size:
+                    wdc.write(bits, size)
+            wdc.flush()
+            wac = _BitWriter()
+            for seq in seqs:
+                last_nz = 0
+                for i in range(1, 64):
+                    if seq[i]:
+                        last_nz = i
+                run = 0
+                for i in range(1, last_nz + 1):
+                    if seq[i] == 0:
+                        run += 1
+                        if run == 16:
+                            code, length = ac_tab[0xF0]
+                            wac.write(code, length)
+                            run = 0
+                        continue
+                    size, bits = _magnitude(seq[i])
+                    code, length = ac_tab[(run << 4) | size]
+                    wac.write(code, length)
+                    wac.write(bits, size)
+                    run = 0
+                if last_nz != 63:
+                    code, length = ac_tab[0x00]  # EOB (EOBRUN = 1)
+                    wac.write(code, length)
+            wac.flush()
+            sof = seg(0xC6, frame_hdr)
+            tables = (seg(0xDB, bytes([0x00]) + bytes(
+                          _JPEG_QTABLE[zz[i]] for i in range(64)))
+                      + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                            + bytes(_JPEG_DC_VALS))
+                      + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                            + bytes(_JPEG_AC_VALS)))
+            scans = (seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+                     + bytes(wdc.out)
+                     + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+                     + bytes(wac.out))
+        else:
+            lo, up_c, kx = 0, 1, 5
+            enc = _ArithEncoder()
+            dc_stats = bytearray(64)
+            state = [0, 0]
+            for seq in seqs:
+                _arith_encode_dc(enc, dc_stats, state, seq[0], lo, up_c)
+            ecs_dc = enc.flush()
+            enc = _ArithEncoder()
+            ac_stats = bytearray(256)
+            _arith_prog_ac_first(enc, ac_stats, seqs, 1, 63, 0, kx)
+            ecs_ac = enc.flush()
+            sof = seg(0xCE, frame_hdr)
+            tables = (seg(0xDB, bytes([0x00]) + bytes(
+                          _JPEG_QTABLE[zz[i]] for i in range(64)))
+                      + seg(0xCC, bytes([0x00, (up_c << 4) | lo,
+                                         0x10, kx])))
+            scans = (seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + ecs_dc
+                     + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + ecs_ac)
+        return (b"\xff\xd8" + dhp + base[2:-2] + exp
+                + sof + tables + scans + b"\xff\xd9")
     if entropy == "arith" and differential == "dct":
         # SOF13: the SOF5 transform chain under the Annex F arithmetic
         # models — no level shift, zero DC prediction (conditioning
@@ -3921,6 +4026,41 @@ def encode_jpeg_hierarchical(width: int, height: int, pixels: bytes,
             + sof + tables + dri + sos + ecs + b"\xff\xd9")
 
 
+def _collect_hier_frame(data: bytes, pos: int, head: bytes,
+                        arith: bool) -> tuple[bytes, int]:
+    """Collect one (possibly multi-scan) frame's remaining segments +
+    entropy data starting at ``pos`` into a standalone stream: consume
+    tables/scans until the next frame-level marker (SOF*/DHP/EXP/EOI).
+    Returns (SOI + head + segments + EOI, new position)."""
+    frame = bytearray(b"\xff\xd8" + head)
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        m2 = data[pos + 1]
+        if (m2 == 0xD9 or m2 in (0xDE, 0xDF)
+                or (0xC0 <= m2 <= 0xCF and m2 not in (0xC4, 0xCC))):
+            break  # next frame-level marker: stop (EOI stays unconsumed)
+        pos += 2
+        (l2,) = struct.unpack(">H", data[pos:pos + 2])
+        frame += data[pos - 2:pos + l2]
+        pos += l2
+        if m2 == 0xDA:
+            end = (_scan_arith_entropy_end(data, pos) if arith
+                   else _scan_entropy_end(data, pos))
+            if arith and end >= n:
+                raise ValueError(
+                    "JPEG entropy data truncated (arithmetic segment "
+                    "has no terminating marker)")
+            frame += data[pos:end]
+            pos = end
+    frame += b"\xff\xd9"
+    return bytes(frame), pos
+
+
 def _decode_hierarchical(data: bytes, render_all: bool):
     """Hierarchical (DHP, T.81 Annex J) decode -> the
     ``_decode_jpeg_planes`` tuple. Walks the frame sequence: the first
@@ -3993,12 +4133,35 @@ def _decode_hierarchical(data: bytes, render_all: bool):
             eh, ev = body[0] >> 4, body[0] & 0x0F
             exp_pending = (eh, ev)
         elif marker in (0xC6, 0xCE):
-            raise NotImplementedError(
-                "differential progressive frames (SOF6/14) are the "
-                "remaining hierarchical seam — differential lossless "
-                "decodes in both entropy modes (SOF7 huffman, SOF15 "
-                "arithmetic) and differential sequential DCT in both "
-                "too (SOF5 huffman, SOF13 arithmetic)")
+            # differential PROGRESSIVE frames (SOF6 huffman / SOF14
+            # arithmetic, r6): rewrap the (multi-scan) frame and decode
+            # through the progressive decoders' differential model —
+            # no level shift, zero DC prediction
+            is_arith = marker == 0xCE
+            fprec, fh, fw, fncomp = struct.unpack(">BHHB", body[:6])
+            if fprec != 8 or fncomp != 1:
+                raise NotImplementedError(
+                    "differential frames must be 8-bit single-component")
+            if ref is None:
+                raise ValueError("differential frame without a reference")
+            if exp_pending:
+                eh, ev = exp_pending
+                ref = _hier_upsample(ref, fh, fw, eh, ev)
+                exp_pending = None
+            if ref.shape != (fh, fw):
+                raise ValueError(
+                    f"differential frame {fw}x{fh} does not match the "
+                    f"reference {ref.shape[1]}x{ref.shape[0]}")
+            head = b"".join(s for _, s in pending) + seg_bytes
+            frame, pos = _collect_hier_frame(data, pos, head, is_arith)
+            pending = []
+            decode = (_decode_arith_progressive if is_arith
+                      else _decode_progressive)
+            _, _, fcomps, fplanes, _, _ = decode(
+                frame, render_all=False, differential=True)
+            coded = np.round(
+                fplanes[fcomps[0]["id"]][:fh, :fw]).astype(np.int64)
+            ref = (ref + coded) % 65536
         elif marker == 0xCD:
             # differential sequential DCT, ARITHMETIC (SOF13, r6):
             # rewrap as a standalone stream (tables collected in
@@ -4311,7 +4474,8 @@ def _scan_arith_entropy_end(data: bytes, pos: int) -> int:
     return i
 
 
-def _decode_progressive(data: bytes, render_all: bool):
+def _decode_progressive(data: bytes, render_all: bool,
+                        differential: bool = False):
     """Progressive (SOF2) JPEG: spectral-selection + successive-
     approximation scan decode per ITU T.81 G.2 (huffman coding), then the
     same dequant/IDCT as baseline. Returns the ``_decode_jpeg_planes``
@@ -4319,7 +4483,9 @@ def _decode_progressive(data: bytes, render_all: bool):
     and AC first/refine (single-component, EOBRUN semantics, ZRL,
     correction bits); restart intervals reset predictors and EOBRUN.
     Same strict truncation contract as baseline: a band pass that consumed
-    zero-fill bits past end-of-stream raises."""
+    zero-fill bits past end-of-stream raises. ``differential`` (r6): accept an SOF6 frame instead — no
+    level shift, zero DC prediction (T.81 J.1.1.2); the hierarchical
+    walker accumulates the returned plane onto its reference."""
     import numpy as np
 
     qtables: dict[int, list[int]] = {}
@@ -4352,7 +4518,7 @@ def _decode_progressive(data: bytes, render_all: bool):
                     raise NotImplementedError("16-bit quant tables")
                 qtables[tq] = list(body[i + 1:i + 65])
                 i += 65
-        elif marker == 0xC2:
+        elif marker == 0xC2 or (differential and marker == 0xC6):
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
@@ -4455,16 +4621,21 @@ def _decode_progressive(data: bytes, render_all: bool):
                             for bx in range(comp["h"]):
                                 blk = comp["coef"][my * comp["v"] + by,
                                                    mx * comp["h"] + bx]
-                                preds[comp["id"]] = _dc_pass(
+                                newp = _dc_pass(
                                     reader, dc_tab, blk, ah, al,
                                     preds[comp["id"]])
+                                # differential: PRED stays 0 (J.1.1.2)
+                                if not differential:
+                                    preds[comp["id"]] = newp
                 else:
                     comp, dc_tab, ac_tab = scomps[0]
                     by, bx = divmod(done, comp["nbx"])
                     blk = comp["coef"][by, bx]
                     if ss == 0:
-                        preds[comp["id"]] = _dc_pass(
+                        newp = _dc_pass(
                             reader, dc_tab, blk, ah, al, preds[comp["id"]])
+                        if not differential:
+                            preds[comp["id"]] = newp
                     elif ah == 0:
                         eobrun = _ac_first_pass(
                             reader, ac_tab, blk, ss, se, al, eobrun, zz)
@@ -4493,7 +4664,8 @@ def _decode_progressive(data: bytes, render_all: bool):
         coefs = c["coef"].astype(np.float64) * qnat[c["tq"]]
         nby, nbx = coefs.shape[0], coefs.shape[1]
         blocks = coefs.reshape(nby, nbx, 8, 8)
-        px = np.einsum("ji,yxjk,kl->yxil", C, blocks, C) + 128.0
+        px = (np.einsum("ji,yxjk,kl->yxil", C, blocks, C)
+              + (0.0 if differential else 128.0))
         plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         planes[c["id"]] = plane
     return width, height, comps, planes, hmax, vmax

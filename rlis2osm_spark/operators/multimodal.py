@@ -17,10 +17,10 @@ shapes, partitioning, the UDF signatures. The codec step:
   output with nearest/bilinear chroma upsampling (pure Python + numpy
   huffman/DCT, r4; chroma + progressive r5) — MJPEG-AVI video and WAV
   (struct over RIFF) via functions/codecs.py; what remains behind
-  ``NotImplementedError`` is differential progressive frames (SOF6/14)
-  — SOF5/SOF13 DCT differentials decode (r6) — and compressed
-  non-MJPG video codecs — the exact seam where PIL /
-  pyav plug in.
+  ``NotImplementedError`` for JPEG is parameter-space only — EVERY
+  T.81 frame type incl. all differentials decodes (r6); 16-bit quant
+  tables, CMYK, subsampled luma stay seams — plus compressed
+  non-MJPG video codecs — the exact seam where PIL / pyav plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -113,14 +113,14 @@ def extract_image_features(
                     decode_bmp, decode_gif, decode_jpeg, decode_png_ex)
 
                 if fmt == "jpeg":
-                    # decode_jpeg raises NotImplementedError itself for
-                    # differential-progressive streams (SOF6/14) — the
-                    # remaining seam; color is full
-                    # RGB (r5, nearest chroma upsample), progressive and
-                    # lossless decode for real (r5), the arithmetic
-                    # triad SOF9/10/11, extended-sequential SOF1 and DHP
-                    # pyramids (lossless differentials in both entropy
-                    # modes + SOF5 DCT differentials) for real (r6)
+                    # every T.81 frame type decodes for real (r6):
+                    # baseline/extended/progressive/lossless huffman,
+                    # the arithmetic triad SOF9/10/11, and DHP pyramids
+                    # with all six differential frame types
+                    # (SOF5/6/7/13/14/15); color is full RGB (r5,
+                    # nearest chroma upsample); NotImplementedError
+                    # remains only for parameter-space seams (16-bit
+                    # quant tables, CMYK, subsampled luma)
                     w, h, nch, px = decode_jpeg(b)
                 elif fmt == "png":
                     # gray/RGB/palette/alpha at depths 1-8, Adam7 (r5);

@@ -1944,17 +1944,15 @@ def test_jpeg_hierarchical_exact_roundtrip():
         assert b"\xff\xcf" in blob  # SOF15 differential
         assert C.decode_jpeg_gray(blob) == (w, h, img.tobytes())
 
-    # a differential-progressive frame marker (SOF14) inside a pyramid
-    # is the remaining seam; a frame relabeled SOF13 whose body is a
-    # lossless-arith scan (no DQT) is malformed input, not a seam
+    # every T.81 frame type decodes inside pyramids now (r6) — a frame
+    # RELABELED SOF13/SOF14 whose body is really a lossless-arith scan
+    # (no DQT) is malformed input, not a seam
     blob = bytearray(C.encode_jpeg_hierarchical(16, 16, bytes(256)))
     i = blob.find(b"\xff\xcf")
-    blob[i + 1] = 0xCE
-    with pytest.raises(NotImplementedError, match="progressive"):
-        C.decode_jpeg_gray(bytes(blob))
-    blob[i + 1] = 0xCD
-    with pytest.raises(ValueError):
-        C.decode_jpeg_gray(bytes(blob))
+    for wrong in (0xCE, 0xCD):
+        blob[i + 1] = wrong
+        with pytest.raises(ValueError):
+            C.decode_jpeg_gray(bytes(blob))
 
     # truncation inside the differential scan is detected
     full = C.encode_jpeg_hierarchical(16, 16, bytes(range(256)))
@@ -2238,3 +2236,54 @@ def test_jpeg_hierarchical_dct_differential():
                                          entropy="arith",
                                          differential="dct")
     assert C.decode_jpeg_gray(blob13c) == (16, 16, flat.tobytes())
+
+
+def test_jpeg_hierarchical_progressive_differential():
+    """SOF6/SOF14 differential PROGRESSIVE pyramids (r6): the same
+    no-shift / zero-DC-prediction DCT coefficients as SOF5/SOF13, split
+    into a DC-first scan + a full-band AC-first scan. Because all four
+    DCT-differential stacks share the base chain and quantizer, their
+    pyramids of one image must decode bit-for-bit equal; constant
+    images are exact; truncating the AC scan fails loudly."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(47)
+    h, w = 24, 32
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    ref5 = C.decode_jpeg_gray(C.encode_jpeg_hierarchical(
+        w, h, img.tobytes(), entropy="huffman", differential="dct"))
+
+    blob6 = C.encode_jpeg_hierarchical(w, h, img.tobytes(),
+                                       entropy="huffman",
+                                       differential="dct-progressive")
+    assert b"\xff\xc6" in blob6
+    assert C.decode_jpeg_gray(blob6) == ref5
+
+    blob14 = C.encode_jpeg_hierarchical(w, h, img.tobytes(),
+                                        entropy="arith",
+                                        differential="dct-progressive")
+    assert b"\xff\xce" in blob14
+    assert C.decode_jpeg_gray(blob14) == ref5
+
+    # constant image: zero diff -> exact through both progressive stacks
+    flat = np.full((16, 16), 90, dtype=np.uint8)
+    for entropy in ("huffman", "arith"):
+        b = C.encode_jpeg_hierarchical(16, 16, flat.tobytes(),
+                                       entropy=entropy,
+                                       differential="dct-progressive")
+        assert C.decode_jpeg_gray(b) == (16, 16, flat.tobytes())
+
+    # truncation inside the differential scans is detected
+    with pytest.raises(ValueError):
+        C.decode_jpeg_gray(blob6[:len(blob6) - 6])
+    with pytest.raises(ValueError):
+        C.decode_jpeg_gray(blob14[:len(blob14) - 6])
+
+    # restart intervals stay rejected in progressive differentials
+    with pytest.raises(ValueError, match="restart_every"):
+        C.encode_jpeg_hierarchical(16, 16, flat.tobytes(),
+                                   entropy="huffman",
+                                   differential="dct-progressive",
+                                   restart_every=2)
