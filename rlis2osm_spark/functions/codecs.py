@@ -36,8 +36,9 @@ matrix"): for JPEG, parameter-space only — EVERY T.81 frame type
 decodes (r6): hierarchical pyramids take all six differential frame
 types (SOF5/6/13/14 DCT + SOF7/15 lossless), extended-sequential SOF1
 decodes at 8- and 12-bit, lossless-arithmetic spans precision 2-16;
-still seams: 16-bit quant tables, non-interleaved multi-scan
-sequential, CMYK/YCCK, subsampled-luma layouts. Beyond JPEG:
+still seams: non-interleaved multi-scan sequential, CMYK/YCCK,
+subsampled-luma layouts (16-bit Pq=1 quant tables parse everywhere,
+r6). Beyond JPEG:
 compressed non-MJPG video codecs (uncompressed DIB AVI decodes
 natively, r5), JPEG/PNG-in-BMP, GSM WAV.
 """
@@ -753,6 +754,27 @@ _JPEG_AC12_VALS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 15)]
 
 
+def _parse_dqt_body(body: bytes, out: dict) -> None:
+    """Parse one DQT segment body into ``out`` (table id -> 64 zigzag
+    values). Pq=0 -> 8-bit entries; Pq=1 (r6) -> 16-bit big-endian
+    entries, required whenever a quantizer exceeds 255 (12-bit
+    precision territory). Short bodies raise struct.error/ValueError —
+    wrapped to the malformed-input ValueError by the public decoders."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        if pq == 0:
+            if i + 65 > len(body):
+                raise ValueError("truncated DQT segment")
+            out[tq] = list(body[i + 1:i + 65])
+            i += 65
+        elif pq == 1:
+            out[tq] = list(struct.unpack(">64H", body[i + 1:i + 129]))
+            i += 129
+        else:
+            raise ValueError(f"invalid DQT precision Pq={pq}")
+
+
 def _huff_codes(bits, vals):
     """Canonical huffman: value -> (code, length)."""
     out = {}
@@ -831,7 +853,8 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
 
 def encode_jpeg_ext_gray(width: int, height: int, pixels: bytes,
                          restart_every: int = 0,
-                         precision: int = 12) -> bytes:
+                         precision: int = 12,
+                         quant16: bool = False) -> bytes:
     """EXTENDED sequential grayscale JPEG (SOF1 = 0xC1; huffman, r6).
     Identical scan structure to baseline; at ``precision`` = 12 the
     level shift is 2048 and the DHT segments carry the extended-range
@@ -841,7 +864,10 @@ def encode_jpeg_ext_gray(width: int, height: int, pixels: bytes,
     convention as :func:`encode_jpeg_arith_gray`); decode via
     :func:`decode_jpeg_gray` / :func:`decode_jpeg_gray12`. Same
     even-constant-block exactness contract as :func:`encode_jpeg_gray`
-    (q00=16 divides (v - 2^(P-1))*8 for even v at either precision)."""
+    (q00=16 divides (v - 2^(P-1))*8 for even v at either precision).
+    ``quant16`` (r6) quantizes with 3x the Annex K table — values above
+    255, so the DQT is emitted at Pq=1 with 16-bit entries (the 12-bit
+    parameter-space the 8-bit DQT format cannot express)."""
     import numpy as np
 
     if precision not in (8, 12):
@@ -857,14 +883,21 @@ def encode_jpeg_ext_gray(width: int, height: int, pixels: bytes,
         if len(pixels) != width * height:
             raise ValueError("pixels must be width*height bytes")
         img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    if quant16:
+        return _encode_sequential_gray(
+            img, precision, restart_every, 0xC1,
+            qtable=[3 * v for v in _JPEG_QTABLE], pq=1)
     return _encode_sequential_gray(img, precision, restart_every, 0xC1)
 
 
 def _encode_sequential_gray(img, prec: int, restart_every: int,
-                            sof_marker: int) -> bytes:
+                            sof_marker: int,
+                            qtable: list | None = None,
+                            pq: int = 0) -> bytes:
     """Shared SOF0/SOF1 sequential grayscale emitter: level shift
-    2^(prec-1), Annex K quant, typical tables at 8-bit / extended-range
-    tables at 12-bit."""
+    2^(prec-1), Annex K quant (or ``qtable``, emitted at DQT precision
+    ``pq`` — 16-bit entries when pq=1), typical tables at 8-bit /
+    extended-range tables at 12-bit."""
     import numpy as np
 
     height, width = img.shape
@@ -875,7 +908,8 @@ def _encode_sequential_gray(img, prec: int, restart_every: int,
     padded[:, width:] = padded[:, width - 1:width]
 
     C = _dct_matrix()
-    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    qvals = qtable if qtable is not None else _JPEG_QTABLE
+    q = np.array(qvals, dtype=np.float64).reshape(8, 8)
     if prec == 8:
         dc_bits, dc_vals = _JPEG_DC_BITS, _JPEG_DC_VALS
         ac_bits, ac_vals = _JPEG_AC_BITS, _JPEG_AC_VALS
@@ -937,8 +971,12 @@ def _encode_sequential_gray(img, prec: int, restart_every: int,
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    dqt = seg(0xDB, bytes([0x00]) + bytes(
-        _JPEG_QTABLE[zz[i]] for i in range(64)))
+    if pq:
+        dqt = seg(0xDB, bytes([0x10]) + b"".join(
+            struct.pack(">H", qvals[zz[i]]) for i in range(64)))
+    else:
+        dqt = seg(0xDB, bytes([0x00]) + bytes(
+            qvals[zz[i]] for i in range(64)))
     sof = seg(sof_marker, struct.pack(">BHHB", prec, height, width, 1)
               + bytes([1, 0x11, 0]))
     dht = (seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
@@ -2489,13 +2527,7 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
         body = data[pos + 2:pos + seglen]
         pos += seglen
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                qtables[tq] = list(body[i + 1:i + 65])
-                i += 65
+            _parse_dqt_body(body, qtables)
         elif marker in (0xC0, 0xC1):
             # SOF0 baseline and SOF1 extended sequential share the scan
             # structure; extended adds 12-bit precision (r6) and table
@@ -2772,13 +2804,7 @@ def _decode_arith(data: bytes, render_all: bool,
         body = data[pos + 2:pos + seglen]
         pos += seglen
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                qtables[tq] = list(body[i + 1:i + 65])
-                i += 65
+            _parse_dqt_body(body, qtables)
         elif marker == 0xC9 or (differential and marker == 0xCD):
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec not in (8, 12):
@@ -3203,13 +3229,7 @@ def _decode_arith_progressive(data: bytes, render_all: bool,
         body = data[pos + 2:pos + seglen]
         pos += seglen
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                qtables[tq] = list(body[i + 1:i + 65])
-                i += 65
+            _parse_dqt_body(body, qtables)
         elif marker == 0xCA or (differential and marker == 0xCE):
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
@@ -4095,13 +4115,7 @@ def _decode_hierarchical(data: bytes, render_all: bool):
             i += 17 + n
 
     def _parse_dqt(b2):
-        i = 0
-        while i < len(b2):
-            pq, tq = b2[i] >> 4, b2[i] & 0x0F
-            if pq != 0:
-                raise NotImplementedError("16-bit quant tables")
-            hier_q[tq] = list(b2[i + 1:i + 65])
-            i += 65
+        _parse_dqt_body(b2, hier_q)
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -4511,13 +4525,7 @@ def _decode_progressive(data: bytes, render_all: bool,
         body = data[pos + 2:pos + seglen]
         pos += seglen
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                qtables[tq] = list(body[i + 1:i + 65])
-                i += 65
+            _parse_dqt_body(body, qtables)
         elif marker == 0xC2 or (differential and marker == 0xC6):
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             for c in range(ncomp):

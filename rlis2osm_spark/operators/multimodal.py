@@ -18,9 +18,10 @@ shapes, partitioning, the UDF signatures. The codec step:
   huffman/DCT, r4; chroma + progressive r5) — MJPEG-AVI video and WAV
   (struct over RIFF) via functions/codecs.py; what remains behind
   ``NotImplementedError`` for JPEG is parameter-space only — EVERY
-  T.81 frame type incl. all differentials decodes (r6); 16-bit quant
-  tables, CMYK, subsampled luma stay seams — plus compressed
-  non-MJPG video codecs — the exact seam where PIL / pyav plug in.
+  T.81 frame type incl. all differentials decodes, 16-bit quant
+  tables parse (r6); CMYK, multi-scan sequential and subsampled luma
+  stay seams — plus compressed non-MJPG video codecs — the exact
+  seam where PIL / pyav plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -119,8 +120,8 @@ def extract_image_features(
                     # with all six differential frame types
                     # (SOF5/6/7/13/14/15); color is full RGB (r5,
                     # nearest chroma upsample); NotImplementedError
-                    # remains only for parameter-space seams (16-bit
-                    # quant tables, CMYK, subsampled luma)
+                    # remains only for parameter-space seams (CMYK,
+                    # multi-scan sequential, subsampled luma)
                     w, h, nch, px = decode_jpeg(b)
                 elif fmt == "png":
                     # gray/RGB/palette/alpha at depths 1-8, Adam7 (r5);

@@ -2287,3 +2287,42 @@ def test_jpeg_hierarchical_progressive_differential():
                                    entropy="huffman",
                                    differential="dct-progressive",
                                    restart_every=2)
+
+
+def test_jpeg_16bit_quant_tables():
+    """Pq=1 DQT segments (r6): 16-bit big-endian quantizer entries —
+    the 12-bit parameter space an 8-bit DQT cannot express. The SOF1
+    encoder's quant16 path quantizes with 3x Annex K (q00=48):
+    even-constant blocks at multiples of 6 from the level shift
+    survive exactly; an invalid Pq nibble is malformed input."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(53)
+    # 12-bit: v = 2048 + 6k keeps (v-2048)*8 divisible by q00=48
+    blocks = (2048 + 6 * rng.integers(-300, 300, (2, 3))).astype("<u2")
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint16)).astype("<u2")
+    h, w = img.shape
+    blob = C.encode_jpeg_ext_gray(w, h, img.tobytes(), precision=12,
+                                  quant16=True)
+    # the stream really carries a Pq=1 DQT (129-byte body + marker len)
+    dqt_at = blob.index(b"\xff\xdb")
+    assert blob[dqt_at + 4] == 0x10
+    assert int.from_bytes(blob[dqt_at + 2:dqt_at + 4], "big") == 2 + 129
+    assert C.decode_jpeg_gray12(blob) == (w, h, img.tobytes())
+
+    # lossy 12-bit natural image: 16-bit-DQT stream decodes without
+    # error and differs from the 8-bit-DQT stream's quantization
+    nat = rng.integers(0, 4096, (17, 19)).astype("<u2")
+    b16 = C.encode_jpeg_ext_gray(19, 17, nat.tobytes(), precision=12,
+                                 quant16=True)
+    b8 = C.encode_jpeg_ext_gray(19, 17, nat.tobytes(), precision=12)
+    assert C.decode_jpeg_gray12(b16)[:2] == (19, 17)
+    assert C.decode_jpeg_gray12(b16) != C.decode_jpeg_gray12(b8)
+
+    # invalid Pq nibble is malformed input
+    bad = bytearray(blob)
+    bad[dqt_at + 4] = 0x20
+    with pytest.raises(ValueError):
+        C.decode_jpeg_gray12(bytes(bad))
