@@ -36,9 +36,9 @@ matrix"): for JPEG, parameter-space only — EVERY T.81 frame type
 decodes (r6): hierarchical pyramids take all six differential frame
 types (SOF5/6/13/14 DCT + SOF7/15 lossless), extended-sequential SOF1
 decodes at 8- and 12-bit, lossless-arithmetic spans precision 2-16;
-still seams: non-interleaved multi-scan sequential, CMYK/YCCK,
-subsampled-luma layouts (16-bit Pq=1 quant tables parse everywhere,
-r6). Beyond JPEG:
+still seams: non-interleaved multi-scan sequential and CMYK/YCCK
+(16-bit Pq=1 quant tables parse everywhere and ANY component may be
+subsampled, luma included, r6). Beyond JPEG:
 compressed non-MJPG video codecs (uncompressed DIB AVI decodes
 natively, r5), JPEG/PNG-in-BMP, GSM WAV.
 """
@@ -2363,28 +2363,31 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     huffman-decodes, dequantizes, inverse-DCTs with numpy. Handles
     baseline (SOF0), extended sequential (SOF1, r6), progressive (SOF2,
     r5), lossless (SOF3, r5), the arithmetic modes SOF9/10/11 (r6) and
-    DHP hierarchical pyramids with SOF15 differentials (r6), grayscale
-    AND interleaved multi-component color (any sampling-factor layout —
-    4:4:4, 4:2:0, 4:2:2, ... — with the luma component at full
-    resolution); the output is the LUMA plane (Y is BT.601 luma
-    directly — chroma components are decoded to keep the stream in sync
-    and discarded). Huffman/DCT differential frames, 16-bit quant
-    tables and subsampled-luma layouts raise NotImplementedError — the
+    DHP hierarchical pyramids with every differential frame type (r6),
+    grayscale AND interleaved multi-component color (ANY
+    sampling-factor layout — 4:4:4, 4:2:0, 4:2:2, ..., including
+    subsampled-LUMA streams, whose reduced Y plane nearest-upsamples
+    like any other component, r6); the output is the LUMA plane (Y is
+    BT.601 luma directly — chroma components are decoded to keep the
+    stream in sync and discarded). Non-interleaved multi-scan
+    sequential and CMYK streams raise NotImplementedError — the
     documented codec seam; 12-bit streams raise ValueError toward
     :func:`decode_jpeg_gray12`. Malformed / truncated input raises
     ValueError."""
     import numpy as np
 
     try:
-        width, height, comps, planes, _, _ = _decode_jpeg_planes(
+        width, height, comps, planes, hmax, vmax = _decode_jpeg_planes(
             data, render_all=False)
     except (IndexError, KeyError, struct.error) as e:
         raise ValueError(f"malformed or truncated JPEG stream: {e}") from e
     if comps[0].get("prec", 8) != 8:
         raise ValueError(
             "12-bit stream: use decode_jpeg_gray12 for full-range output")
-    y = planes[comps[0]["id"]]
-    pix = np.clip(np.round(y[:height, :width]), 0, 255).astype(np.uint8)
+    # nearest-upsample if the luma itself is subsampled (r6)
+    y = _upsample_plane(planes[comps[0]["id"]], comps[0], hmax, vmax,
+                        width, height, "nearest")
+    pix = np.clip(np.round(y), 0, 255).astype(np.uint8)
     return width, height, pix.tobytes()
 
 
@@ -2396,14 +2399,14 @@ def decode_jpeg_gray12(data: bytes) -> tuple[int, int, bytes]:
     import numpy as np
 
     try:
-        width, height, comps, planes, _, _ = _decode_jpeg_planes(
+        width, height, comps, planes, hmax, vmax = _decode_jpeg_planes(
             data, render_all=False)
     except (IndexError, KeyError, struct.error) as e:
         raise ValueError(f"malformed or truncated JPEG stream: {e}") from e
     prec = comps[0].get("prec", 8)
-    y = planes[comps[0]["id"]]
-    pix = np.clip(np.round(y[:height, :width]), 0,
-                  (1 << prec) - 1).astype("<u2")
+    y = _upsample_plane(planes[comps[0]["id"]], comps[0], hmax, vmax,
+                        width, height, "nearest")
+    pix = np.clip(np.round(y), 0, (1 << prec) - 1).astype("<u2")
     return width, height, pix.tobytes()
 
 
@@ -2413,16 +2416,15 @@ def decode_jpeg(data: bytes, upsample: str = "nearest",
 
     1-component streams return the gray plane (n_channels=1); 3-component
     YCbCr streams return interleaved RGB (n_channels=3): every component
-    plane is dequantized/IDCT'd, chroma planes are upsampled to full
-    resolution (``upsample`` = ``"nearest"`` — T.81 makes upsampling
-    filter choice decoder-defined; nearest is the analytically-predictable
-    choice our oracles use — or ``"bilinear"``, the
-    centered-sample triangular filter), then converted per the JFIF
+    plane is dequantized/IDCT'd, subsampled planes — luma included, r6 —
+    are upsampled to full resolution (``upsample`` = ``"nearest"`` —
+    T.81 makes upsampling filter choice decoder-defined; nearest is the
+    analytically-predictable choice our oracles use — or ``"bilinear"``,
+    the centered-sample triangular filter), then converted per the JFIF
     YCbCr<->RGB matrix with floor(x+0.5) rounding and [0,255] clamping.
-    Baseline, extended-sequential, progressive (r5), lossless, the
-    arithmetic modes SOF9/10/11 and DHP pyramids (r6) all decode; same
-    seam as :func:`decode_jpeg_gray` for huffman/DCT differential
-    streams; ValueError on malformed input."""
+    Every T.81 frame type decodes (r6); same parameter-space seam as
+    :func:`decode_jpeg_gray` (multi-scan sequential, CMYK); ValueError
+    on malformed input."""
     import numpy as np
 
     if upsample not in ("nearest", "bilinear"):
@@ -2443,7 +2445,8 @@ def decode_jpeg(data: bytes, upsample: str = "nearest",
         raise NotImplementedError(
             f"{len(comps)}-component JPEG (CMYK/YCCK need color-management "
             "tables — PIL's seam)")
-    y = planes[comps[0]["id"]][:height, :width]
+    y = _upsample_plane(planes[comps[0]["id"]], comps[0], hmax, vmax,
+                        width, height, upsample)
     cb = _upsample_plane(planes[comps[1]["id"]], comps[1], hmax, vmax,
                          width, height, upsample)
     cr = _upsample_plane(planes[comps[2]["id"]], comps[2], hmax, vmax,
@@ -2597,10 +2600,8 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
         raise ValueError("truncated JPEG (no SOF/SOS)")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
-        raise NotImplementedError(
-            "luma component must be at full resolution (subsampled-luma "
-            "layouts need a real resampler — PIL's seam)")
+    # any component may be subsampled, INCLUDING luma (r6): the public
+    # decode surface routes every plane through _upsample_plane
 
     # entropy-coded segment runs to EOI; restart markers reset the DC
     # predictor — split on them and decode interval by interval
@@ -2847,10 +2848,8 @@ def _decode_arith(data: bytes, render_all: bool,
         raise ValueError("truncated JPEG (no SOF/SOS)")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
-        raise NotImplementedError(
-            "luma component must be at full resolution (subsampled-luma "
-            "layouts need a real resampler — PIL's seam)")
+    # any component may be subsampled, INCLUDING luma (r6): the public
+    # decode surface routes every plane through _upsample_plane
 
     # Truncation contract: unlike huffman scans, a QM entropy segment cut
     # mid-stream keeps "decoding" from the spec-mandated 1-bit feed
@@ -3280,10 +3279,8 @@ def _decode_arith_progressive(data: bytes, render_all: bool,
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
-        raise NotImplementedError(
-            "luma component must be at full resolution (subsampled-luma "
-            "layouts need a real resampler — PIL's seam)")
+    # any component may be subsampled, INCLUDING luma (r6): the public
+    # decode surface routes every plane through _upsample_plane
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     zz = _JPEG_ZIGZAG
@@ -4564,10 +4561,8 @@ def _decode_progressive(data: bytes, render_all: bool,
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
-        raise NotImplementedError(
-            "luma component must be at full resolution (subsampled-luma "
-            "layouts need a real resampler — PIL's seam)")
+    # any component may be subsampled, INCLUDING luma (r6): the public
+    # decode surface routes every plane through _upsample_plane
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     zz = _JPEG_ZIGZAG

@@ -19,9 +19,9 @@ shapes, partitioning, the UDF signatures. The codec step:
   (struct over RIFF) via functions/codecs.py; what remains behind
   ``NotImplementedError`` for JPEG is parameter-space only — EVERY
   T.81 frame type incl. all differentials decodes, 16-bit quant
-  tables parse (r6); CMYK, multi-scan sequential and subsampled luma
-  stay seams — plus compressed non-MJPG video codecs — the exact
-  seam where PIL / pyav plug in.
+  tables parse, any component may be subsampled incl. luma (r6); CMYK
+  and multi-scan sequential stay seams — plus compressed non-MJPG
+  video codecs — the exact seam where PIL / pyav plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -121,7 +121,7 @@ def extract_image_features(
                     # (SOF5/6/7/13/14/15); color is full RGB (r5,
                     # nearest chroma upsample); NotImplementedError
                     # remains only for parameter-space seams (CMYK,
-                    # multi-scan sequential, subsampled luma)
+                    # multi-scan sequential)
                     w, h, nch, px = decode_jpeg(b)
                 elif fmt == "png":
                     # gray/RGB/palette/alpha at depths 1-8, Adam7 (r5);

@@ -2326,3 +2326,65 @@ def test_jpeg_16bit_quant_tables():
     bad[dqt_at + 4] = 0x20
     with pytest.raises(ValueError):
         C.decode_jpeg_gray12(bytes(bad))
+
+
+def test_jpeg_subsampled_luma():
+    """Subsampled-LUMA layouts (r6): nothing in T.81 requires component
+    1 to carry the max sampling factors. Hand-built 3-component stream
+    with Y at 1x1 and Cb/Cr at 2x2 (so luma is quarter resolution):
+    every decoder upsamples the luma plane like any other component.
+    Constant blocks keep the whole chain analytic."""
+    import struct as _st
+
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    w = h = 16  # one MCU at hmax=vmax=2
+    # all three components quantize with table 0 (q00=16), so even
+    # offsets from the level shift are exact for luma AND chroma
+    y0, cb0, cr0 = 120, 128 + 16, 128 - 32
+    dc_tab = C._huff_codes(C._JPEG_DC_BITS, C._JPEG_DC_VALS)
+    ac_tab = C._huff_codes(C._JPEG_AC_BITS, C._JPEG_AC_VALS)
+    q = np.array(C._JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    zz = C._JPEG_ZIGZAG
+
+    wtr = C._BitWriter()
+    prev = {1: 0, 2: 0, 3: 0}
+    # MCU order: Y (1 block at 1x1), Cb (4 blocks at 2x2), Cr (4 blocks)
+    for cid, val, nblk in ((1, y0, 1), (2, cb0, 4), (3, cr0, 4)):
+        for _ in range(nblk):
+            blk = np.full((8, 8), float(val)) - 128.0
+            prev[cid] = C._encode_block(wtr, blk, q, dc_tab, ac_tab,
+                                        prev[cid])
+    wtr.flush()
+
+    def seg(marker, body):
+        return (bytes([0xFF, marker])
+                + _st.pack(">H", len(body) + 2) + body)
+
+    blob = (b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + bytes(
+                C._JPEG_QTABLE[zz[i]] for i in range(64)))
+            + seg(0xC0, _st.pack(">BHHB", 8, h, w, 3)
+                  + bytes([1, 0x11, 0, 2, 0x22, 0, 3, 0x22, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(C._JPEG_DC_BITS)
+                  + bytes(C._JPEG_DC_VALS))
+            + seg(0xC4, bytes([0x10]) + bytes(C._JPEG_AC_BITS)
+                  + bytes(C._JPEG_AC_VALS))
+            + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+            + bytes(wtr.out) + b"\xff\xd9")
+
+    # gray surface: the quarter-res constant luma upsamples to constant
+    gw, gh, gpx = C.decode_jpeg_gray(blob)
+    assert (gw, gh) == (w, h)
+    assert gpx == bytes([y0]) * (w * h)
+
+    # color surface: JFIF conversion of the constant planes
+    cw_, ch_, nch, px = C.decode_jpeg(blob)
+    assert (cw_, ch_, nch) == (w, h, 3)
+    r = min(255, max(0, int(np.floor(y0 + 1.402 * (cr0 - 128) + 0.5))))
+    g = min(255, max(0, int(np.floor(y0 - 0.344136 * (cb0 - 128)
+                                     - 0.714136 * (cr0 - 128) + 0.5))))
+    b = min(255, max(0, int(np.floor(y0 + 1.772 * (cb0 - 128) + 0.5))))
+    assert px == bytes([r, g, b]) * (w * h)
