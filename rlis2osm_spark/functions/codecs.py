@@ -36,9 +36,10 @@ matrix"): for JPEG, parameter-space only — EVERY T.81 frame type
 decodes (r6): hierarchical pyramids take all six differential frame
 types (SOF5/6/13/14 DCT + SOF7/15 lossless), extended-sequential SOF1
 decodes at 8- and 12-bit, lossless-arithmetic spans precision 2-16;
-still seams: non-interleaved multi-scan sequential and CMYK/YCCK
-(16-bit Pq=1 quant tables parse everywhere and ANY component may be
-subsampled, luma included, r6). Beyond JPEG:
+still a seam: CMYK/YCCK 4-component color management (16-bit Pq=1
+quant tables parse everywhere, ANY component may be subsampled — luma
+included — and non-interleaved multi-scan sequential decodes under
+both entropy coders, r6). Beyond JPEG:
 compressed non-MJPG video codecs (uncompressed DIB AVI decodes
 natively, r5), JPEG/PNG-in-BMP, GSM WAV.
 """
@@ -1525,7 +1526,8 @@ def _encode_block(w: "_BitWriter", block, qmat, dc_tab, ac_tab,
 def encode_jpeg_color(width: int, height: int, y_pixels: bytes,
                       subsampling: str = "4:2:0",
                       cb_pixels: bytes | None = None,
-                      cr_pixels: bytes | None = None) -> bytes:
+                      cr_pixels: bytes | None = None,
+                      interleave: bool = True) -> bytes:
     """Baseline sequential COLOR (YCbCr, 3-component interleaved) JPEG.
 
     Y carries ``y_pixels``; ``cb_pixels``/``cr_pixels`` (r5) are optional
@@ -1536,7 +1538,11 @@ def encode_jpeg_color(width: int, height: int, y_pixels: bytes,
     (SOF/SOS/MCU layout, two quant tables, chroma huffman ids) exercising
     the decoder's color path; ``subsampling`` is ``"4:4:4"`` (Y 1x1),
     ``"4:2:2"`` (Y 2x1, chroma half-res horizontally, r5) or ``"4:2:0"``
-    (Y 2x2, chroma quarter-res)."""
+    (Y 2x2, chroma quarter-res). ``interleave=False`` (r6) emits THREE
+    single-component scans instead of one MCU-interleaved scan — each
+    component's blocks in raster order over its OWN grid, DC predictor
+    reset per scan (T.81 B.2.3 non-interleaved order) — and must decode
+    identically."""
     import numpy as np
 
     if len(y_pixels) != width * height:
@@ -1582,25 +1588,46 @@ def encode_jpeg_color(width: int, height: int, y_pixels: bytes,
     dc_tab = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_tab = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
-    w = _BitWriter()
-    prev = {"y": 0, "cb": 0, "cr": 0}
-    for my in range(ph // tile_h):
-        for mx in range(pw // tile_w):
-            for by in range(vy):
-                for bx in range(hy):
-                    r0 = my * tile_h + by * 8
-                    c0 = mx * tile_w + bx * 8
-                    prev["y"] = _encode_block(
-                        w, padded[r0:r0 + 8, c0:c0 + 8] - 128.0,
-                        qy, dc_tab, ac_tab, prev["y"])
-            cr0, cc0 = my * 8, mx * 8
-            prev["cb"] = _encode_block(
-                w, cb_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
-                qc, dc_tab, ac_tab, prev["cb"])
-            prev["cr"] = _encode_block(
-                w, cr_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
-                qc, dc_tab, ac_tab, prev["cr"])
-    w.flush()
+    if interleave:
+        w = _BitWriter()
+        prev = {"y": 0, "cb": 0, "cr": 0}
+        for my in range(ph // tile_h):
+            for mx in range(pw // tile_w):
+                for by in range(vy):
+                    for bx in range(hy):
+                        r0 = my * tile_h + by * 8
+                        c0 = mx * tile_w + bx * 8
+                        prev["y"] = _encode_block(
+                            w, padded[r0:r0 + 8, c0:c0 + 8] - 128.0,
+                            qy, dc_tab, ac_tab, prev["y"])
+                cr0, cc0 = my * 8, mx * 8
+                prev["cb"] = _encode_block(
+                    w, cb_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
+                    qc, dc_tab, ac_tab, prev["cb"])
+                prev["cr"] = _encode_block(
+                    w, cr_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
+                    qc, dc_tab, ac_tab, prev["cr"])
+        w.flush()
+    else:
+        # three non-interleaved scans: each component's own block grid
+        # (ceil(extent/8) per axis — NOT the MCU-padded grid), fresh DC
+        # predictor per scan
+        scan_parts = []
+        grids = ((1, 0x00, padded, qy, -(-width // 8), -(-height // 8)),
+                 (2, 0x11, cb_plane, qc, -(-cw // 8), -(-chh // 8)),
+                 (3, 0x11, cr_plane, qc, -(-cw // 8), -(-chh // 8)))
+        for cid, tt, plane, q, nbx, nby in grids:
+            wters = _BitWriter()
+            prev_dc = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    prev_dc = _encode_block(
+                        wters,
+                        plane[by * 8:(by + 1) * 8,
+                              bx * 8:(bx + 1) * 8] - 128.0,
+                        q, dc_tab, ac_tab, prev_dc)
+            wters.flush()
+            scan_parts.append((cid, tt, bytes(wters.out)))
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -1620,9 +1647,15 @@ def encode_jpeg_color(width: int, height: int, y_pixels: bytes,
             (0x01, _JPEG_DC_BITS, _JPEG_DC_VALS),
             (0x11, _JPEG_AC_BITS, _JPEG_AC_VALS),
         ))
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out)
-            + b"\xff\xd9")
+    if interleave:
+        scans_out = (seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11,
+                                      0, 63, 0]))
+                     + bytes(w.out))
+    else:
+        scans_out = b"".join(
+            seg(0xDA, bytes([1, cid, tt, 0, 63, 0])) + ecs
+            for cid, tt, ecs in scan_parts)
+    return b"\xff\xd8" + dqt + sof + dht + scans_out + b"\xff\xd9"
 
 
 # ---------------------------------------------------------------------------
@@ -2167,7 +2200,8 @@ def encode_jpeg_arith_gray(width: int, height: int, pixels: bytes,
 def encode_jpeg_arith_color(width: int, height: int, y_pixels: bytes,
                             subsampling: str = "4:2:0",
                             cb_pixels: bytes | None = None,
-                            cr_pixels: bytes | None = None) -> bytes:
+                            cr_pixels: bytes | None = None,
+                            interleave: bool = True) -> bytes:
     """Sequential ARITHMETIC-coded COLOR (YCbCr interleaved) JPEG (SOF9).
 
     Same plane/subsampling contract as :func:`encode_jpeg_color`, but
@@ -2175,7 +2209,10 @@ def encode_jpeg_arith_color(width: int, height: int, y_pixels: bytes,
     tables (DC 0, AC 0), both chroma components SHARING tables (DC 1,
     AC 1) — i.e. one statistics area per table per §F.1.4.4, which the
     decoder must mirror to stay in sync. Same lossy chain as the
-    huffman color encoder, so decodes must be pixel-identical."""
+    huffman color encoder, so decodes must be pixel-identical.
+    ``interleave=False`` (r6) emits three single-component scans, each
+    with a fresh QM coder and statistics areas (T.81 resets both at
+    every scan) — and must decode identically."""
     import numpy as np
 
     if len(y_pixels) != width * height:
@@ -2236,20 +2273,40 @@ def encode_jpeg_arith_color(width: int, height: int, y_pixels: bytes,
         st[1] = seq[0]
         _arith_encode_ac(enc, ac_stats[tac], seq, kx)
 
-    for my in range(ph // tile_h):
-        for mx in range(pw // tile_w):
-            for by in range(vy):
-                for bx in range(hy):
-                    r0 = my * tile_h + by * 8
-                    c0 = mx * tile_w + bx * 8
-                    put_block(padded[r0:r0 + 8, c0:c0 + 8] - 128.0,
-                              qy, 0, 0, "y")
-            cr0, cc0 = my * 8, mx * 8
-            put_block(cb_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
-                      qc, 1, 1, "cb")
-            put_block(cr_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
-                      qc, 1, 1, "cr")
-    ecs = enc.flush()
+    if interleave:
+        for my in range(ph // tile_h):
+            for mx in range(pw // tile_w):
+                for by in range(vy):
+                    for bx in range(hy):
+                        r0 = my * tile_h + by * 8
+                        c0 = mx * tile_w + bx * 8
+                        put_block(padded[r0:r0 + 8, c0:c0 + 8] - 128.0,
+                                  qy, 0, 0, "y")
+                cr0, cc0 = my * 8, mx * 8
+                put_block(cb_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
+                          qc, 1, 1, "cb")
+                put_block(cr_plane[cr0:cr0 + 8, cc0:cc0 + 8] - 128.0,
+                          qc, 1, 1, "cr")
+        ecs = enc.flush()
+    else:
+        scan_parts = []
+        grids = ((1, 0x00, padded, qy, 0, 0, "y",
+                  -(-width // 8), -(-height // 8)),
+                 (2, 0x11, cb_plane, qc, 1, 1, "cb",
+                  -(-cw // 8), -(-chh // 8)),
+                 (3, 0x11, cr_plane, qc, 1, 1, "cr",
+                  -(-cw // 8), -(-chh // 8)))
+        for cid, tt, plane, q, tdc, tac, key, nbx, nby in grids:
+            enc = _ArithEncoder()
+            dc_stats = {tdc: bytearray(64)}
+            ac_stats = {tac: bytearray(256)}
+            states = {key: [0, 0]}
+            for by in range(nby):
+                for bx in range(nbx):
+                    put_block(plane[by * 8:(by + 1) * 8,
+                                    bx * 8:(bx + 1) * 8] - 128.0,
+                              q, tdc, tac, key)
+            scan_parts.append((cid, tt, enc.flush()))
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -2263,8 +2320,14 @@ def encode_jpeg_arith_color(width: int, height: int, y_pixels: bytes,
               + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]))
     dac = seg(0xCC, bytes([0x00, (up << 4) | lo, 0x01, (up << 4) | lo,
                            0x10, kx, 0x11, kx]))
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof + dac + sos + ecs + b"\xff\xd9")
+    if interleave:
+        scans_out = (seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11,
+                                      0, 63, 0])) + ecs)
+    else:
+        scans_out = b"".join(
+            seg(0xDA, bytes([1, cid, tt, 0, 63, 0])) + e
+            for cid, tt, e in scan_parts)
+    return b"\xff\xd8" + dqt + sof + dac + scans_out + b"\xff\xd9"
 
 
 class _BitReader:
@@ -2369,11 +2432,11 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     subsampled-LUMA streams, whose reduced Y plane nearest-upsamples
     like any other component, r6); the output is the LUMA plane (Y is
     BT.601 luma directly — chroma components are decoded to keep the
-    stream in sync and discarded). Non-interleaved multi-scan
-    sequential and CMYK streams raise NotImplementedError — the
-    documented codec seam; 12-bit streams raise ValueError toward
-    :func:`decode_jpeg_gray12`. Malformed / truncated input raises
-    ValueError."""
+    stream in sync and discarded; non-interleaved multi-scan streams
+    decode under both entropy coders, r6). CMYK/YCCK streams raise
+    NotImplementedError — the documented codec seam; 12-bit streams
+    raise ValueError toward :func:`decode_jpeg_gray12`. Malformed /
+    truncated input raises ValueError."""
     import numpy as np
 
     try:
@@ -2510,8 +2573,7 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
     comps: list[dict] = []  # {id, h, v, tq} in SOF order
-    scan_tabs: dict[int, tuple] = {}  # comp id -> (dc_table, ac_table)
-    entropy_start = None
+    scans: list[dict] = []
     restart_interval = 0
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
@@ -2586,29 +2648,28 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
+            # sequential scans: interleaved (ns > 1, MCU order over the
+            # scan's components) or non-interleaved (ns == 1, raster
+            # over that component's own block grid) — multi-scan
+            # streams walk on to the next SOS (r6)
             ns = body[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved) baseline JPEG")
+            by_id = {c["id"]: c for c in comps}
+            scomps = []
             for c in range(ns):
                 cid = body[1 + 2 * c]
                 tt = body[2 + 2 * c]
-                scan_tabs[cid] = (huff[(0, tt >> 4)], huff[(1, tt & 0x0F)])
-            entropy_start = pos
-            break
-    if width is None or entropy_start is None:
+                scomps.append((by_id[cid], huff[(0, tt >> 4)],
+                               huff[(1, tt & 0x0F)]))
+            end = _scan_entropy_end(data, pos)
+            scans.append({"comps": scomps, "ecs": data[pos:end],
+                          "dri": restart_interval})
+            pos = end
+    if width is None or not scans:
         raise ValueError("truncated JPEG (no SOF/SOS)")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     # any component may be subsampled, INCLUDING luma (r6): the public
     # decode surface routes every plane through _upsample_plane
-
-    # entropy-coded segment runs to EOI; restart markers reset the DC
-    # predictor — split on them and decode interval by interval
-    end = data.rfind(b"\xff\xd9")
-    if end < 0:
-        end = len(data)
-    ecs = data[entropy_start:end]
 
     C = _dct_matrix()
     zz = _JPEG_ZIGZAG
@@ -2622,32 +2683,22 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     n_mcus = mcus_x * mcus_y
+    for c in comps:
+        # non-interleaved scans cover the component's OWN block grid
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        c["nbx"] = -(-cw // 8)
+        c["nby"] = -(-ch // 8)
     # render_all materializes every component's plane (color output);
-    # otherwise only luma — chroma blocks are still entropy-decoded (the
-    # stream is interleaved, they must be to stay in sync), just not
-    # reconstructed to pixels
+    # otherwise only luma — other components' blocks are still
+    # entropy-decoded to stay in sync, just not reconstructed. zeros,
+    # not empty: non-interleaved scans leave MCU padding untouched.
     render = comps if render_all else comps[:1]
     planes = {
-        c["id"]: np.empty((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
                           dtype=np.float64)
         for c in render
     }
-
-    # split on restart markers; each interval holds exactly
-    # ``restart_interval`` MCUs (DRI marker), all DC predictors reset
-    intervals = []
-    start = 0
-    i = 0
-    while i < len(ecs) - 1:
-        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
-            intervals.append(ecs[start:i])
-            start = i + 2
-            i += 2
-        else:
-            i += 1
-    intervals.append(ecs[start:])
-    if len(intervals) > 1 and restart_interval == 0:
-        raise ValueError("restart markers present but no DRI segment")
 
     def read_block(reader, dc_tab, ac_tab, prev_dc):
         size = _read_huff(reader, dc_tab)
@@ -2670,46 +2721,64 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
             k += 1
         return dc, seq
 
-    done = 0
-    for ci, chunk in enumerate(intervals):
-        reader = _BitReader(chunk)
-        prev_dc = {c["id"]: 0 for c in comps}
-        in_chunk = (restart_interval
-                    if restart_interval and ci < len(intervals) - 1
-                    else n_mcus - done)
-        for _ in range(in_chunk):
-            if done >= n_mcus:
-                break
-            my, mx = divmod(done, mcus_x)
-            for comp in comps:
-                dc_tab, ac_tab = scan_tabs[comp["id"]]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        prev_dc[comp["id"]], seq = read_block(
-                            reader, dc_tab, ac_tab, prev_dc[comp["id"]])
-                        plane = planes.get(comp["id"])
-                        if plane is None:
-                            continue  # sync-decoded, not rendered
-                        flat = np.zeros(64)
-                        for i2 in range(64):
-                            flat[zz[i2]] = seq[i2]
-                        coef = flat.reshape(8, 8) * qmats[comp["tq"]]
-                        block = (C.T @ coef @ C
-                                 + float(1 << (comp.get("prec", 8) - 1)))
-                        r0 = (my * comp["v"] + by) * 8
-                        c0 = (mx * comp["h"] + bx) * 8
-                        plane[r0:r0 + 8, c0:c0 + 8] = block
-            done += 1
-            # strict truncation contract (ADVICE r4): an MCU that needed
-            # even one zero-fill bit past end-of-stream decoded fabricated
-            # coefficients — fail loudly instead of emitting silently wrong
-            # pixels in the tail blocks (the old 64-bit slack window let
-            # ~8 fabricated bytes through)
-            if reader.consumed_synthetic():
-                raise ValueError(
-                    "JPEG entropy data truncated (stream ended mid-MCU)")
-    if done < n_mcus:
-        raise ValueError("JPEG entropy data truncated")
+    def put_block(comp, seq, by, bx):
+        plane = planes.get(comp["id"])
+        if plane is None:
+            return  # sync-decoded, not rendered
+        flat = np.zeros(64)
+        for i2 in range(64):
+            flat[zz[i2]] = seq[i2]
+        coef = flat.reshape(8, 8) * qmats[comp["tq"]]
+        block = (C.T @ coef @ C
+                 + float(1 << (comp.get("prec", 8) - 1)))
+        plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
+
+    for scan in scans:
+        scomps = scan["comps"]
+        dri = scan["dri"]
+        intervals = _split_restart_intervals(scan["ecs"])
+        if len(intervals) > 1 and dri == 0:
+            raise ValueError("restart markers present but no DRI segment")
+        interleaved = len(scomps) > 1
+        units = (n_mcus if interleaved
+                 else scomps[0][0]["nbx"] * scomps[0][0]["nby"])
+        done = 0
+        for ci, chunk in enumerate(intervals):
+            reader = _BitReader(chunk)
+            prev_dc = {c[0]["id"]: 0 for c in scomps}
+            in_chunk = (dri if dri and ci < len(intervals) - 1
+                        else units - done)
+            for _ in range(in_chunk):
+                if done >= units:
+                    break
+                if interleaved:
+                    my, mx = divmod(done, mcus_x)
+                    for comp, dc_tab, ac_tab in scomps:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                prev_dc[comp["id"]], seq = read_block(
+                                    reader, dc_tab, ac_tab,
+                                    prev_dc[comp["id"]])
+                                put_block(comp, seq,
+                                          my * comp["v"] + by,
+                                          mx * comp["h"] + bx)
+                else:
+                    comp, dc_tab, ac_tab = scomps[0]
+                    by, bx = divmod(done, comp["nbx"])
+                    prev_dc[comp["id"]], seq = read_block(
+                        reader, dc_tab, ac_tab, prev_dc[comp["id"]])
+                    put_block(comp, seq, by, bx)
+                done += 1
+                # strict truncation contract (ADVICE r4): an MCU that
+                # needed even one zero-fill bit past end-of-stream
+                # decoded fabricated coefficients — fail loudly instead
+                # of emitting silently wrong pixels in the tail blocks
+                if reader.consumed_synthetic():
+                    raise ValueError(
+                        "JPEG entropy data truncated (stream ended "
+                        "mid-MCU)")
+        if done < units:
+            raise ValueError("JPEG entropy data truncated")
     return width, height, comps, planes, hmax, vmax
 
 
@@ -2785,9 +2854,8 @@ def _decode_arith(data: bytes, render_all: bool,
     # per §F.1.4.4.1.2 / F.1.4.4.2)
     dc_cond: dict[int, tuple[int, int]] = {}
     ac_cond: dict[int, int] = {}
-    scan_tabs: dict[int, tuple[int, int]] = {}
+    scans: list[dict] = []
     restart_interval = 0
-    entropy_start = None
     pos = 2
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
@@ -2834,35 +2902,35 @@ def _decode_arith(data: bytes, render_all: bool,
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
+            # interleaved (ns > 1) or non-interleaved (ns == 1) scans;
+            # multi-scan streams walk on to the next SOS (r6)
             ns = body[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved) arithmetic JPEG")
+            by_id = {c["id"]: c for c in comps}
+            scomps = []
             for c in range(ns):
                 cid = body[1 + 2 * c]
                 tt = body[2 + 2 * c]
-                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
-            entropy_start = pos
-            break
-    if width is None or entropy_start is None:
+                scomps.append((by_id[cid], tt >> 4, tt & 0x0F))
+            # Truncation contract: unlike huffman scans, a QM entropy
+            # segment cut mid-stream keeps "decoding" from the
+            # spec-mandated 1-bit feed (Figure E.21) — decisions stay
+            # resolvable by construction, so there is no bit-level
+            # truncation signal. The sound check is container level:
+            # the segment must terminate at a real marker.
+            end = _scan_arith_entropy_end(data, pos)
+            if end >= len(data):
+                raise ValueError(
+                    "JPEG entropy data truncated (arithmetic segment "
+                    "has no terminating marker)")
+            scans.append({"comps": scomps, "ecs": data[pos:end],
+                          "dri": restart_interval})
+            pos = end
+    if width is None or not scans:
         raise ValueError("truncated JPEG (no SOF/SOS)")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     # any component may be subsampled, INCLUDING luma (r6): the public
     # decode surface routes every plane through _upsample_plane
-
-    # Truncation contract: unlike huffman scans, a QM entropy segment cut
-    # mid-stream keeps "decoding" from the spec-mandated 1-bit feed
-    # (Figure E.21) — decisions stay resolvable by construction, so there
-    # is no bit-level truncation signal. The sound check is container
-    # level: the segment must terminate at a real marker (EOI or the next
-    # header marker), not at end-of-data.
-    end = _scan_arith_entropy_end(data, entropy_start)
-    if end >= len(data):
-        raise ValueError(
-            "JPEG entropy data truncated (arithmetic segment has no "
-            "terminating marker)")
-    ecs = data[entropy_start:end]
 
     C = _dct_matrix()
     zz = _JPEG_ZIGZAG
@@ -2876,63 +2944,84 @@ def _decode_arith(data: bytes, render_all: bool,
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     n_mcus = mcus_x * mcus_y
+    for c in comps:
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        c["nbx"] = -(-cw // 8)
+        c["nby"] = -(-ch // 8)
     render = comps if render_all else comps[:1]
     planes = {
-        c["id"]: np.empty((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
                           dtype=np.float64)
         for c in render
     }
 
-    intervals = _split_arith_intervals(ecs)
-    if len(intervals) > 1 and restart_interval == 0:
-        raise ValueError("restart markers present but no DRI segment")
+    def put_block(comp, seq, by, bx):
+        plane = planes.get(comp["id"])
+        if plane is None:
+            return  # sync-decoded, not rendered
+        flat = np.zeros(64)
+        for i2 in range(64):
+            flat[zz[i2]] = seq[i2]
+        coef = flat.reshape(8, 8) * qmats[comp["tq"]]
+        # level shift = 2^(P-1): 128 at 8-bit, 2048 at 12-bit
+        # precision; NONE in differential frames
+        block = (C.T @ coef @ C
+                 + (0.0 if differential else
+                    float(1 << (comp["prec"] - 1))))
+        plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
 
-    done = 0
-    for ci, chunk in enumerate(intervals):
-        dec = _ArithDecoder(chunk)
-        # statistics areas are per conditioning TABLE (shared across
-        # components bound to the same table — T.81 F.1.4.4); DC
-        # state ([ctx, prediction]) is per component
-        dc_stats = {tb: bytearray(64) for tb in
-                    {scan_tabs[c["id"]][0] for c in comps}}
-        ac_stats = {tb: bytearray(256) for tb in
-                    {scan_tabs[c["id"]][1] for c in comps}}
-        states = {c["id"]: [0, 0] for c in comps}
-        in_chunk = (restart_interval
-                    if restart_interval and ci < len(intervals) - 1
-                    else n_mcus - done)
-        for _ in range(in_chunk):
-            if done >= n_mcus:
-                break
-            my, mx = divmod(done, mcus_x)
-            for comp in comps:
-                tdc, tac = scan_tabs[comp["id"]]
-                lo, up = dc_cond.get(tdc, (0, 1))
-                kx = ac_cond.get(tac, 5)
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        seq = _arith_decode_block(
-                            dec, dc_stats[tdc], ac_stats[tac],
-                            states[comp["id"]], lo, up, kx,
-                            differential=differential)
-                        plane = planes.get(comp["id"])
-                        if plane is None:
-                            continue  # sync-decoded, not rendered
-                        flat = np.zeros(64)
-                        for i2 in range(64):
-                            flat[zz[i2]] = seq[i2]
-                        coef = flat.reshape(8, 8) * qmats[comp["tq"]]
-                        # level shift = 2^(P-1): 128 at 8-bit, 2048 at
-                        # 12-bit precision; NONE in differential frames
-                        block = (C.T @ coef @ C
-                                 + (0.0 if differential else
-                                    float(1 << (comp["prec"] - 1))))
-                        r0 = (my * comp["v"] + by) * 8
-                        c0 = (mx * comp["h"] + bx) * 8
-                        plane[r0:r0 + 8, c0:c0 + 8] = block
-            done += 1
-    if done < n_mcus:
-        raise ValueError("JPEG entropy data truncated")
+    for scan in scans:
+        scomps = scan["comps"]
+        dri = scan["dri"]
+        intervals = _split_arith_intervals(scan["ecs"])
+        if len(intervals) > 1 and dri == 0:
+            raise ValueError("restart markers present but no DRI segment")
+        interleaved = len(scomps) > 1
+        units = (n_mcus if interleaved
+                 else scomps[0][0]["nbx"] * scomps[0][0]["nby"])
+        done = 0
+        for ci, chunk in enumerate(intervals):
+            dec = _ArithDecoder(chunk)
+            # statistics areas are per conditioning TABLE (shared across
+            # components bound to the same table — T.81 F.1.4.4); DC
+            # state ([ctx, prediction]) is per component; all reset per
+            # scan and per restart interval
+            dc_stats = {tb: bytearray(64) for _, tb, _ in scomps}
+            ac_stats = {tb: bytearray(256) for _, _, tb in scomps}
+            states = {c[0]["id"]: [0, 0] for c in scomps}
+            in_chunk = (dri if dri and ci < len(intervals) - 1
+                        else units - done)
+            for _ in range(in_chunk):
+                if done >= units:
+                    break
+                if interleaved:
+                    my, mx = divmod(done, mcus_x)
+                    for comp, tdc, tac in scomps:
+                        lo, up = dc_cond.get(tdc, (0, 1))
+                        kx = ac_cond.get(tac, 5)
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                seq = _arith_decode_block(
+                                    dec, dc_stats[tdc], ac_stats[tac],
+                                    states[comp["id"]], lo, up, kx,
+                                    differential=differential)
+                                put_block(comp, seq,
+                                          my * comp["v"] + by,
+                                          mx * comp["h"] + bx)
+                else:
+                    comp, tdc, tac = scomps[0]
+                    lo, up = dc_cond.get(tdc, (0, 1))
+                    kx = ac_cond.get(tac, 5)
+                    by, bx = divmod(done, comp["nbx"])
+                    seq = _arith_decode_block(
+                        dec, dc_stats[tdc], ac_stats[tac],
+                        states[comp["id"]], lo, up, kx,
+                        differential=differential)
+                    put_block(comp, seq, by, bx)
+                done += 1
+        if done < units:
+            raise ValueError("JPEG entropy data truncated")
     return width, height, comps, planes, hmax, vmax
 
 

@@ -19,9 +19,10 @@ shapes, partitioning, the UDF signatures. The codec step:
   (struct over RIFF) via functions/codecs.py; what remains behind
   ``NotImplementedError`` for JPEG is parameter-space only — EVERY
   T.81 frame type incl. all differentials decodes, 16-bit quant
-  tables parse, any component may be subsampled incl. luma (r6); CMYK
-  and multi-scan sequential stay seams — plus compressed non-MJPG
-  video codecs — the exact seam where PIL / pyav plug in.
+  tables parse, any component may be subsampled incl. luma, multi-scan
+  non-interleaved streams decode (r6); CMYK stays a seam — plus
+  compressed non-MJPG video codecs — the exact seam where PIL / pyav
+  plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -120,8 +121,7 @@ def extract_image_features(
                     # with all six differential frame types
                     # (SOF5/6/7/13/14/15); color is full RGB (r5,
                     # nearest chroma upsample); NotImplementedError
-                    # remains only for parameter-space seams (CMYK,
-                    # multi-scan sequential)
+                    # remains only for the CMYK parameter-space seam
                     w, h, nch, px = decode_jpeg(b)
                 elif fmt == "png":
                     # gray/RGB/palette/alpha at depths 1-8, Adam7 (r5);

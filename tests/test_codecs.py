@@ -2388,3 +2388,57 @@ def test_jpeg_subsampled_luma():
                                      - 0.714136 * (cr0 - 128) + 0.5))))
     b = min(255, max(0, int(np.floor(y0 + 1.772 * (cb0 - 128) + 0.5))))
     assert px == bytes([r, g, b]) * (w * h)
+
+
+def test_jpeg_multiscan_noninterleaved():
+    """Non-interleaved multi-scan sequential JPEG (r6, T.81 B.2.3):
+    three single-component scans — each component's blocks in raster
+    order over its OWN grid (not the MCU-padded grid), DC predictor
+    fresh per scan — must decode bit-for-bit like the interleaved scan
+    of the same planes, at every subsampling and at odd dimensions."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(59)
+    for w, h, sub in [(24, 16, "4:2:0"), (17, 13, "4:2:0"),
+                      (16, 16, "4:4:4"), (19, 11, "4:2:2")]:
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        hy, vy = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[sub]
+        cw, ch = -(-w // hy), -(-h // vy)
+        cb = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        cr = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        kw = dict(subsampling=sub, cb_pixels=cb.tobytes(),
+                  cr_pixels=cr.tobytes())
+        b_int = C.encode_jpeg_color(w, h, y.tobytes(), **kw)
+        b_non = C.encode_jpeg_color(w, h, y.tobytes(), interleave=False,
+                                    **kw)
+        assert b_non != b_int
+        assert b_non.count(b"\xff\xda") == 3  # three scans on the wire
+        assert C.decode_jpeg(b_non) == C.decode_jpeg(b_int), (w, h, sub)
+        assert C.decode_jpeg_gray(b_non) == C.decode_jpeg_gray(b_int)
+
+    # truncation inside a later scan still fails loudly
+    with pytest.raises(ValueError):
+        C.decode_jpeg(b_non[:len(b_non) - 4])
+
+    # the ARITHMETIC stack gets the same treatment: three QM scans
+    # (fresh coder + statistics per scan) == the interleaved stream
+    for w, h, sub in [(24, 16, "4:2:0"), (17, 13, "4:4:4")]:
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        hy, vy = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[sub]
+        cw, ch = -(-w // hy), -(-h // vy)
+        kw = dict(subsampling=sub,
+                  cb_pixels=rng.integers(0, 256, (ch, cw),
+                                         dtype=np.uint8).tobytes(),
+                  cr_pixels=rng.integers(0, 256, (ch, cw),
+                                         dtype=np.uint8).tobytes())
+        a_int = C.encode_jpeg_arith_color(w, h, y.tobytes(), **kw)
+        a_non = C.encode_jpeg_arith_color(w, h, y.tobytes(),
+                                          interleave=False, **kw)
+        assert a_non.count(b"\xff\xda") >= 3
+        assert C.decode_jpeg(a_non) == C.decode_jpeg(a_int), (w, h, sub)
+        # and the huffman and arithmetic non-interleaved streams agree
+        b_non2 = C.encode_jpeg_color(w, h, y.tobytes(),
+                                     interleave=False, **kw)
+        assert C.decode_jpeg(a_non) == C.decode_jpeg(b_non2)
