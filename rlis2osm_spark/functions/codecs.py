@@ -36,10 +36,11 @@ matrix"): for JPEG, parameter-space only — EVERY T.81 frame type
 decodes (r6): hierarchical pyramids take all six differential frame
 types (SOF5/6/13/14 DCT + SOF7/15 lossless), extended-sequential SOF1
 decodes at 8- and 12-bit, lossless-arithmetic spans precision 2-16;
-still a seam: CMYK/YCCK 4-component color management (16-bit Pq=1
-quant tables parse everywhere, ANY component may be subsampled — luma
-included — and non-interleaved multi-scan sequential decodes under
-both entropy coders, r6). Beyond JPEG:
+CMYK/YCCK decodes per the Adobe APP14 transform (stored inverted-ink
+convention; true ICC color management stays out of scope), 16-bit
+Pq=1 quant tables parse everywhere, ANY component may be subsampled —
+luma included — and non-interleaved multi-scan sequential decodes
+under both entropy coders (all r6). Beyond JPEG:
 compressed non-MJPG video codecs (uncompressed DIB AVI decodes
 natively, r5), JPEG/PNG-in-BMP, GSM WAV.
 """
@@ -2433,10 +2434,10 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     like any other component, r6); the output is the LUMA plane (Y is
     BT.601 luma directly — chroma components are decoded to keep the
     stream in sync and discarded; non-interleaved multi-scan streams
-    decode under both entropy coders, r6). CMYK/YCCK streams raise
-    NotImplementedError — the documented codec seam; 12-bit streams
-    raise ValueError toward :func:`decode_jpeg_gray12`. Malformed /
-    truncated input raises ValueError."""
+    decode under both entropy coders, and 4-component CMYK/YCCK via
+    :func:`decode_jpeg`, r6). 12-bit streams raise ValueError toward
+    :func:`decode_jpeg_gray12`. Malformed / truncated input raises
+    ValueError."""
     import numpy as np
 
     try:
@@ -2485,9 +2486,10 @@ def decode_jpeg(data: bytes, upsample: str = "nearest",
     analytically-predictable choice our oracles use — or ``"bilinear"``,
     the centered-sample triangular filter), then converted per the JFIF
     YCbCr<->RGB matrix with floor(x+0.5) rounding and [0,255] clamping.
-    Every T.81 frame type decodes (r6); same parameter-space seam as
-    :func:`decode_jpeg_gray` (multi-scan sequential, CMYK); ValueError
-    on malformed input."""
+    4-component streams return CMYK/YCCK per the Adobe APP14 transform
+    (n_channels=4, stored inverted-ink convention). Every T.81 frame
+    type decodes, multi-scan non-interleaved streams too (r6);
+    ValueError on malformed input."""
     import numpy as np
 
     if upsample not in ("nearest", "bilinear"):
@@ -2504,10 +2506,30 @@ def decode_jpeg(data: bytes, upsample: str = "nearest",
         y = planes[comps[0]["id"]]
         pix = np.clip(np.round(y[:height, :width]), 0, 255).astype(np.uint8)
         return width, height, 1, pix.tobytes()
+    if len(comps) == 4:
+        # CMYK / YCCK (r6): the Adobe APP14 transform flag picks the
+        # interpretation (2 = YCCK, else CMYK; absent APP14 with four
+        # components means CMYK per Adobe TN 5116). Channels return in
+        # Adobe's STORED (inverted-ink) convention — ink = 255 - value
+        # — so transform 0 passes samples through and transform 2
+        # converts the YCC triplet with the same JFIF matrix as RGB,
+        # leaving K untouched. True ICC color management (what the CMYK
+        # values MEAN on paper) stays out of scope.
+        up4 = [_upsample_plane(planes[c["id"]], c, hmax, vmax,
+                               width, height, upsample) for c in comps]
+        if _adobe_transform(data) == 2:
+            first3 = _ycbcr_to_rgb(up4[0], up4[1], up4[2])
+        else:
+            first3 = np.stack(
+                [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+                 for p in up4[:3]], axis=-1)
+        k = np.clip(np.floor(up4[3] + 0.5), 0, 255).astype(np.uint8)
+        out = np.concatenate([first3, k[:, :, None]], axis=-1)
+        return width, height, 4, out.tobytes()
     if len(comps) != 3:
         raise NotImplementedError(
-            f"{len(comps)}-component JPEG (CMYK/YCCK need color-management "
-            "tables — PIL's seam)")
+            f"{len(comps)}-component JPEG ({len(comps)}-channel layouts "
+            "have no defined color interpretation — PIL's seam)")
     y = _upsample_plane(planes[comps[0]["id"]], comps[0], hmax, vmax,
                         width, height, upsample)
     cb = _upsample_plane(planes[comps[1]["id"]], comps[1], hmax, vmax,
@@ -2516,6 +2538,95 @@ def decode_jpeg(data: bytes, upsample: str = "nearest",
                          width, height, upsample)
     rgb = _ycbcr_to_rgb(y, cb, cr)
     return width, height, 3, rgb.tobytes()
+
+
+def _adobe_transform(data: bytes) -> int:
+    """Scan for an Adobe APP14 segment and return its color-transform
+    byte (0 = CMYK/RGB as stored, 1 = YCbCr, 2 = YCCK); 0 when absent
+    (Adobe TN 5116's default for 4-component streams)."""
+    pos = 2
+    while pos + 3 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xD9, 0xDA):
+            break  # tables-misc end at the first scan
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            return body[11]
+    return 0
+
+
+def encode_jpeg_cmyk(width: int, height: int, c_pixels: bytes,
+                     m_pixels: bytes, y_pixels: bytes, k_pixels: bytes,
+                     ycck: bool = False) -> bytes:
+    """Baseline 4-component CMYK JPEG (r6): four 1x1-sampled planes in
+    Adobe's stored (inverted-ink) convention, one interleaved scan,
+    quant table 0 + the typical huffman tables for every component, and
+    an Adobe APP14 segment carrying the transform byte (0 = CMYK,
+    2 = YCCK — the planes are emitted as given either way; a YCCK
+    caller passes the YCC-transformed triplet as c/m/y). Decode via
+    :func:`decode_jpeg` (n_channels=4). Even-constant blocks stay
+    exact, as everywhere in this module."""
+    import numpy as np
+
+    planes = []
+    for name, pix in (("c", c_pixels), ("m", m_pixels),
+                      ("y", y_pixels), ("k", k_pixels)):
+        if len(pix) != width * height:
+            raise ValueError(f"{name}_pixels must be width*height bytes")
+        planes.append(np.frombuffer(pix, dtype=np.uint8)
+                      .reshape(height, width))
+
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    padded = []
+    for p in planes:
+        pad = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        pad[:height, :width] = p
+        pad[height:, :width] = p[-1:, :]
+        pad[:, width:] = pad[:, width - 1:width]
+        padded.append(pad)
+
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    dc_tab = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    zz = _JPEG_ZIGZAG
+
+    w = _BitWriter()
+    prev = [0, 0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, pad in enumerate(padded):
+                prev[ci] = _encode_block(
+                    w, pad[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                    - 128.0, q, dc_tab, ac_tab, prev[ci])
+    w.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app14 = seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
+                                             2 if ycck else 0))
+    dqt = seg(0xDB, bytes([0x00]) + bytes(
+        _JPEG_QTABLE[zz[i]] for i in range(64)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 4)
+              + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                 + bytes(_JPEG_AC_VALS)))
+    sos = seg(0xDA, bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00,
+                           0, 63, 0]))
+    return (b"\xff\xd8" + app14 + dqt + sof + dht + sos + bytes(w.out)
+            + b"\xff\xd9")
 
 
 def _upsample_plane(plane, comp, hmax: int, vmax: int,

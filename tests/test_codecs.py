@@ -2442,3 +2442,49 @@ def test_jpeg_multiscan_noninterleaved():
         b_non2 = C.encode_jpeg_color(w, h, y.tobytes(),
                                      interleave=False, **kw)
         assert C.decode_jpeg(a_non) == C.decode_jpeg(b_non2)
+
+
+def test_jpeg_cmyk_ycck():
+    """4-component CMYK/YCCK JPEG (r6): the Adobe APP14 transform byte
+    picks the interpretation; channels return in the stored
+    (inverted-ink) convention. Even-constant planes are exact; YCCK
+    runs the YCC triplet through the JFIF matrix leaving K alone; a
+    5-component frame stays a loud seam."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    w = h = 16
+    cC, cM, cY, cK = 40, 80, 120, 200  # even -> quantizer-exact
+    mk = [bytes([v]) * (w * h) for v in (cC, cM, cY, cK)]
+    blob = C.encode_jpeg_cmyk(w, h, *mk)
+    gw, gh, nch, px = C.decode_jpeg(blob)
+    assert (gw, gh, nch) == (w, h, 4)
+    assert px == bytes([cC, cM, cY, cK]) * (w * h)
+
+    # YCCK: same planes, transform=2 -> JFIF conversion of the triplet
+    blob2 = C.encode_jpeg_cmyk(w, h, *mk, ycck=True)
+    assert blob2 != blob
+    _, _, nch2, px2 = C.decode_jpeg(blob2)
+    r = min(255, max(0, int(np.floor(cC + 1.402 * (cY - 128) + 0.5))))
+    g = min(255, max(0, int(np.floor(cC - 0.344136 * (cM - 128)
+                                     - 0.714136 * (cY - 128) + 0.5))))
+    b = min(255, max(0, int(np.floor(cC + 1.772 * (cM - 128) + 0.5))))
+    assert (nch2, px2) == (4, bytes([r, g, b, cK]) * (w * h))
+
+    # no APP14 at all: 4 components default to CMYK-as-stored
+    app14_at = blob.index(b"\xff\xee")
+    ln = int.from_bytes(blob[app14_at + 2:app14_at + 4], "big")
+    stripped = blob[:app14_at] + blob[app14_at + 2 + ln:]
+    assert C.decode_jpeg(stripped) == (w, h, 4, px)
+
+    # gray surface still returns the first component plane
+    assert C.decode_jpeg_gray(blob) == (w, h, bytes([cC]) * (w * h))
+
+    # bumping ncomp to 5 without a fifth component spec is malformed
+    # input (truncated SOF), not silent garbage
+    bad = bytearray(stripped)
+    sof_at = bad.index(b"\xff\xc0")
+    bad[sof_at + 9] = 5  # ncomp byte
+    with pytest.raises(ValueError):
+        C.decode_jpeg(bytes(bad))
