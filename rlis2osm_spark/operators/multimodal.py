@@ -20,9 +20,9 @@ shapes, partitioning, the UDF signatures. The codec step:
   ``NotImplementedError`` for JPEG is parameter-space only — EVERY
   T.81 frame type incl. all differentials decodes, 16-bit quant
   tables parse, any component may be subsampled incl. luma, multi-scan
-  non-interleaved streams decode (r6); CMYK stays a seam — plus
-  compressed non-MJPG video codecs — the exact seam where PIL / pyav
-  plug in.
+  non-interleaved and Adobe CMYK/YCCK streams decode (r6) — what
+  remains is compressed non-MJPG video codecs — the exact seam where
+  PIL / pyav plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -121,7 +121,7 @@ def extract_image_features(
                     # with all six differential frame types
                     # (SOF5/6/7/13/14/15); color is full RGB (r5,
                     # nearest chroma upsample); NotImplementedError
-                    # remains only for the CMYK parameter-space seam
+                    # remains only for >4-component layouts
                     w, h, nch, px = decode_jpeg(b)
                 elif fmt == "png":
                     # gray/RGB/palette/alpha at depths 1-8, Adam7 (r5);
