@@ -5186,16 +5186,20 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def _decode_bmp_rle(blob: bytes, width: int, height: int,
-                    bits: int) -> "np.ndarray":
+                    bits: int, canvas=None) -> "np.ndarray":
     """BI_RLE8 / BI_RLE4 stream -> (height, width) palette-index raster
     in STORED (bottom-up) row order. Escapes: 00 00 = end of line,
     00 01 = end of bitmap, 00 02 dx dy = position delta; 00 n (n>=3) =
     absolute mode (n literal indices, data padded to a word boundary);
     c v (c>0) = run of c indices (RLE4 alternates v's two nibbles).
-    Pixels never written stay 0."""
+    Pixels never written stay 0 — or, when ``canvas`` is given (the
+    MS-RLE VIDEO delta semantics, r6), keep the previous frame's value:
+    the same escapes that skip pixels in a still BMP carry inter-frame
+    deltas in an AVI 'MRLE' stream."""
     import numpy as np
 
-    out = np.zeros((height, width), dtype=np.uint8)
+    out = (np.zeros((height, width), dtype=np.uint8)
+           if canvas is None else canvas)
     x = y = 0
     i = 0
     n = len(blob)
@@ -5286,11 +5290,13 @@ def decode_avi_frames(data: bytes) -> tuple[int, int, str, list[bytes]]:
                         codec = "mjpg"
                     elif handler in (b"DIB ", b"RGB ", b"\x00\x00\x00\x00"):
                         codec = "dib"
+                    elif handler in (b"MRLE", b"mrle", b"RLE "):
+                        codec = "mrle"  # frames via decode_mrle_video (r6)
                     else:
                         raise NotImplementedError(
                             f"video codec {handler!r} needs a real decoder "
-                            "(pyav plugs in here); MJPG and uncompressed "
-                            "DIB decode natively")
+                            "(pyav plugs in here); MJPG, uncompressed DIB "
+                            "and MS-RLE decode natively")
             elif tag in (b"00dc", b"00db"):
                 frames.append(data[body_start:body_start + ln])
             pos = body_start + ln + (ln & 1)
@@ -5299,6 +5305,133 @@ def decode_avi_frames(data: bytes) -> tuple[int, int, str, list[bytes]]:
     if width is None or not frames:
         raise ValueError("AVI missing header or frames")
     return width, height, codec or "mjpg", frames
+
+
+def _avi_vids_palette(data: bytes) -> list[tuple[int, int, int]]:
+    """The video stream's strf palette: BITMAPINFOHEADER (40 bytes)
+    followed by biClrUsed (or 2^biBitCount) BGRX entries -> [(r,g,b)].
+    Empty list when the stream carries no palette (truecolor DIBs)."""
+    palette: list[tuple[int, int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal palette
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + ln)
+            elif tag == b"strf" and not palette and ln >= 40:
+                body = data[body_start:body_start + ln]
+                bits = struct.unpack("<H", body[14:16])[0]
+                (clr_used,) = struct.unpack("<I", body[32:36])
+                if bits <= 8:
+                    n = clr_used or (1 << bits)
+                    for k in range(min(n, (len(body) - 40) // 4)):
+                        b_, g_, r_ = body[40 + 4 * k:43 + 4 * k]
+                        palette.append((r_, g_, b_))
+            pos = body_start + ln + (ln & 1)
+
+    walk(12, len(data))
+    return palette
+
+
+def decode_mrle_video(data: bytes) -> tuple[int, int, list[bytes]]:
+    """MS-RLE ('MRLE') AVI -> (width, height, [interleaved top-down RGB
+    frame bytes]) (r6). Each frame chunk is a BI_RLE8 stream (the same
+    escapes as RLE BMP); pixels a frame never writes KEEP the previous
+    frame's value — that is the codec's whole inter-frame delta
+    mechanism — so frames composite onto a persistent palette-index
+    canvas (initially 0), mapped through the stream's strf palette and
+    flipped from the stored bottom-up row order."""
+    import numpy as np
+
+    width, height, codec, frames = decode_avi_frames(data)
+    if codec != "mrle":
+        raise ValueError("decode_mrle_video called on a non-MRLE stream")
+    palette = _avi_vids_palette(data)
+    if not palette:
+        raise ValueError("MRLE stream missing its strf palette")
+    lut = np.zeros((256, 3), dtype=np.uint8)
+    for k, (r_, g_, b_) in enumerate(palette[:256]):
+        lut[k] = (r_, g_, b_)
+    canvas = np.zeros((height, width), dtype=np.uint8)
+    out = []
+    for frame in frames:
+        canvas = _decode_bmp_rle(frame, width, height, 8, canvas=canvas)
+        rgb = lut[canvas][::-1, :, :]  # bottom-up storage -> top-down
+        out.append(np.ascontiguousarray(rgb).tobytes())
+    return width, height, out
+
+
+def encode_avi_mrle(frames_idx: list[bytes], width: int, height: int,
+                    palette: list[tuple[int, int, int]] | None = None,
+                    fps: int = 10) -> bytes:
+    """Minimal MS-RLE AVI (handler 'MRLE', strf biCompression=BI_RLE8,
+    8-bit palette) (r6). ``frames_idx`` are width*height palette-index
+    bytes per frame, run-length encoded row by row (bottom-up, runs
+    capped at 255, EOL after every row, EOB at frame end). ``palette``
+    defaults to identity gray ((k,k,k)) so index == luma and the decoded
+    RGB sum is exactly 3x the index sum — the analytic-oracle path.
+    Delta frames (partial updates over the previous frame) are what the
+    FORMAT carries; this encoder always paints full frames — tests
+    hand-craft delta streams to pin the skip semantics."""
+    import numpy as np
+
+    if not frames_idx:
+        raise ValueError("need at least one frame")
+    palette = palette or [(k, k, k) for k in range(256)]
+
+    encoded = []
+    for f in frames_idx:
+        if len(f) != width * height:
+            raise ValueError("each frame must be width*height bytes")
+        img = np.frombuffer(f, dtype=np.uint8).reshape(height, width)
+        blob = bytearray()
+        for y in range(height - 1, -1, -1):  # stored bottom-up
+            row = img[y]
+            x = 0
+            while x < width:
+                run = 1
+                while (x + run < width and run < 255
+                       and row[x + run] == row[x]):
+                    run += 1
+                blob += bytes([run, int(row[x])])
+                x += run
+            blob += b"\x00\x00"  # end of line
+        blob += b"\x00\x01"  # end of bitmap
+        encoded.append(bytes(blob))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_bytes = max(len(e) for e in encoded)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_bytes * fps, 0, 0x10, len(encoded),
+        0, 1, max_bytes, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MRLE"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                          len(encoded), max_bytes, 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, width, height))
+    pal = b"".join(bytes([b_, g_, r_, 0]) for r_, g_, b_ in palette[:256])
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 1,
+                       width * height, 0, 0, len(palette[:256]), 0) + pal
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + list_chunk(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00dc", e)
+                                        for e in encoded))
+    entries = bytearray()
+    off = 4
+    for e in encoded:
+        entries += b"00dc" + struct.pack("<III", 0x10, off, len(e))
+        off += 8 + len(e) + (len(e) & 1)
+    idx1 = chunk(b"idx1", bytes(entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:

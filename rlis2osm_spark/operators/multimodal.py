@@ -20,9 +20,10 @@ shapes, partitioning, the UDF signatures. The codec step:
   ``NotImplementedError`` for JPEG is parameter-space only — EVERY
   T.81 frame type incl. all differentials decodes, 16-bit quant
   tables parse, any component may be subsampled incl. luma, multi-scan
-  non-interleaved and Adobe CMYK/YCCK streams decode (r6) — what
-  remains is compressed non-MJPG video codecs — the exact seam where
-  PIL / pyav plug in.
+  non-interleaved and Adobe CMYK/YCCK streams decode (r6). Video
+  covers MJPEG-AVI, uncompressed DIB, animated GIF and MS-RLE (r6);
+  what remains is modern compressed codecs (MSVC/Cinepak/H.26x/...) —
+  the exact seam where PIL / pyav plug in.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 ``mapInPandas`` batch is one Arrow RecordBatch of binary blobs; cap batch
@@ -259,7 +260,7 @@ def extract_video_frames(
     def batches(frames_it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rlis2osm_spark.functions.codecs import (
             decode_avi_frames, decode_dib_frame, decode_gif_frames,
-            decode_jpeg_gray)
+            decode_jpeg_gray, decode_mrle_video)
 
         for pdf in frames_it:
             rows = []
@@ -273,11 +274,15 @@ def extract_video_frames(
                     codec = "gif"
                 else:
                     w, h, codec, frames = decode_avi_frames(b)
+                if codec == "mrle" and not decode_stub:
+                    # delta codec: frames composite onto a persistent
+                    # canvas, so decode the whole chain once (r6)
+                    _, _, frames = decode_mrle_video(b)
                 for idx in range(0, len(frames), every_n):
                     if decode_stub:
                         rows.append((ref, len(frames), idx, w, h, None))
                         continue
-                    if codec == "gif":
+                    if codec in ("gif", "mrle"):
                         fw, fh, px = w, h, frames[idx]
                     elif codec == "dib":
                         fw, fh, _nch, px = decode_dib_frame(

@@ -552,11 +552,13 @@ def _m1_payload_frames(spark, sf_dir):
         for d in doc_ids:
             d = int(d)
             n = 2 + d % 3
-            # alternate MJPEG-AVI / uncompressed-DIB AVI / ANIMATED GIF —
-            # the GIF frames are full-canvas draws (disposal=keep), so the
-            # composited canvas after frame f IS frame f and the decoded
-            # sums share the MJPEG oracle (r5)
-            mode = (d // 4) % 3
+            # alternate MJPEG-AVI / uncompressed-DIB AVI / ANIMATED GIF /
+            # MS-RLE AVI (r6) — the GIF frames are full-canvas draws
+            # (disposal=keep), so the composited canvas after frame f IS
+            # frame f and the decoded sums share the MJPEG oracle (r5);
+            # MRLE paints full frames through the identity-gray palette,
+            # so its decoded RGB sum is exactly 3x the luma sum like DIB
+            mode = (d // 4) % 4
             frames = []
             for f in range(n):
                 img = np.zeros((8, 16), dtype=np.uint8)
@@ -570,6 +572,11 @@ def _m1_payload_frames(spark, sf_dir):
                 blob = encode_avi_mjpeg(frames, 16, 8)
             elif mode == 1:
                 blob = encode_avi_raw(frames, 16, 8)
+            elif mode == 3:
+                from rlis2osm_spark.functions.codecs import (
+                    encode_avi_mrle)
+
+                blob = encode_avi_mrle(frames, 16, 8)
             else:
                 blob = encode_gif_anim(16, 8, [
                     dict(left=0, top=0, width=16, height=8, pixels=p,
@@ -729,14 +736,15 @@ jpeg_leg AS (
 avi AS (
   SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents WHERE doc_id % 4 = 0
 ),
--- (doc_id//4)%3 picks the container codec: MJPEG-AVI (luma sum),
+-- (doc_id//4)%4 picks the container codec: MJPEG-AVI (luma sum),
 -- uncompressed DIB AVI (B=G=R replication -> exactly 3x the luma sum),
--- or ANIMATED GIF (full-canvas keep-disposal frames -> composited
--- canvas f == frame f -> same luma sum as MJPEG)
+-- ANIMATED GIF (full-canvas keep-disposal frames -> composited canvas
+-- f == frame f -> same luma sum as MJPEG), or MS-RLE AVI (r6:
+-- identity-gray palette -> RGB = 3x the index sum like DIB)
 avi_leg AS (
   SELECT 'avi' AS kind, 'doc:' || doc_id AS media_ref,
          CAST(f AS INT) AS d1, CAST(nf AS INT) AS d2,
-         CAST((CASE WHEN (doc_id // 4) % 3 = 1 THEN 3 ELSE 1 END)
+         CAST((CASE WHEN (doc_id // 4) % 4 IN (1, 3) THEN 3 ELSE 1 END)
               * 64 * (2 * ((doc_id * 11 + f * 17) % 128)
                       + 2 * ((doc_id * 11 + f * 17 + 23) % 128))
               AS BIGINT) AS v

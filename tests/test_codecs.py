@@ -2488,3 +2488,74 @@ def test_jpeg_cmyk_ycck():
     bad[sof_at + 9] = 5  # ncomp byte
     with pytest.raises(ValueError):
         C.decode_jpeg(bytes(bad))
+
+
+def test_avi_mrle_video():
+    """MS-RLE AVI video (r6): frames are BI_RLE8 streams; pixels a
+    frame never writes keep the previous frame's value (the codec's
+    inter-frame delta). Full-paint roundtrip through the identity-gray
+    palette is exact (RGB = 3x index); a hand-built delta frame proves
+    the skip semantics; a custom palette maps through strf."""
+    import struct as _st
+
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(61)
+    w, h = 12, 6
+    f0 = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    f1 = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    blob = C.encode_avi_mrle([f0.tobytes(), f1.tobytes()], w, h)
+    gw, gh, frames = C.decode_mrle_video(blob)
+    assert (gw, gh) == (w, h)
+    for src, got in zip((f0, f1), frames):
+        exp = np.repeat(src[:, :, None], 3, axis=2)
+        assert got == exp.tobytes()
+
+    # container sniff agrees
+    assert C.decode_avi_frames(blob)[2] == "mrle"
+
+    # hand-built DELTA second frame: EOL-skip the whole bottom row,
+    # then repaint only the first 4 pixels of the next row, EOB — all
+    # other pixels must KEEP frame 0's values
+    delta = bytearray()
+    delta += b"\x00\x00"            # end of line: skip stored row 0
+    delta += bytes([4, 200])        # run of 4 at x=0..3 of stored row 1
+    delta += b"\x00\x01"            # end of bitmap
+    # splice: replace frame 2's chunk in the encoder's container,
+    # fixing the RIFF and LIST-movi sizes for the shrunken chunk
+    enc0 = C.encode_avi_mrle([f0.tobytes(), f0.tobytes()], w, h)
+    first = enc0.index(b"00dc")
+    second = enc0.index(b"00dc", first + 4)
+    (ln,) = _st.unpack("<I", enc0[second + 4:second + 8])
+    old_total = 8 + ln + (ln & 1)
+    new_body = (b"00dc" + _st.pack("<I", len(delta)) + bytes(delta)
+                + (b"\x00" if len(delta) % 2 else b""))
+    shrink = old_total - len(new_body)
+    patched = bytearray(enc0[:second] + new_body
+                        + enc0[second + old_total:])
+    (riff_ln,) = _st.unpack("<I", patched[4:8])
+    patched[4:8] = _st.pack("<I", riff_ln - shrink)
+    movi_at = patched.index(b"movi") - 8  # its LIST header
+    (movi_ln,) = _st.unpack("<I", patched[movi_at + 4:movi_at + 8])
+    patched[movi_at + 4:movi_at + 8] = _st.pack("<I", movi_ln - shrink)
+    patched = bytes(patched)
+    _, _, dframes = C.decode_mrle_video(patched)
+    base = np.repeat(f0[:, :, None], 3, axis=2).copy()
+    # stored row 1 (bottom-up) = display row h-2; x 0..3 -> 200
+    base[h - 2, 0:4, :] = 200
+    assert dframes[1] == base.tobytes()
+    assert dframes[0] == np.repeat(f0[:, :, None], 3, axis=2).tobytes()
+
+    # custom palette maps through strf
+    pal = [(255 - k, k, k // 2) for k in range(256)]
+    blob_p = C.encode_avi_mrle([f0.tobytes()], w, h, palette=pal)
+    _, _, pframes = C.decode_mrle_video(blob_p)
+    lut = np.array(pal, dtype=np.uint8)
+    assert pframes[0] == lut[f0].tobytes()
+
+    # a non-MRLE stream refuses the MRLE surface
+    raw = C.encode_avi_raw([f0.tobytes()], w, h)
+    with pytest.raises(ValueError, match="non-MRLE"):
+        C.decode_mrle_video(raw)
