@@ -5077,8 +5077,10 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     delta escapes; skipped pixels read as palette index 0). Rows are
     4-byte aligned; positive biHeight is bottom-up, negative top-down
     (top-down is invalid for RLE per the format and raises ValueError).
-    Bitfield compression (BI_BITFIELDS) raises NotImplementedError (the
-    PIL seam)."""
+    BI_BITFIELDS 16/32-bit decodes through the per-channel masks (r6),
+    and BI_JPEG / BI_PNG (r6) hand the embedded stream to the native
+    JPEG / PNG decoders (the printer-passthrough forms; the embedded
+    codec's own dimensions and orientation win)."""
     import numpy as np
 
     if data[:2] != b"BM":
@@ -5090,9 +5092,13 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     width, height_s = struct.unpack("<ii", data[18:26])
     _planes, bits, comp = struct.unpack("<HHI", data[26:34])
     (n_colors,) = struct.unpack("<I", data[46:50])
+    if comp in (4, 5):  # BI_JPEG / BI_PNG (r6): embedded stream
+        (size_image,) = struct.unpack("<I", data[34:38])
+        blob = data[off_bits:off_bits + size_image if size_image
+                    else len(data)]
+        return decode_jpeg(blob) if comp == 4 else decode_png_ex(blob)
     if comp not in (0, 1, 2, 3):
-        raise NotImplementedError(
-            f"BMP compression {comp} (embedded JPEG/PNG) needs PIL")
+        raise NotImplementedError(f"BMP compression {comp} needs PIL")
     if comp == 1 and bits != 8:
         raise ValueError("BI_RLE8 requires 8-bit depth")
     if comp == 2 and bits != 4:

@@ -1178,8 +1178,12 @@ def test_bmp_decode_24_8_32bit():
     assert (w, h, nch) == (2, 1, 3)
     assert px == bytes([7, 8, 9, 7, 8, 9])
 
-    with pytest.raises(NotImplementedError, match="compression"):
+    # comp=4 is BI_JPEG since r6 — garbage embedded bytes are malformed
+    # input, unknown compressions stay a loud seam
+    with pytest.raises(ValueError, match="not a JPEG"):
         decode_bmp(bmp(2, 1, 8, b"\x00" * 8, b"\x00" * 64, comp=4))
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp(bmp(2, 1, 8, b"\x00" * 8, b"\x00" * 64, comp=6))
     with pytest.raises(ValueError):
         decode_bmp(b"not a bmp")
     with pytest.raises(ValueError, match="truncated"):
@@ -2559,3 +2563,35 @@ def test_avi_mrle_video():
     raw = C.encode_avi_raw([f0.tobytes()], w, h)
     with pytest.raises(ValueError, match="non-MRLE"):
         C.decode_mrle_video(raw)
+
+
+def test_bmp_embedded_jpeg_png():
+    """BI_JPEG (4) / BI_PNG (5) BMPs (r6): the printer-passthrough
+    forms wrap a whole JPEG/PNG stream after the header — decode hands
+    the embedded bytes to the native codecs."""
+    import struct as _st
+
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(67)
+    img = (rng.integers(0, 128, (16, 16), dtype=np.uint8) * 2)
+    blocks = np.kron(rng.integers(0, 128, (2, 2), dtype=np.uint8) * 2,
+                     np.ones((8, 8), dtype=np.uint8))
+
+    def wrap(blob, comp, w, h):
+        hdr = (_st.pack("<IiiHHIIiiII", 40, w, h, 1, 0, comp,
+                        len(blob), 0, 0, 0, 0))
+        off = 14 + 40
+        return (b"BM" + _st.pack("<IHHI", off + len(blob), 0, 0, off)
+                + hdr + blob)
+
+    jb = C.encode_jpeg_gray(16, 16, blocks.tobytes())
+    assert C.decode_bmp(wrap(jb, 4, 16, 16)) == C.decode_jpeg(jb)
+    pb = C.encode_png(16, 16, img.tobytes())
+    assert C.decode_bmp(wrap(pb, 5, 16, 16)) == C.decode_png_ex(pb)
+
+    # unknown compression still refuses loudly
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        C.decode_bmp(wrap(jb, 7, 16, 16))
