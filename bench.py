@@ -359,12 +359,20 @@ def _scaling_child(cpus: str) -> dict:
 
 
 def run_scaling() -> dict:
+    # gate on host capacity ONCE here, so both children start in the
+    # same measurement window; children then run only a single recorded
+    # probe (cores-gate timeout 0) and cannot eat their own 3000s
+    # subprocess budget waiting (review r6: the gate could legitimately
+    # wait ~2400s, starving the actual runs)
+    parent_gate = _capacity_gate(
+        float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2")), timeout_s=600)
     results = []
     for cpus in SCALE_CPUS:
         out = subprocess.run(
             [sys.executable, __file__, "--scaling-child", cpus],
             capture_output=True, text=True, cwd=REPO, timeout=3000,
-            env={**os.environ, "PYTHONPATH": REPO},
+            env={**os.environ, "PYTHONPATH": REPO,
+                 "SPARK_GRAFT_CORES_GATE_TIMEOUT": "0"},
         )
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if not lines:
@@ -381,6 +389,7 @@ def run_scaling() -> dict:
         "speedup": round(speedup, 3), "scaling_efficiency": efficiency,
         "doc_path_speedup": round(doc_speedup, 3),
         "doc_path_scaling_efficiency": round(doc_speedup / 4.0, 3),
+        "parent_capacity_gate": parent_gate,
     }
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/scaling.json", "w") as fh:

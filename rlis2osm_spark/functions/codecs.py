@@ -2851,6 +2851,13 @@ def _decode_jpeg_planes(data: bytes, render_all: bool):
         if len(intervals) > 1 and dri == 0:
             raise ValueError("restart markers present but no DRI segment")
         interleaved = len(scomps) > 1
+        if not interleaved and planes.get(scomps[0][0]["id"]) is None:
+            # unrendered component with its own scan: nothing downstream
+            # consumes these blocks and scan boundaries are already
+            # known, so skip the entropy decode entirely (review r6 —
+            # the "decode to stay in sync" rule only binds interleaved
+            # scans)
+            continue
         units = (n_mcus if interleaved
                  else scomps[0][0]["nbx"] * scomps[0][0]["nby"])
         done = 0
@@ -3089,6 +3096,8 @@ def _decode_arith(data: bytes, render_all: bool,
         if len(intervals) > 1 and dri == 0:
             raise ValueError("restart markers present but no DRI segment")
         interleaved = len(scomps) > 1
+        if not interleaved and planes.get(scomps[0][0]["id"]) is None:
+            continue  # unrendered single-component scan (review r6)
         units = (n_mcus if interleaved
                  else scomps[0][0]["nbx"] * scomps[0][0]["nby"])
         done = 0
@@ -4392,27 +4401,8 @@ def _decode_hierarchical(data: bytes, render_all: bool):
                 raise ValueError(
                     f"differential frame {fw}x{fh} does not match the "
                     f"reference {ref.shape[1]}x{ref.shape[0]}")
-            frame = (b"\xff\xd8"
-                     + b"".join(s for _, s in pending) + seg_bytes)
-            while pos + 1 < len(data):
-                if data[pos] != 0xFF:
-                    pos += 1
-                    continue
-                m2 = data[pos + 1]
-                pos += 2
-                (l2,) = struct.unpack(">H", data[pos:pos + 2])
-                frame += data[pos - 2:pos + l2]
-                pos += l2
-                if m2 == 0xDA:
-                    end = _scan_arith_entropy_end(data, pos)
-                    if end >= len(data):
-                        raise ValueError(
-                            "JPEG entropy data truncated (arithmetic "
-                            "segment has no terminating marker)")
-                    frame += data[pos:end]
-                    pos = end
-                    break
-            frame += b"\xff\xd9"
+            head = b"".join(s for _, s in pending) + seg_bytes
+            frame, pos = _collect_hier_frame(data, pos, head, True)
             pending = []
             _, _, fcomps, fplanes, _, _ = _decode_arith(
                 frame, render_all=False, differential=True)
@@ -4630,28 +4620,14 @@ def _decode_hierarchical(data: bytes, render_all: bool):
             ref = (ref + coded) % 65536
         elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB, 0xC1):
             # non-differential frame: collect its segments (DQT etc.
-            # already in ``pending``) and decode as a standalone stream
-            frame = (b"\xff\xd8"
-                     + b"".join(s for _, s in pending) + seg_bytes)
-            # the frame's scan follows; find its entropy end
-            while pos + 1 < len(data):
-                if data[pos] != 0xFF:
-                    pos += 1
-                    continue
-                m2 = data[pos + 1]
-                pos += 2
-                (l2,) = struct.unpack(">H", data[pos:pos + 2])
-                frame += data[pos - 2:pos + l2]
-                b2pos = pos + l2
-                pos = b2pos
-                if m2 == 0xDA:
-                    end = (_scan_arith_entropy_end(data, pos)
-                           if marker in (0xC9, 0xCA, 0xCB)
-                           else _scan_entropy_end(data, pos))
-                    frame += data[pos:end]
-                    pos = end
-                    break
-            frame += b"\xff\xd9"
+            # already in ``pending``) and decode as a standalone stream.
+            # _collect_hier_frame gathers EVERY scan up to the next
+            # frame-level marker (review r6: the old first-SOS break
+            # truncated multi-scan bases — progressive frames are
+            # always multi-scan)
+            head = b"".join(s for _, s in pending) + seg_bytes
+            frame, pos = _collect_hier_frame(
+                data, pos, head, marker in (0xC9, 0xCA, 0xCB))
             pending = []
             fw_, fh_, px = decode_jpeg_gray(frame)
             ref = np.frombuffer(px, dtype=np.uint8).reshape(
@@ -5275,10 +5251,11 @@ def decode_avi_frames(data: bytes) -> tuple[int, int, str, list[bytes]]:
         raise ValueError("not a RIFF/AVI file")
     width = height = None
     codec = None
+    in_vids = False
     frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal width, height, codec
+        nonlocal width, height, codec, in_vids
         while pos + 8 <= end:
             tag = data[pos:pos + 4]
             (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -5291,7 +5268,8 @@ def decode_avi_frames(data: bytes) -> tuple[int, int, str, list[bytes]]:
             elif tag == b"strh":
                 fcc_type = data[body_start:body_start + 4]
                 handler = data[body_start + 4:body_start + 8]
-                if fcc_type == b"vids":
+                in_vids = fcc_type == b"vids"
+                if in_vids:
                     if handler in (b"MJPG", b"mjpg"):
                         codec = "mjpg"
                     elif handler in (b"DIB ", b"RGB ", b"\x00\x00\x00\x00"):
@@ -5303,6 +5281,15 @@ def decode_avi_frames(data: bytes) -> tuple[int, int, str, list[bytes]]:
                             f"video codec {handler!r} needs a real decoder "
                             "(pyav plugs in here); MJPG, uncompressed DIB "
                             "and MS-RLE decode natively")
+            elif tag == b"strf" and in_vids and ln >= 20:
+                # a zeroed fccHandler may still signal MS-RLE via the
+                # strf biCompression field (review r6) — trust it over
+                # the handler default
+                (bi_comp,) = struct.unpack(
+                    "<I", data[body_start + 16:body_start + 20])
+                if codec == "dib" and bi_comp == 1:
+                    codec = "mrle"
+                in_vids = False
             elif tag in (b"00dc", b"00db"):
                 frames.append(data[body_start:body_start + ln])
             pos = body_start + ln + (ln & 1)
@@ -5350,12 +5337,19 @@ def decode_mrle_video(data: bytes) -> tuple[int, int, list[bytes]]:
     mechanism — so frames composite onto a persistent palette-index
     canvas (initially 0), mapped through the stream's strf palette and
     flipped from the stored bottom-up row order."""
-    import numpy as np
-
     width, height, codec, frames = decode_avi_frames(data)
     if codec != "mrle":
         raise ValueError("decode_mrle_video called on a non-MRLE stream")
-    palette = _avi_vids_palette(data)
+    return width, height, _compose_mrle_frames(
+        width, height, frames, _avi_vids_palette(data))
+
+
+def _compose_mrle_frames(width: int, height: int, frames: list[bytes],
+                         palette: list) -> list[bytes]:
+    """The MRLE compositing core, split out so a caller that already
+    parsed the container (extract_video_frames) skips a second walk."""
+    import numpy as np
+
     if not palette:
         raise ValueError("MRLE stream missing its strf palette")
     lut = np.zeros((256, 3), dtype=np.uint8)
@@ -5367,7 +5361,7 @@ def decode_mrle_video(data: bytes) -> tuple[int, int, list[bytes]]:
         canvas = _decode_bmp_rle(frame, width, height, 8, canvas=canvas)
         rgb = lut[canvas][::-1, :, :]  # bottom-up storage -> top-down
         out.append(np.ascontiguousarray(rgb).tobytes())
-    return width, height, out
+    return out
 
 
 def encode_avi_mrle(frames_idx: list[bytes], width: int, height: int,

@@ -259,8 +259,8 @@ def extract_video_frames(
 
     def batches(frames_it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rlis2osm_spark.functions.codecs import (
-            decode_avi_frames, decode_dib_frame, decode_gif_frames,
-            decode_jpeg_gray, decode_mrle_video)
+            _avi_vids_palette, _compose_mrle_frames, decode_avi_frames,
+            decode_dib_frame, decode_gif_frames, decode_jpeg_gray)
 
         for pdf in frames_it:
             rows = []
@@ -276,8 +276,11 @@ def extract_video_frames(
                     w, h, codec, frames = decode_avi_frames(b)
                 if codec == "mrle" and not decode_stub:
                     # delta codec: frames composite onto a persistent
-                    # canvas, so decode the whole chain once (r6)
-                    _, _, frames = decode_mrle_video(b)
+                    # canvas, so decode the whole chain once (r6; the
+                    # container is already parsed — only the palette
+                    # needs a second, tiny header walk)
+                    frames = _compose_mrle_frames(
+                        w, h, frames, _avi_vids_palette(b))
                 for idx in range(0, len(frames), every_n):
                     if decode_stub:
                         rows.append((ref, len(frames), idx, w, h, None))

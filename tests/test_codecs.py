@@ -2595,3 +2595,75 @@ def test_bmp_embedded_jpeg_png():
     # unknown compression still refuses loudly
     with pytest.raises(NotImplementedError, match="compression 7"):
         C.decode_bmp(wrap(jb, 7, 16, 16))
+
+
+def test_avi_mrle_zeroed_handler_and_progressive_base_pyramid():
+    """Two review-r6 regressions: (1) an MRLE AVI whose muxer zeroed
+    fccHandler signals the codec via strf biCompression=1 — must not be
+    misread as uncompressed DIB; (2) a DHP pyramid whose BASE frame is
+    multi-scan (progressive SOF2) must collect every scan, not truncate
+    at the first SOS."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(71)
+    w, h = 12, 6
+    f0 = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    blob = bytearray(C.encode_avi_mrle([f0.tobytes()], w, h))
+    hdl = blob.index(b"vids") + 4
+    assert blob[hdl:hdl + 4] == b"MRLE"
+    blob[hdl:hdl + 4] = b"\x00\x00\x00\x00"
+    assert C.decode_avi_frames(bytes(blob))[2] == "mrle"
+    _, _, frames = C.decode_mrle_video(bytes(blob))
+    assert frames[0] == np.repeat(f0[:, :, None], 3, axis=2).tobytes()
+
+    # hand-build a pyramid with a PROGRESSIVE base: DHP + SOF2 stream
+    # segments + EXP + SOF7 lossless refinement computed against the
+    # progressive base's decode (multi-scan base must fully decode)
+    import struct as _st
+
+    img = rng.integers(0, 256, (10, 14), dtype=np.uint8).astype(np.int64)
+    w2, h2 = 7, 5
+    half = img[0::2, 0::2].astype(np.uint8)
+    base = C.encode_jpeg_progressive(w2, h2, half.tobytes())
+    assert base.count(b"\xff\xda") > 1  # genuinely multi-scan
+    _, _, bpx = C.decode_jpeg_gray(base)
+    ref = np.frombuffer(bpx, np.uint8).reshape(h2, w2).astype(np.int64)
+    up = C._hier_upsample(ref, 10, 14)
+    sdiffm = (img - up) % 65536
+    sdiff = np.where(sdiffm >= 32768, sdiffm - 65536, sdiffm)
+    ll_vals = list(range(17))
+    ll_bits = [0] * 16
+    ll_bits[4] = 17
+    tab = C._huff_codes(ll_bits, ll_vals)
+    wtr = C._BitWriter()
+    for d in sdiff.reshape(-1):
+        d = int(d)
+        if d == -32768:
+            code, length = tab[16]
+            wtr.write(code, length)
+            continue
+        size, bits = C._magnitude(d)
+        code, length = tab[size]
+        wtr.write(code, length)
+        if size:
+            wtr.write(bits, size)
+    wtr.flush()
+
+    def seg(marker, body):
+        return (bytes([0xFF, marker])
+                + _st.pack(">H", len(body) + 2) + body)
+
+    pyramid = (b"\xff\xd8"
+               + seg(0xDE, _st.pack(">BHHB", 8, 10, 14, 1)
+                     + bytes([1, 0x11, 0]))
+               + base[2:-2]
+               + seg(0xDF, bytes([0x11]))
+               + seg(0xC7, _st.pack(">BHHB", 8, 10, 14, 1)
+                     + bytes([1, 0x11, 0]))
+               + seg(0xC4, bytes([0x00]) + bytes(ll_bits) + bytes(ll_vals))
+               + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+               + bytes(wtr.out) + b"\xff\xd9")
+    assert C.decode_jpeg_gray(pyramid) == (
+        14, 10, img.astype(np.uint8).tobytes())
