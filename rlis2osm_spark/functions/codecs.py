@@ -5774,8 +5774,10 @@ def decode_wav(data: bytes) -> tuple[int, list]:
     6) and mu-law (format 7) companded 8-bit (r6, expanded to int16
     range); and IMA/DVI ADPCM (format 0x11) plus MS-ADPCM (format 2)
     (both r6, mono/stereo block decode honoring the ``fact`` frame
-    count). 1-2 channels throughout. Anything else — GSM, MP3-in-WAV,
-    >2 channels — raises NotImplementedError (the soundfile/torchaudio
+    count). PCM, float32 and G.711 are sample-granular, so ANY channel
+    count 1-32 decodes (r6 — 5.1/7.1 beds and ambisonics included);
+    the ADPCM block layouts stay mono/stereo. Anything else — GSM,
+    MP3-in-WAV — raises NotImplementedError (the soundfile/torchaudio
     seam)."""
     import numpy as np
 
@@ -5794,18 +5796,19 @@ def decode_wav(data: bytes) -> tuple[int, list]:
         if tag == b"fmt ":
             afmt, channels, rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16])
+            anych = 1 <= channels <= 32  # sample-granular formats
             supported = (
-                (afmt == 1 and bits in (8, 16, 24) and channels in (1, 2))
-                or (afmt == 3 and bits == 32 and channels in (1, 2))
-                or (afmt in (6, 7) and bits == 8 and channels in (1, 2))
+                (afmt == 1 and bits in (8, 16, 24) and anych)
+                or (afmt == 3 and bits == 32 and anych)
+                or (afmt in (6, 7) and bits == 8 and anych)
                 or (afmt in (2, 0x11) and bits == 4 and channels in (1, 2)))
             if not supported:
                 raise NotImplementedError(
                     f"decode_wav supports integer PCM 8/16/24-bit, IEEE "
-                    f"float32, G.711 a-law/mu-law and IMA/MS ADPCM, "
-                    f"mono/stereo (got fmt={afmt}, ch={channels}, "
-                    f"bits={bits}) — GSM/>2ch is the "
-                    "soundfile/torchaudio seam")
+                    f"float32 and G.711 a-law/mu-law at 1-32 channels, "
+                    f"and IMA/MS ADPCM mono/stereo (got fmt={afmt}, "
+                    f"ch={channels}, bits={bits}) — GSM/MP3-in-WAV is "
+                    "the soundfile/torchaudio seam")
             if afmt == 0x11:
                 if len(body) >= 20:
                     (spb,) = struct.unpack("<H", body[18:20])

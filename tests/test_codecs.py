@@ -84,8 +84,15 @@ def test_wav_roundtrip_and_clamp():
 def test_wav_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_wav(b"RIFX....nope")
-    # >2 channels stays behind the seam (24-bit decodes as of r6)
-    fmt = struct.pack("<HHIIHH", 1, 6, 8000, 96000, 12, 16)
+    # 6-channel PCM decodes since r6 — the remaining seam is exotic
+    # format tags (GSM = 0x31) and absurd channel counts
+    fmt = struct.pack("<HHIIHH", 0x31, 1, 8000, 1625, 65, 0)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        decode_wav(data)
+    fmt = struct.pack("<HHIIHH", 1, 64, 8000, 96000, 128, 16)
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", 0))
     data = b"RIFF" + struct.pack("<I", len(body)) + body
@@ -2667,3 +2674,41 @@ def test_avi_mrle_zeroed_handler_and_progressive_base_pyramid():
                + bytes(wtr.out) + b"\xff\xd9")
     assert C.decode_jpeg_gray(pyramid) == (
         14, 10, img.astype(np.uint8).tobytes())
+
+
+def test_wav_multichannel():
+    """>2-channel WAV (r6): PCM, float32 and G.711 are sample-granular,
+    so 6-channel (5.1) streams decode to the same interleaved ints the
+    format stores; ADPCM stays mono/stereo."""
+    import struct as _st
+
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    def wav(afmt, channels, bits, body):
+        fmt = _st.pack("<HHIIHH", afmt, channels, 8000,
+                       8000 * channels * bits // 8,
+                       channels * bits // 8, bits)
+        riff = (b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+                + b"data" + _st.pack("<I", len(body)) + body)
+        return b"RIFF" + _st.pack("<I", len(riff)) + riff
+
+    rng = np.random.default_rng(73)
+    pcm = rng.integers(-30000, 30000, 6 * 10).astype("<i2")
+    rate, got = C.decode_wav(wav(1, 6, 16, pcm.tobytes()))
+    assert rate == 8000 and got == pcm.tolist()
+
+    f32 = rng.random(8 * 5).astype("<f4")
+    _, gotf = C.decode_wav(wav(3, 8, 32, f32.tobytes()))
+    assert gotf == f32.tolist()
+
+    # 4-channel mu-law expands through the same table as mono
+    comp = rng.integers(0, 256, 4 * 9).astype(np.uint8)
+    _, gotm = C.decode_wav(wav(7, 4, 8, comp.tobytes()))
+    _, mono = C.decode_wav(wav(7, 1, 8, comp.tobytes()))
+    assert gotm == mono
+
+    # ADPCM >2ch stays a loud seam
+    with pytest.raises(NotImplementedError, match="mono/stereo"):
+        C.decode_wav(wav(0x11, 6, 4, b"\x00" * 48))
