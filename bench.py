@@ -89,17 +89,25 @@ def _capacity_gate(max_load1: float, timeout_s: float = 300.0) -> dict:
                                  str(int(CPUS) / 2)))
     probe_timeout = float(os.environ.get(
         "SPARK_GRAFT_CORES_GATE_TIMEOUT", "1800"))
+    # hysteresis: a single clearing probe can be a seconds-long lull
+    # that collapses before the benchmark finishes (observed r6: gate
+    # passed at 22.9 effective cores, after-probe read 4.4) — require
+    # N consecutive clear probes ~15s apart before trusting the window
+    confirm = int(os.environ.get("SPARK_GRAFT_CORES_GATE_CONFIRM", "2"))
     t0 = time.time()
     attempts = []
+    streak = 0
     while True:
         probe = _effective_cores_probe()
         attempts.append(probe["effective_cores"])
-        if (probe["effective_cores"] is not None
-                and probe["effective_cores"] >= floor):
+        clear = (probe["effective_cores"] is not None
+                 and probe["effective_cores"] >= floor)
+        streak = streak + 1 if clear else 0
+        if streak >= confirm:
             break
         if time.time() - t0 >= probe_timeout:
             break
-        time.sleep(60)
+        time.sleep(15 if clear else 60)
     gate.update({
         "cores_floor": floor,
         "cores_attempts": attempts,
