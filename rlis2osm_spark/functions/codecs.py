@@ -5,11 +5,11 @@
   scanline filters 0-4, sequential and Adam7; exact 16-bit via
   decode_png16); grayscale filters 0-2 on encode;
 - WAV: ``struct`` over the public RIFF/WAVE spec (integer PCM
-  8/16/24-bit, IEEE float32, G.711 a-law/mu-law companding and IMA/DVI
-  ADPCM — r6 — mono/stereo; MS-ADPCM/GSM = seam);
+  8/16/24-bit, IEEE float32 and G.711 a-law/mu-law at 1-32 channels,
+  IMA/DVI + MS ADPCM mono/stereo — r6; GSM/MP3-in-WAV = seam);
 - GIF: pure-Python LZW over the public GIF87a/GIF89a spec (8-bit
   palettized, variable-width codes up to 12 bits, interlaced or not;
-  first frame of animations);
+  animated compositing with transparency + disposal, r5);
 - JPEG (r4/r5/r6): the public ITU T.81 spec — baseline sequential,
   progressive (SOF2 spectral selection + successive approximation,
   EOBRUN, correction bits), lossless (SOF3 predictive, predictors 1-7,
@@ -17,17 +17,21 @@
   probability state machine + Annex F DC/AC statistical models, DAC
   conditioning, r6), progressive arithmetic (SOF10: Annex G scan
   procedures over the QM coder, r6), lossless arithmetic (SOF11:
-  Annex H (Da,Db)-conditioned difference model, r6) AND extended
-  sequential (SOF1: 8/12-bit with extended-range DHT tables, r6),
-  grayscale and
-  interleaved multi-component color with full-RGB output
-  (nearest/bilinear chroma upsampling), any sampling layout, restart
+  Annex H (Da,Db)-conditioned difference model, r6), extended
+  sequential (SOF1: 8/12-bit with extended-range DHT tables, r6) AND
+  hierarchical DHP pyramids with all six differential frame types
+  (SOF5/6/13/14 DCT + SOF7/15 lossless, r6), grayscale and interleaved
+  multi-component color with full-RGB output (nearest/bilinear chroma
+  upsampling), 4-component Adobe CMYK/YCCK, any sampling layout (luma
+  included), multi-scan non-interleaved streams, 16-bit DQT, restart
   intervals, fill bytes, strict truncation detection;
-- BMP (r5/r6): uncompressed 24/32-bit BGR(X) and palettized 1/4/8-bit
-  (MSB-first sub-byte packing) plus BI_RLE8/BI_RLE4 run-length decode
-  (escapes, absolute mode, deltas — r6);
-- AVI/MJPEG (r4): RIFF-AVI container walk + per-frame baseline-JPEG
-  decode + idx1 index.
+- BMP (r5/r6): uncompressed 16/24/32-bit BGR(X) incl. BI_BITFIELDS
+  masks, palettized 1/4/8-bit (MSB-first sub-byte packing),
+  BI_RLE8/BI_RLE4 run-length decode (escapes, absolute mode, deltas)
+  and BI_JPEG/BI_PNG embedded-stream handoff — r6;
+- AVI (r4/r6): RIFF-AVI container walk + idx1 index; MJPEG (per-frame
+  JPEG), uncompressed DIB, and MS-RLE with real inter-frame deltas
+  (skip escapes keep the previous frame).
 
 These convert the multimodal operators' ``decode_stub=False`` seam into
 working decoders for the formats the derived corpus emits. The remaining
@@ -40,9 +44,9 @@ CMYK/YCCK decodes per the Adobe APP14 transform (stored inverted-ink
 convention; true ICC color management stays out of scope), 16-bit
 Pq=1 quant tables parse everywhere, ANY component may be subsampled —
 luma included — and non-interleaved multi-scan sequential decodes
-under both entropy coders (all r6). Beyond JPEG:
-compressed non-MJPG video codecs (uncompressed DIB AVI decodes
-natively, r5), JPEG/PNG-in-BMP, GSM WAV.
+under both entropy coders (all r6). Beyond JPEG: modern compressed
+video codecs (MSVC/Cinepak/H.26x — MJPEG, DIB and MS-RLE decode
+natively), GSM WAV, >2-channel ADPCM.
 """
 
 from __future__ import annotations
