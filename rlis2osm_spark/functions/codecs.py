@@ -5046,6 +5046,66 @@ def encode_avi_raw(frames_gray: list[bytes], width: int, height: int,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_bmp(width: int, height: int, pixels: bytes,
+               mode: str = "bgr24") -> bytes:
+    """Grayscale-input BMP encoder (r6 — the analytic-oracle path):
+    ``pixels`` is width*height gray bytes and the decoded RGB sum is
+    exactly 3x the gray sum in every mode. ``mode``: ``"bgr24"``
+    (bottom-up B=G=R, stride-padded), ``"pal8"`` (8-bit palettized
+    through an identity-gray BGRX table), ``"rle8"`` (BI_RLE8 row runs
+    over the identity palette) or ``"bf32"`` (BI_BITFIELDS 32-bit with
+    the classic 0xFF0000/0xFF00/0xFF masks)."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    pal = b"".join(bytes([k, k, k, 0]) for k in range(256))
+    masks = b""
+    if mode == "bgr24":
+        stride = (width * 3 + 3) & ~3
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, :width * 3] = np.repeat(
+            img[::-1, :, None], 3, axis=2).reshape(height, width * 3)
+        body, bits, comp, table = rows.tobytes(), 24, 0, b""
+    elif mode == "pal8":
+        stride = (width + 3) & ~3
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, :width] = img[::-1]
+        body, bits, comp, table = rows.tobytes(), 8, 0, pal
+    elif mode == "rle8":
+        blob = bytearray()
+        for y in range(height - 1, -1, -1):  # stored bottom-up
+            row = img[y]
+            x = 0
+            while x < width:
+                run = 1
+                while (x + run < width and run < 255
+                       and row[x + run] == row[x]):
+                    run += 1
+                blob += bytes([run, int(row[x])])
+                x += run
+            blob += b"\x00\x00"
+        blob += b"\x00\x01"
+        body, bits, comp, table = bytes(blob), 8, 1, pal
+    elif mode == "bf32":
+        rows = np.zeros((height, width, 4), dtype=np.uint8)
+        g = img[::-1]
+        rows[:, :, 0] = g  # B
+        rows[:, :, 1] = g  # G
+        rows[:, :, 2] = g  # R
+        body, bits, comp, table = rows.tobytes(), 32, 3, b""
+        masks = struct.pack("<III", 0xFF0000, 0x00FF00, 0x0000FF)
+    else:
+        raise ValueError(
+            "mode must be 'bgr24', 'pal8', 'rle8' or 'bf32'")
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bits, comp,
+                       len(body), 0, 0, 256 if table else 0, 0)
+    off = 14 + 40 + len(masks) + len(table)
+    head = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return head + info + masks + table + body
+
+
 def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     """BMP file -> (width, height, n_channels, pixels).
 

@@ -308,6 +308,9 @@ def m1_media_features(spark, sf_dir):
       interlaced/sequential row order) decoded by the r4 LZW decoder ->
       width/height/px_sum from TRUE de-palettized (and de-interlaced)
       pixels;
+    - ``bmp``: real BMPs cycling all four layouts (24-bit BGR / 8-bit
+      palettized / BI_RLE8 / BI_BITFIELDS-32, r6) — every mode decodes
+      to B=G=R replication, so px_sum = 3x the gray sum analytically;
     - ``jpeg``: real baseline JPEGs (pure Python + numpy huffman + DCT)
       built from even-valued constant 8x8 blocks — the DCT-exact
       subclass — alternating grayscale (restart intervals) / 4:4:4 color
@@ -332,7 +335,7 @@ def m1_media_features(spark, sf_dir):
     operators, not the synthetic encoders."""
     legs = media_feature_legs(spark, sf_dir)
     out = legs["png"]
-    for k in ("gif", "jpeg", "avi", "wav", "stub"):
+    for k in ("gif", "bmp", "jpeg", "avi", "wav", "stub"):
         out = out.unionByName(legs[k])
     return out
 
@@ -369,6 +372,11 @@ def media_feature_legs(spark, sf_dir) -> dict:
     ).select(F.lit("gif").alias("kind"), "media_ref",
              F.col("width").alias("d1"), F.col("height").alias("d2"),
              F.col("px_sum").alias("v"))
+    bmp = extract_image_features(
+        leg("bmp"), feat_dim=8, decode_stub=False,
+    ).select(F.lit("bmp").alias("kind"), "media_ref",
+             F.col("width").alias("d1"), F.col("height").alias("d2"),
+             F.col("px_sum").alias("v"))
     jpeg = extract_image_features(
         leg("jpeg"), feat_dim=8, decode_stub=False,
     ).select(F.lit("jpeg").alias("kind"), "media_ref",
@@ -389,8 +397,8 @@ def media_feature_legs(spark, sf_dir) -> dict:
     ).select(F.lit("stub").alias("kind"), "media_ref",
              F.col("width").alias("d1"), F.col("height").alias("d2"),
              F.col("n_bytes").alias("v"))
-    return {"png": png, "gif": gif, "jpeg": jpeg, "avi": avi,
-            "wav": wav, "stub": stub}
+    return {"png": png, "gif": gif, "bmp": bmp, "jpeg": jpeg,
+            "avi": avi, "wav": wav, "stub": stub}
 
 
 def _m1_payload_frames(spark, sf_dir):
@@ -423,6 +431,22 @@ def _m1_payload_frames(spark, sf_dir):
             w, h = 4 + d % 6, 4 + (d // 6) % 6
             px = bytes((d * 37 + k) % 256 for k in range(w * h))
             out.append(encode_gif(w, h, px, interlace=bool(d % 2)))
+        return pd.Series(out, dtype=object)
+
+    @F.pandas_udf(BinaryType())
+    def bmp_payload(doc_ids: pd.Series) -> pd.Series:
+        from rlis2osm_spark.functions.codecs import encode_bmp
+
+        # cycle all four BMP layouts (r6): 24-bit BGR / 8-bit palettized
+        # / BI_RLE8 / BI_BITFIELDS-32 — every mode decodes to B=G=R
+        # replication, so the oracle is 3x the gray sum regardless
+        modes = ("bgr24", "pal8", "rle8", "bf32")
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            w, h = 4 + d % 7, 4 + (d // 7) % 5
+            px = bytes((d * 23 + k * 7) % 256 for k in range(w * h))
+            out.append(encode_bmp(w, h, px, mode=modes[(d // 4) % 4]))
         return pd.Series(out, dtype=object)
 
     @F.pandas_udf(BinaryType())
@@ -648,6 +672,8 @@ def _m1_payload_frames(spark, sf_dir):
                     png_payload("doc_id").alias("payload")),
         sampled.select(F.lit("gif").alias("kind"), ref,
                        gif_payload("doc_id").alias("payload")),
+        sampled.select(F.lit("bmp").alias("kind"), ref,
+                       bmp_payload("doc_id").alias("payload")),
         sampled.select(F.lit("jpeg").alias("kind"), ref,
                        jpeg_payload("doc_id").alias("payload")),
         sampled.select(F.lit("avi").alias("kind"), ref,
@@ -685,6 +711,21 @@ gif_leg AS (
          CAST(list_aggregate(list_transform(generate_series(0, w * h - 1),
               k -> (doc_id * 37 + k) % 256), 'sum') AS BIGINT) AS v
   FROM gif
+),
+bmp AS (
+  SELECT doc_id, 4 + doc_id % 7 AS w, 4 + (doc_id // 7) % 5 AS h
+  FROM documents WHERE doc_id % 4 = 0
+),
+-- every BMP mode (24-bit / palettized / RLE8 / bitfields-32, cycled by
+-- (doc_id//4)%4) decodes to B=G=R replication of the gray input -> 3x
+-- the gray sum (r6)
+bmp_leg AS (
+  SELECT 'bmp' AS kind, 'doc:' || doc_id AS media_ref,
+         CAST(w AS INT) AS d1, CAST(h AS INT) AS d2,
+         CAST(3 * list_aggregate(list_transform(
+              generate_series(0, w * h - 1),
+              k -> (doc_id * 23 + k * 7) % 256), 'sum') AS BIGINT) AS v
+  FROM bmp
 ),
 jpg AS (
   SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + (doc_id // 3) % 3 AS bh,
@@ -791,6 +832,7 @@ stub_leg AS (
 )
 SELECT * FROM png_leg
 UNION ALL SELECT * FROM gif_leg
+UNION ALL SELECT * FROM bmp_leg
 UNION ALL SELECT * FROM jpeg_leg
 UNION ALL SELECT * FROM avi_leg
 UNION ALL SELECT * FROM wav_leg

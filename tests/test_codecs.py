@@ -2712,3 +2712,24 @@ def test_wav_multichannel():
     # ADPCM >2ch stays a loud seam
     with pytest.raises(NotImplementedError, match="mono/stereo"):
         C.decode_wav(wav(0x11, 6, 4, b"\x00" * 48))
+
+
+def test_encode_bmp_all_modes():
+    """encode_bmp (r6): every mode — 24-bit BGR, 8-bit palettized,
+    BI_RLE8 runs, BI_BITFIELDS 32-bit — roundtrips through decode_bmp
+    to B=G=R replication of the gray input (the analytic-oracle
+    contract: decoded RGB sum = 3x the gray sum)."""
+    import numpy as np
+
+    from rlis2osm_spark.functions import codecs as C
+
+    rng = np.random.default_rng(79)
+    for w, h in [(7, 5), (12, 9), (4, 4)]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        exp = np.repeat(img[:, :, None], 3, axis=2).tobytes()
+        for mode in ("bgr24", "pal8", "rle8", "bf32"):
+            got = C.decode_bmp(C.encode_bmp(w, h, img.tobytes(),
+                                            mode=mode))
+            assert got == (w, h, 3, exp), (w, h, mode)
+    with pytest.raises(ValueError, match="mode"):
+        C.encode_bmp(4, 4, bytes(16), mode="png")
