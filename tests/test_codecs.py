@@ -2733,3 +2733,23 @@ def test_encode_bmp_all_modes():
             assert got == (w, h, 3, exp), (w, h, mode)
     with pytest.raises(ValueError, match="mode"):
         C.encode_bmp(4, 4, bytes(16), mode="png")
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    w=st.integers(min_value=1, max_value=28),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    entropy=st.sampled_from(["arith", "huffman"]),
+)
+def test_jpeg_hierarchical_roundtrip_property(w, h, seed, entropy):
+    """Lossless-differential pyramids are exact for ANY image by
+    construction (lossy base + mod-65536 refinement) — property-test
+    both entropy stacks across arbitrary dims, including 1-pixel
+    degenerate pyramids."""
+    from rlis2osm_spark.functions.codecs import (
+        decode_jpeg_gray, encode_jpeg_hierarchical)
+
+    px = bytes((seed * 31 + k * 7919) % 256 for k in range(w * h))
+    blob = encode_jpeg_hierarchical(w, h, px, entropy=entropy)
+    assert decode_jpeg_gray(blob) == (w, h, px)
