@@ -403,10 +403,10 @@ def media_feature_legs(spark, sf_dir) -> dict:
 
 def _m1_payload_frames(spark, sf_dir):
     """Synthetic media corpus, (kind, media_ref, payload): one real encoded
-    blob per document per format — png/wav/stub over every doc, gif/jpeg/
-    avi over the deterministic 1-in-4 sample (the pure-Python encoders cost
-    ~3ms/payload; the sample still yields hundreds of real decode round
-    trips per leg)."""
+    blob per document per format — png/wav/stub over every doc,
+    gif/bmp/jpeg/avi over the deterministic 1-in-4 sample (the
+    pure-Python encoders cost ~3ms/payload; the sample still yields
+    hundreds of real decode round trips per leg)."""
     docs = load(spark, sf_dir, "documents")
 
     @F.pandas_udf(BinaryType())
