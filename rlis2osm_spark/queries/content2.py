@@ -27,6 +27,10 @@ from rlis2osm_spark.queries.rlis_cols import (
     BIKETHERES, BIKETYPS, _derived_trails, _T1320_SQL,
 )
 
+# session-scoped per-kind slices of the staged media corpus (see
+# media_feature_legs); keyed like util._STAGE_MEMO, stale apps evicted
+_SLICE_MEMO: dict = {}
+
 # ---------------------------------------------------------------------------
 # ANN: planted exact-angle neighbors -> analytic ground truth
 # ---------------------------------------------------------------------------
@@ -357,10 +361,34 @@ def media_feature_legs(spark, sf_dir) -> dict:
         inputs=[f"{sf_dir}/documents.parquet"],
         code_modules=["rlis2osm_spark.functions.codecs", __name__],
     )
+    # per-kind eager slices of the staged corpus (r7, guide §6 data
+    # skipping): filtering the mixed snapshot inside each decode leg made
+    # every leg a full scan of ALL kinds' payload bytes — 7 branch scans
+    # per m1 run, ~0.4s apiece at sf1.0 with the decode itself far
+    # cheaper. Slicing once per session gives each leg exactly its rows
+    # (the in-memory analogue of a kind-partitioned input table); the
+    # hash repartition inside _m1_payload_frames keeps every slice spread
+    # over all partitions so the decode parallelizes.
+    key = (spark.sparkContext.applicationId, sf_dir, "m1_payload_slices")
+    for stale in [k for k in _SLICE_MEMO if k[0] != key[0]]:
+        del _SLICE_MEMO[stale]
+    if key not in _SLICE_MEMO:
+        # n/4 partitions per slice: 7 unioned decode legs then launch
+        # ~1.75x shuffle-parallelism tasks total — enough to fill every
+        # core, without paying 7 x n python-worker roundtrips for the
+        # many cheap-to-decode slices (per-task mapInPandas overhead
+        # dominated the 7 x 64-task shape)
+        n = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+        _SLICE_MEMO[key] = {
+            k: media.filter(F.col("kind") == k)
+            .select("media_ref", "payload").coalesce(n)
+            .localCheckpoint(eager=True)
+            for k in ("png", "gif", "bmp", "jpeg", "avi", "wav", "stub")
+        }
+    slices = _SLICE_MEMO[key]
 
     def leg(kind):
-        return media.filter(F.col("kind") == kind).select(
-            "media_ref", "payload")
+        return slices[kind]
 
     png = extract_image_features(
         leg("png"), feat_dim=8, decode_stub=False,
@@ -686,7 +714,15 @@ def _m1_payload_frames(spark, sf_dir):
     out = legs[0]
     for frame in legs[1:]:
         out = out.unionByName(frame)
-    return out
+    # r7 (guide §6 write layout / §2.5 input skew): unioned as-is, each
+    # kind lands in its own task-file of the checkpointed snapshot, so a
+    # per-kind decode leg reads ALL its payloads from one split and the
+    # mapInPandas decode runs on one core (measured at sf1.0: jpeg leg
+    # 7.2s wall == its single-thread decode CPU). Hash-distributing by
+    # media_ref interleaves every kind across all shuffle partitions, so
+    # every leg's decode parallelizes across the full core count.
+    n = int(out.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return out.repartition(n, "media_ref")
 
 
 _M1_SQL = """

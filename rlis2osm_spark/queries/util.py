@@ -78,7 +78,8 @@ _STAGE_MEMO: dict = {}
 
 def cached_stage(spark: SparkSession, sf_dir: str, name: str, build,
                  inputs: list[str],
-                 code_modules: list[str] | None = None) -> DataFrame:
+                 code_modules: list[str] | None = None,
+                 partition_by: list[str] | None = None) -> DataFrame:
     """Checkpointed-and-memoized derived input (the production shape: a
     pipeline stage materializes once per corpus snapshot and downstream
     operators consume the snapshot, not the recomputed lineage — exactly
@@ -105,6 +106,7 @@ def cached_stage(spark: SparkSession, sf_dir: str, name: str, build,
             ".synth", "query_stage")
         ck = Checkpointer(spark, root, run_id=tag)
         token = source_token(*(code_modules or [build.__module__]))
-        df = ck.stage(name, build, inputs=inputs, code_token=token)
+        df = ck.stage(name, build, inputs=inputs, code_token=token,
+                      partition_by=partition_by)
         _STAGE_MEMO[key] = df.localCheckpoint(eager=True)
     return _STAGE_MEMO[key]
