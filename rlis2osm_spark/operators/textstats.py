@@ -33,8 +33,10 @@ def token_count(text: Column) -> Column:
 
 
 def subword_count(text: Column) -> Column:
-    """BPE-ish token estimate via regexp extraction (native)."""
-    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RX), F.lit(0)))
+    """BPE-ish token estimate via regexp match counting (native). r7:
+    regexp_count replaces size(regexp_extract_all(...)) — the same
+    non-overlapping match count without materializing the match array."""
+    return F.regexp_count(text, F.lit(TOKEN_RX))
 
 
 def _lang_score_cols(text: Column) -> dict[str, Column]:
@@ -81,17 +83,25 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     survive CollapseProject, so each stage evaluates once per row."""
     text = F.col(text_col)
     staged = df.withColumn("_toks", tokens(text))
+    # r7: lowercase the token array ONCE as its own stage (it was inlined
+    # into each of the four language-score filters, so the transform ran
+    # 4x per row — multi-referenced aliases survive CollapseProject, the
+    # same staging rule as _toks itself)
+    staged = staged.withColumn(
+        "_lotoks", F.transform("_toks", lambda w: F.lower(w)))
     score_cols = {
         f"_s_{lang}": F.size(F.filter(
-            F.transform("_toks", lambda w: F.lower(w)),
-            lambda w: w.isin(*markers)))
+            "_lotoks", lambda w: w.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
     }
     staged = staged.withColumns({
         "_n_tok": F.size("_toks"),
         "_n_stop": F.size(F.filter("_toks", lambda w: w.isin(*STOPWORDS_EN))),
         "_n_uniq": F.size(F.array_distinct("_toks")),
-        "_n_punct": F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")),
+        # r7: count punctuation matches directly — same integer as
+        # length(regexp_replace(text, '[^punct]', '')) without building
+        # the stripped string per row
+        "_n_punct": F.regexp_count(text, F.lit(r"[!-/:-@\[-`{-~]")),
         "_n_chars": F.length(text),
         "_n_sub": subword_count(text),
         **score_cols,
@@ -119,8 +129,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         "repetition_ratio": F.round(rep_ratio, 6),
         "lang_guess": F.when(gmax > 0, guess),
         "quality": quality,
-    }).drop("_toks", "_n_tok", "_n_stop", "_n_uniq", "_n_punct", "_n_chars",
-            "_n_sub", *score_cols)
+    }).drop("_toks", "_lotoks", "_n_tok", "_n_stop", "_n_uniq", "_n_punct",
+            "_n_chars", "_n_sub", *score_cols)
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id",

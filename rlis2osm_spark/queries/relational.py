@@ -31,55 +31,74 @@ def q01_pricing_summary(spark, sf_dir):
     """TPC-H Q1 flavor with ROLLUP output (absorbs the former ``g1_rollup``
     — hierarchical grouping sets; the reference has none, SURVEY §2.5).
 
-    NOT expressed as ``.rollup()``: Catalyst's Expand would scan-multiply
-    the fact table x3 (one replica per grouping set) before the partial
-    aggregate — 3x the shuffle input at any scale. Over a low-cardinality
-    key space the scalable plan is leaf-aggregate once (ONE pass + ONE
-    shuffle over lineitem) and re-aggregate the handful of leaf rows for
-    the subtotal levels; all decimal sums stay exact (scales 2/4/6, no
-    intermediate rounding), so the result is bit-identical to the
-    GROUP BY ROLLUP oracle."""
+    NOT expressed as ``.rollup()`` over the FACT table: Catalyst's Expand
+    would scan-multiply lineitem x3 (one replica per grouping set) before
+    the partial aggregate — 3x the shuffle input at any scale. Over a
+    low-cardinality key space the scalable plan is leaf-aggregate once
+    (ONE pass + ONE shuffle over lineitem) and roll the handful of leaf
+    rows up for the subtotal levels. r7: the subtotal re-aggregation is
+    now ``leaf.rollup(...)`` instead of a 3-branch union — the union
+    referenced ``leaf`` three times and Catalyst duplicates shared
+    subtrees, so the plan scanned + aggregated lineitem three times
+    (plans/r07/q01_pricing_summary_before.txt, scans (1)/(7)/(16));
+    rollup's Expand runs over the ~8 LEAF rows, where x3 is free, and the
+    single reference plans one scan. All decimal sums stay exact (scales
+    2/4/6, no intermediate rounding; subtotals are sums of sums either
+    way), so the result is bit-identical to the GROUP BY ROLLUP oracle."""
     li = load(spark, sf_dir, "lineitem")
-    charge = _revenue() * (F.lit(1).cast(R) + F.col("l_tax").cast(R))  # (22,6)
+    # r7 (guide §2.3 narrower types): the four decimal sums dominated the
+    # leaf pass (measured sf1.0: one decimal sum 0.92s vs the same plan
+    # with double sums 0.29s — Decimal aggregation buffers, not the scan).
+    # Every input has exactly 2 decimals, so each term is an exact integer
+    # in fixed-point units: qty/base in 1e-2 (cents), revenue in 1e-4,
+    # revenue*tax in 1e-6 — summed as plain longs (exact, and overflow-
+    # safe past 1e9 rows: per-row bounds 1e9/8e9 against the 9.2e18 long
+    # range), then converted to the original decimal scales once per
+    # OUTPUT row via precision-safe exact decimal literal multiplies
+    # (operand precisions chosen so no Spark precision-loss/rounding path
+    # can engage). charge = rev*(1+tax) is decomposed as
+    # 100*sum(rev_e4) + sum(rev_e4*tax_c), recombined in decimal.
+    qty_c = (F.col("l_quantity").cast(P) * 100).cast("long")
+    price_c = (F.col("l_extendedprice").cast(P) * 100).cast("long")
+    disc_c = (F.col("l_discount").cast(R) * 100).cast("long")
+    tax_c = (F.col("l_tax").cast(R) * 100).cast("long")
+    rev_e4 = price_c * (F.lit(100) - disc_c)
     leaf = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(P)).alias("_qty"),
-            F.sum(F.col("l_extendedprice").cast(P)).alias("_base"),
-            F.sum(_revenue()).alias("_disc"),
-            F.sum(charge).alias("_charge"),
+            F.sum(qty_c).alias("_qty_c"),
+            F.sum(price_c).alias("_base_c"),
+            F.sum(rev_e4).alias("_disc_e4"),
+            F.sum(rev_e4 * tax_c).alias("_revtax_e6"),
             F.count("*").alias("_n"),
         )
     )
-
-    def _reagg(df, keys: list[str]):
-        null_keys = [F.lit(None).cast("string").alias(c)
-                     for c in ("l_returnflag", "l_linestatus")
-                     if c not in keys]
-        aggs = [F.sum("_qty").alias("_qty"), F.sum("_base").alias("_base"),
-                F.sum("_disc").alias("_disc"),
-                F.sum("_charge").alias("_charge"), F.sum("_n").alias("_n")]
-        out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-        return out.select(
-            *[F.col(c) for c in keys], *null_keys,
-            "_qty", "_base", "_disc", "_charge", "_n")
-
     all_levels = (
-        leaf.select("l_returnflag", "l_linestatus",
-                    "_qty", "_base", "_disc", "_charge", "_n")
-        .unionByName(_reagg(leaf, ["l_returnflag"]))
-        .unionByName(_reagg(leaf, []))
+        leaf.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("_qty_c").alias("_qty_c"),
+             F.sum("_base_c").alias("_base_c"),
+             F.sum("_disc_e4").alias("_disc_e4"),
+             F.sum("_revtax_e6").alias("_revtax_e6"),
+             F.sum("_n").alias("_n"))
     )
+
+    def cents(c):  # exact: (20,0) * (3,2) -> (24,2), no precision loss
+        return (F.col(c).cast("decimal(20,0)")
+                * F.lit("0.01").cast("decimal(3,2)"))
+
+    charge_e6 = (F.col("_disc_e4").cast("decimal(20,0)") * 100
+                 + F.col("_revtax_e6").cast("decimal(20,0)"))
     return all_levels.select(
         "l_returnflag", "l_linestatus",
-        F.col("_qty").cast("decimal(38,2)").cast("string").alias("sum_qty"),
-        F.col("_base").cast("decimal(38,2)").cast("string")
+        cents("_qty_c").cast("decimal(38,2)").cast("string").alias("sum_qty"),
+        cents("_base_c").cast("decimal(38,2)").cast("string")
         .alias("sum_base_price"),
-        F.col("_disc").cast("decimal(38,4)").cast("string")
-        .alias("sum_disc_price"),
-        F.col("_charge").cast("decimal(38,6)").cast("string")
-        .alias("sum_charge"),
+        (F.col("_disc_e4").cast("decimal(24,0)")
+         * F.lit("0.0001").cast("decimal(5,4)"))
+        .cast("decimal(38,4)").cast("string").alias("sum_disc_price"),
+        (charge_e6 * F.lit("0.000001").cast("decimal(7,6)"))
+        .cast("decimal(38,6)").cast("string").alias("sum_charge"),
         F.col("_n").alias("count_order"),
     )
 
