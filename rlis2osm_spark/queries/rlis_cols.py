@@ -441,7 +441,13 @@ def j2_overlay_fanout(spark, sf_dir):
     agg = overlay.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(F.struct("seg", "cycleway", "bike_geom")))
         .alias("lst"))
-    j = orders.join(F.broadcast(agg),
+    # r7 (guide §3.1): here the overlay aggregate scales WITH the fact
+    # (one group per order), so broadcasting it is wrong at scale and
+    # locally pays a single-threaded multi-100MB hash-relation build per
+    # run; a shuffled-hash join builds per-partition in parallel. The
+    # genuinely-small-build broadcast shape stays demonstrated by the
+    # real bike overlay operator (operators/bike.py).
+    j = orders.join(agg.hint("shuffle_hash"),
                     orders.o_orderkey == agg.l_orderkey, "left")
     n = F.coalesce(F.size("lst"), F.lit(0))
     out = j.select(
