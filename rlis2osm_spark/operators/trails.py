@@ -101,17 +101,29 @@ def translate_trails(df: DataFrame) -> DataFrame:
     est_width = est_width_expr(F.col("WIDTH"))
     df = df.withColumn("est_width", est_width)
 
-    float_width = F.coalesce(F.col("est_width").cast("double"), F.lit(0.0))
     road_bike = F.col("ROADBIKE")
     mtn_bike = F.col("MTNBIKE")
     equestrian = F.col("EQUESTRIAN")
     hike = F.col("HIKE")
 
-    bike_designated = (road_bike == "Yes") & (
-        (float_width > 3.0)
-        | F.col("SYSTEMTYPE").isin("Regional", "State", "National")
-    )
-    bike_designated = F.coalesce(bike_designated, F.lit(False))
+    # r7 (guide §1.2 per-task work): bike_designated / is_path_multi / hw0
+    # are referenced by nearly every output tag; inlined as raw Column
+    # expressions they were textually duplicated ~12x in the final Project
+    # (each copy re-casting the est_width STRING to double — see
+    # plans/r07/t13_t20_trails_before.txt node (6)). Staged as named
+    # columns they are multi-referenced aliases, which CollapseProject
+    # keeps materialized, so each evaluates once per row. Same values,
+    # same output schema (staged cols dropped below).
+    df = df.withColumn(
+        "_bike_desig",
+        F.coalesce(
+            (road_bike == "Yes") & (
+                (F.coalesce(F.col("est_width").cast("double"), F.lit(0.0))
+                 > 3.0)
+                | F.col("SYSTEMTYPE").isin("Regional", "State", "National")
+            ),
+            F.lit(False)))
+    bike_designated = F.col("_bike_desig")
 
     # T16: n_any(path_conditions, 2) (translate.py:497-505, 326-335)
     n_true = (
@@ -120,11 +132,16 @@ def translate_trails(df: DataFrame) -> DataFrame:
         + F.coalesce((mtn_bike == "Yes").cast("int"), F.lit(0))
         + bike_designated.cast("int")
     )
-    is_stairs = F.col("TRLSURFACE") == "Stairs"
-    is_path_multi = n_true >= 2
+    df = df.withColumns({
+        "_is_stairs": F.col("TRLSURFACE") == "Stairs",
+        "_is_path_multi": n_true >= 2,
+    })
+    is_stairs = F.col("_is_stairs")
+    is_path_multi = F.col("_is_path_multi")
 
     # T17 decision tree, branch-for-branch (translate.py:333-364)
-    hw0 = (
+    df = df.withColumn(
+        "_hw0",
         F.when(is_stairs, F.lit("steps"))
         .when(is_path_multi, F.lit("path"))
         .when(bike_designated, F.lit("cycleway"))
@@ -132,6 +149,7 @@ def translate_trails(df: DataFrame) -> DataFrame:
         .when(equestrian == "Yes", F.lit("bridleway"))
         .otherwise(F.lit("footway"))
     )
+    hw0 = F.col("_hw0")
 
     horse = F.when(
         is_path_multi & ~F.coalesce(is_stairs, F.lit(False)),
@@ -218,4 +236,4 @@ def translate_trails(df: DataFrame) -> DataFrame:
                 _str_map(TRAIL_WHEELCHAIR_MAP), F.col("ACCESSIBLE")
             ),
         }
-    )
+    ).drop("_bike_desig", "_is_stairs", "_is_path_multi", "_hw0")

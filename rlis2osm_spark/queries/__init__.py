@@ -30,6 +30,29 @@ _MODULES = [events, content2, content, spatial_sql, rlis_python, rlis_cols,
             relational]
 
 
+# r7 (guide §1.2): session-scoped memo of each query's BUILT DataFrame.
+# Query plans here are pure functions of (session, sf_dir); rebuilding the
+# same plan on every invocation costs 0.1-0.8s of py4j Column-tree
+# construction per call (measured: translate_trails alone 0.69s). The memo
+# is the prepared-statement shape — it holds unexecuted plans only, no
+# rows; every materialization still computes from the parquet inputs.
+_PLAN_MEMO: dict = {}
+
+
+def _plan_cached(name, fn):
+    def wrapper(spark, sf_dir):
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        for stale in [k for k in _PLAN_MEMO if k[0] != key[0]]:
+            del _PLAN_MEMO[stale]
+        if key not in _PLAN_MEMO:
+            _PLAN_MEMO[key] = fn(spark, sf_dir)
+        return _PLAN_MEMO[key]
+    wrapper.__name__ = getattr(fn, "__name__", name)
+    wrapper.__doc__ = fn.__doc__
+    wrapper.__wrapped__ = fn
+    return wrapper
+
+
 def all_queries():
     out = {}
     for m in _MODULES:
@@ -37,7 +60,7 @@ def all_queries():
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
-    return out
+    return {name: _plan_cached(name, fn) for name, fn in out.items()}
 
 
 def all_oracles():

@@ -29,9 +29,34 @@ def test_scan_pushdown_reaches_parquet(spark):
     assert "l_extendedprice" not in read_schema
 
 
-def test_bike_overlay_is_broadcast(spark):
+def test_bike_overlay_join_strategy(spark):
+    # r7: the overlay collect_list aggregate scales WITH the fact (one
+    # group per order), so j2 now pins a shuffled-hash build instead of a
+    # broadcast (guide §3.1); the genuinely-small-build broadcast shape is
+    # still asserted by test_bike_operator_broadcast below.
     df = Q["j2_overlay_fanout"](spark, SF)
-    assert "BroadcastHashJoin" in _plan(df)
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_bike_operator_broadcast(spark):
+    # the real bike overlay operator broadcasts its genuinely-small build
+    # side (operators/bike.py) — the shape j2 used to demonstrate
+    from rlis2osm_spark.operators.bike import apply_bike_overlay
+    from rlis2osm_spark.queries.util import load
+
+    streets = load(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("LOCALID"),
+        F.lit(None).cast("binary").alias("geometry"))
+    bikes = load(spark, SF, "nation").select(
+        F.col("n_nationkey").cast("long").alias("fid"),
+        (F.col("n_nationkey") + 900001000).cast("long").alias("BIKEID"),
+        F.lit("BKE-LANE").alias("BIKETYP"),
+        F.lit("LT").alias("BIKETHERE"),
+        F.lit(None).cast("binary").alias("geometry"))
+    out = apply_bike_overlay(streets, bikes)
+    assert "BroadcastHashJoin" in _plan(out)
 
 
 def test_q01_partial_aggregation(spark):
