@@ -50,7 +50,20 @@ _RLIS_RX = _compile(RLIS_SMALL)
 _DEFAULT_RX = _compile(SMALL_BASE)
 
 
-def titlecase(text: str, callback=None, small_first_last: bool = True, _rx=None) -> str:
+# r7 (guide §4.5 heavyweight state once per task): word-level result memo
+# for the rlis path. Street-name WORD vocabulary is tiny even when full
+# names are all distinct, and each word's transformation is a pure function
+# of (word, all_caps, small_first_last) — every branch of the word loop
+# appends exactly one string. The module-level dict survives across tasks
+# in a reused Python worker; bounded so adversarial vocabularies cannot
+# grow it without limit. Only rlis_titlecase passes it (the memo key does
+# not encode callback/rx, which are fixed on that path).
+_WORD_MEMO: dict = {}
+_WORD_MEMO_CAP = 1 << 20
+
+
+def titlecase(text: str, callback=None, small_first_last: bool = True,
+              _rx=None, _memo=None) -> str:
     rx = _rx or _RLIS_RX
     lines = re.split(r"[\r\n]+", text)
     processed = []
@@ -58,7 +71,15 @@ def titlecase(text: str, callback=None, small_first_last: bool = True, _rx=None)
         all_caps = bool(rx["all_caps"].match(line))
         words = re.split(r"[\t ]", line)
         tc_line = []
+        _pending = []  # (memo key, output index) for words computed below
         for word in words:
+            if _memo is not None:
+                _key = (word, all_caps, small_first_last)
+                _hit = _memo.get(_key)
+                if _hit is not None:
+                    tc_line.append(_hit)
+                    continue
+                _pending.append((_key, len(tc_line)))
             if callback:
                 new_word = callback(word, all_caps=all_caps)
                 if new_word:
@@ -108,6 +129,15 @@ def titlecase(text: str, callback=None, small_first_last: bool = True, _rx=None)
 
             tc_line.append(rx["capfirst"].sub(lambda m: m.group(0).upper(), word))
 
+        if _memo is not None and _pending:
+            # store BEFORE the small_first/last fixes below — those rewrite
+            # tc_line[0]/[-1] per line position, which the key does not
+            # (and must not) encode
+            if len(_memo) > _WORD_MEMO_CAP:
+                _memo.clear()
+            for _k, _i in _pending:
+                _memo[_k] = tc_line[_i]
+
         if small_first_last and tc_line:
             tc_line[0] = rx["small_first"].sub(
                 lambda m: "%s%s" % (m.group(1), m.group(2).capitalize()), tc_line[0]
@@ -143,4 +173,5 @@ def rlis_titlecase(name: str | None) -> str:
     Null name -> '' via ``(None or '').lower()``; the empty string survives
     until the sink drops empty tags (repair_keys.py:20).
     """
-    return titlecase((name or "").lower(), callback=number_after_letter)
+    return titlecase((name or "").lower(), callback=number_after_letter,
+                     _memo=_WORD_MEMO)

@@ -238,10 +238,26 @@ def _merge_component_rows(pdf: pd.DataFrame, comp: np.ndarray,
     comp_ids = comp_sorted[bounds]
     first_idx = order[bounds]               # min-way_id row per component
     n_members = ends - bounds
-    merged = [
-        wkb.linemerge_wkb([bytes(geoms[i]) for i in order[s:e]])
-        for s, e in zip(bounds, ends)
-    ]
+    # r7 (guide §1.2 per-task work): most components are single-member on
+    # real street topologies, and linemerge of ONE plain little-endian
+    # LineString is byte-identical to its input (encode_linestring writes
+    # exactly header+count+raw coords, decode reads the same bytes back) —
+    # so the decode->concat->encode round trip is skipped when the blob's
+    # header is exactly (0x01, type=2, no flag bits) and its length matches
+    # the declared point count. Multi-member components and multi/flagged/
+    # oversized blobs take the full merge path unchanged.
+    merged = []
+    for s, e in zip(bounds, ends):
+        if e - s == 1:
+            b = bytes(geoms[order[s]])
+            if (b[:5] == b"\x01\x02\x00\x00\x00"
+                    and len(b) == 9 + 16 * int.from_bytes(b[5:9], "little")):
+                merged.append(b)
+                continue
+            merged.append(wkb.linemerge_wkb([b]))
+            continue
+        merged.append(
+            wkb.linemerge_wkb([bytes(geoms[i]) for i in order[s:e]]))
 
     out = pd.DataFrame({"component_id": comp_ids})
     for f in dissolve_fields:
